@@ -1,0 +1,71 @@
+"""Device-mesh runtime initialisation.
+
+TPU-native replacement for the reference's torch.distributed/NCCL bring-up
+(reference: code/victim_localization/yolov3/train.py:159-168 — NCCL TCP
+rendezvous; yolov5/train.py:218-222 — DDP wrap). On TPU, parallelism is
+expressed once as a `jax.sharding.Mesh` and XLA inserts the collectives
+(psum/pmean over ICI); there is no process-group plumbing in model code.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX (the `dist.init_process_group` analogue).
+
+    On a single host this is a no-op. On a multi-host TPU pod the standard
+    env vars (or explicit args) drive `jax.distributed.initialize`, after
+    which `jax.devices()` is global and a Mesh spans the slice (ICI) or
+    multiple slices (DCN).
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def create_mesh(axis_shapes: Optional[Sequence[int]] = None,
+                axis_names: Sequence[str] = ("data",),
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a named device mesh.
+
+    Default is a 1-D `('data',)` mesh over all devices — the TPU equivalent of
+    the reference's pure data parallelism (DDP). Extra axes ('model', 'spatial')
+    can be requested for tensor/spatial sharding of large aerial frames.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if axis_shapes is None:
+        axis_shapes = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if math.prod(axis_shapes) != len(devices):
+        raise ValueError(
+            f"mesh axes {tuple(axis_shapes)} != #devices {len(devices)}")
+    return Mesh(devices.reshape(axis_shapes), axis_names)
+
+
+def local_mesh(n: Optional[int] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """Mesh over the first `n` local devices (all if None)."""
+    devs = jax.devices()[: n or len(jax.devices())]
+    shapes = (len(devs),) + (1,) * (len(axis_names) - 1)
+    return create_mesh(shapes, axis_names, devs)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over `axis`."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,35 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-world analogue of the reference's "test locally before the
+cluster": multi-chip sharding code paths (pjit/shard_map/psum) execute on
+8 virtual CPU devices, so distributed logic is exercised without hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+CLS_WEIGHTS = REFERENCE_ROOT / "code/disaster_detection/weights"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+def reference_available() -> bool:
+    return REFERENCE_ROOT.exists()
+
+
+needs_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
