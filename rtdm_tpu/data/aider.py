@@ -1,0 +1,217 @@
+"""AIDER dataset — CSV-driven aerial-scene classification data.
+
+TPU-native re-design of the reference loader
+(code/disaster_detection/dataloaders/aider.py:59-268 + transforms :269-431):
+
+- CSV rows are (relative_path,label); labels 0..4 =
+  collapsed_building, fire, flooded_areas, normal, traffic_incident.
+- Host pipeline stays in numpy/PIL and emits **uint8 NHWC** fixed-shape
+  batches (4x fewer host->device bytes than float32); the /255 + ImageNet
+  normalize runs on device inside jit (`normalize_batch`), where XLA fuses
+  it into the first conv. This replaces the reference's per-image
+  PIL->tensor->Normalize on CPU.
+- Eval transform matches torchvision semantics exactly: bilinear resize of
+  the short side to int(1.14*size), then center crop (aider.py:413-419) —
+  required for accuracy parity with imported checkpoints.
+- Train-time augs (random-resized-crop, flips, rot90, color jitter) mirror
+  the reference's albumentations pipeline (aider.py:283-307) in pure numpy.
+- Corrupt/missing images degrade to a black frame instead of crashing
+  (aider.py:49-56's fallback), counted in `load_errors`.
+- Class weights use inverse frequency (focal_loss.py get_class_weights).
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+CLASS_NAMES = ("collapsed_building", "fire", "flooded_areas", "normal",
+               "traffic_incident")
+
+
+def _load_image(path: str) -> Optional["np.ndarray"]:
+    from PIL import Image, ImageFile
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    try:
+        with open(path, "rb") as f:
+            img = Image.open(f)
+            return img.convert("RGB")
+    except Exception as e:  # corrupt/missing -> caller falls back to black
+        logger.warning("failed to load %s: %s", path, e)
+        return None
+
+
+def _resize(img, size_wh, resample=None):
+    from PIL import Image
+    return img.resize(size_wh, resample or Image.BILINEAR)
+
+
+class AiderDataset:
+    """Fixed-shape uint8 sample producer for the AIDER CSV splits."""
+
+    def __init__(self, csv_file, root_dir, image_size: int = 140,
+                 train: bool = False, seed: int = 42):
+        csv_file = Path(csv_file)
+        if not csv_file.exists():
+            raise FileNotFoundError(str(csv_file))
+        self.root_dir = Path(root_dir)
+        self.image_size = int(image_size)
+        self.train = train
+        self.samples: List[Tuple[str, int]] = []
+        with open(csv_file, newline="") as f:
+            for row in csv.reader(f):
+                if len(row) >= 2:
+                    self.samples.append(
+                        (str(self.root_dir / row[0]), int(row[1])))
+        self.rng = np.random.default_rng(seed)
+        self.load_errors = 0
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    @property
+    def labels(self) -> np.ndarray:
+        return np.array([lbl for _, lbl in self.samples], np.int32)
+
+    def class_weights(self) -> np.ndarray:
+        counts = np.bincount(self.labels, minlength=len(CLASS_NAMES))
+        counts = np.maximum(counts, 1)
+        return (counts.sum() / (len(CLASS_NAMES) * counts)).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def load(self, idx: int, rng: Optional[np.random.Generator] = None
+             ) -> Tuple[np.ndarray, int]:
+        path, label = self.samples[idx]
+        img = _load_image(path)
+        s = self.image_size
+        if img is None:
+            self.load_errors += 1
+            return np.zeros((s, s, 3), np.uint8), label
+        if self.train:
+            arr = self._train_transform(img, rng or self.rng)
+        else:
+            arr = self._eval_transform(img)
+        return arr, label
+
+    def _eval_transform(self, img) -> np.ndarray:
+        """Resize short side to int(1.14*s), center-crop s — torchvision
+        parity (reference aider.py:413-419)."""
+        s = self.image_size
+        w, h = img.size
+        target = int(s * 1.14)
+        if w <= h:
+            nw, nh = target, max(int(round(h * target / w)), target)
+        else:
+            nh, nw = target, max(int(round(w * target / h)), target)
+        img = _resize(img, (nw, nh))
+        left, top = (nw - s) // 2, (nh - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+        return np.asarray(img, np.uint8)
+
+    def _train_transform(self, img, rng: np.random.Generator) -> np.ndarray:
+        s = self.image_size
+        w, h = img.size
+        # RandomResizedCrop(scale=(0.8, 1.0), ratio=(3/4, 4/3))
+        area = w * h
+        for _ in range(10):
+            target_area = area * rng.uniform(0.8, 1.0)
+            ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(target_area * ar)))
+            ch = int(round(np.sqrt(target_area / ar)))
+            if cw <= w and ch <= h:
+                left = rng.integers(0, w - cw + 1)
+                top = rng.integers(0, h - ch + 1)
+                img = img.crop((left, top, left + cw, top + ch))
+                break
+        img = _resize(img, (s, s))
+        arr = np.asarray(img, np.uint8)
+        # flips / rot90 (one-of, p=0.5 — aider.py:284-288)
+        if rng.random() < 0.5:
+            k = rng.integers(0, 3)
+            if k == 0:
+                arr = arr[:, ::-1]
+            elif k == 1:
+                arr = arr[::-1]
+            else:
+                arr = np.rot90(arr, rng.integers(1, 4))
+        # brightness/contrast jitter (one-of color ops, p=0.3 — aider.py:294-298)
+        if rng.random() < 0.3:
+            f = np.float32(arr)
+            b = rng.uniform(-0.2, 0.2) * 255
+            c = 1.0 + rng.uniform(-0.2, 0.2)
+            f = (f - 127.5) * c + 127.5 + b
+            arr = np.clip(f, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(arr)
+
+
+class BatchLoader:
+    """Fixed-shape batch iterator with threaded decode.
+
+    Replaces torch DataLoader worker processes (aider.py:444-543): image
+    decode fans out over a thread pool (PIL releases the GIL in decode),
+    batches are dense uint8 NHWC. For eval, the final partial batch is
+    zero-padded to the fixed batch shape and a `valid` count is yielded so
+    jit never sees a dynamic shape.
+    """
+
+    def __init__(self, dataset: AiderDataset, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 num_workers: int = 8, seed: int = 42):
+        self.ds = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, int(num_workers))
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        n = len(self.ds)
+        order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        self.epoch += 1
+        bs = self.batch_size
+        s = self.ds.image_size
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, bs):
+                idxs = order[start:start + bs]
+                if len(idxs) < bs and self.drop_last:
+                    break
+                child_rngs = [np.random.default_rng(rng.integers(2 ** 63))
+                              for _ in idxs]
+                results = list(pool.map(
+                    lambda a: self.ds.load(a[0], a[1]),
+                    zip(idxs, child_rngs)))
+                images = np.zeros((bs, s, s, 3), np.uint8)
+                labels = np.zeros((bs,), np.int32)
+                for i, (img, lbl) in enumerate(results):
+                    images[i] = img
+                    labels[i] = lbl
+                yield images, labels, len(idxs)
+
+
+def normalize_batch(images_u8, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """Device-side uint8 -> normalized float. Call inside jit so XLA fuses
+    it into the first conv (replaces host-side A.Normalize/ToTensorV2)."""
+    import jax.numpy as jnp
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean)) / jnp.asarray(std)

@@ -80,8 +80,11 @@ def max_pool2d(x: jax.Array, kernel: _PairT, stride: Optional[_PairT] = None,
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride if stride is not None else kernel)
     ph, pw = _pair(padding)
-    neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
-           else jnp.iinfo(x.dtype).min)
+    # Python-scalar -inf (not finfo.min, not a jnp array) so JAX recognises
+    # the max monoid and the op stays reverse-differentiable even under
+    # lax.scan linearization.
+    neg = (-float("inf") if jnp.issubdtype(x.dtype, jnp.floating)
+           else int(jnp.iinfo(x.dtype).min))
     return lax.reduce_window(
         x, neg, lax.max,
         window_dimensions=(1, kh, kw, 1),
@@ -101,19 +104,21 @@ def avg_pool2d(x: jax.Array, kernel: _PairT, stride: Optional[_PairT] = None,
     kh, kw = _pair(kernel)
     sh, sw = _pair(stride if stride is not None else kernel)
     ph, pw = _pair(padding)
+    # Scalar-literal init (0.0) keeps the add monoid differentiable under
+    # linearization (see max_pool2d note).
     summed = lax.reduce_window(
-        x, jnp.array(0, x.dtype), lax.add,
+        x, 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0, lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
         padding=[(0, 0), (ph, ph), (pw, pw), (0, 0)],
     )
     if count_include_pad:
-        return summed / jnp.array(kh * kw, x.dtype)
+        return (summed / (kh * kw)).astype(x.dtype)
     ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
     counts = lax.reduce_window(
-        ones, jnp.array(0, x.dtype), lax.add,
+        ones, 0.0, lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, sh, sw, 1),
         padding=[(0, 0), (ph, ph), (pw, pw), (0, 0)],
     )
-    return summed / counts
+    return (summed / counts).astype(x.dtype)

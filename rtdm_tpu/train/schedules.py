@@ -1,0 +1,113 @@
+"""LR schedules + optimizer factory.
+
+Mirrors the reference factories (code/disaster_detection/train.py:75-127):
+optimizers adam/adamw/sgd; schedulers onecycle (pct_start=warmup_ratio,
+div_factor 25, final_div_factor 1e4, cosine anneal), cosine (eta_min),
+reduce-on-plateau (factor 0.1, patience epochs//3).
+
+Everything is optax. The optimizer is wrapped in `inject_hyperparams` so the
+'reduce' scheduler can rescale the live learning rate from the host between
+epochs (the torch ReduceLROnPlateau analogue) without recompiling the step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import optax
+
+ScheduleT = Union[float, Callable[[int], float]]
+
+
+def onecycle_schedule(peak_lr: float, total_steps: int,
+                      pct_start: float = 0.1,
+                      div_factor: float = 25.0,
+                      final_div_factor: float = 1e4) -> optax.Schedule:
+    return optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1),
+        peak_value=peak_lr,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def cosine_schedule(lr: float, total_steps: int, min_lr: float = 1e-6
+                    ) -> optax.Schedule:
+    return optax.cosine_decay_schedule(
+        init_value=lr, decay_steps=max(total_steps, 1),
+        alpha=min_lr / max(lr, 1e-12))
+
+
+def make_schedule(name: str, lr: float, total_steps: int,
+                  warmup_ratio: float = 0.1, min_lr: float = 1e-6) -> ScheduleT:
+    name = name.lower()
+    if name == "onecycle":
+        return onecycle_schedule(lr, total_steps, pct_start=warmup_ratio)
+    if name == "cosine":
+        return cosine_schedule(lr, total_steps, min_lr)
+    if name in ("reduce", "constant", "none"):
+        # 'reduce' keeps a constant schedule; Trainer rescales on plateau.
+        return lr
+    raise ValueError(f"unknown scheduler '{name}'")
+
+
+def make_optimizer(name: str,
+                   learning_rate: ScheduleT,
+                   weight_decay: float = 0.01,
+                   momentum: float = 0.9,
+                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+    name = name.lower()
+    if name == "adam":
+        # torch Adam's weight_decay is classic L2 (added to grads), not
+        # decoupled — keep that distinction.
+        def adam_l2(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.adam(learning_rate),
+            )
+        opt = optax.inject_hyperparams(adam_l2)(learning_rate=learning_rate)
+    elif name == "adamw":
+        opt = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay)
+    elif name == "sgd":
+        def sgd_wd(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(weight_decay),
+                optax.sgd(learning_rate, momentum=momentum, nesterov=True),
+            )
+        opt = optax.inject_hyperparams(sgd_wd)(learning_rate=learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer '{name}'")
+    if grad_clip is not None and grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
+
+
+class PlateauScaler:
+    """Host-side ReduceLROnPlateau: scales the injected lr on stagnation.
+
+    (reference: torch ReduceLROnPlateau with factor=0.1,
+    patience=epochs//3 — train.py:117-124, stepped at train.py:284-285.)
+    """
+
+    def __init__(self, factor: float = 0.1, patience: int = 10,
+                 min_lr: float = 1e-7):
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.stale = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> float:
+        """Feed the epoch val loss; returns the current lr scale."""
+        if metric < self.best - 1e-8:
+            self.best = metric
+            self.stale = 0
+        else:
+            self.stale += 1
+            if self.stale > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.stale = 0
+        return self.scale

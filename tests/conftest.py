@@ -7,11 +7,19 @@ cluster": multi-chip sharding code paths (pjit/shard_map/psum) execute on
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-force CPU: the axon TPU plugin is registered from sitecustomize.py at
+# interpreter start and overrides JAX_PLATFORMS, so we must override the
+# config again here (before any jax computation) or tests silently run over
+# the TPU tunnel (~60x slower).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
