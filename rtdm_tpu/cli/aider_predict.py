@@ -1,0 +1,111 @@
+"""Single-image AIDER prediction CLI.
+
+Parity with the reference's aider-predict.py:47-178: load an image, apply
+the eval transform (resize 1.14x short side, center crop, ImageNet
+normalize), run the classifier, print class + softmax confidence; optional
+visualization PNG. `--engine` loads a serialized rtdm_tpu engine (the
+torch2trt TRTModule analogue, export/engine.py) instead of raw weights.
+
+Run: python -m rtdm_tpu.cli.aider_predict --image x.jpg \
+         --weights saves/squeeze-ernet.npz (or a torch .pt) --model squeeze-ernet
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def load_image_rgb(path: str):
+    import numpy as np
+    from PIL import Image
+    with open(path, "rb") as f:
+        return np.asarray(Image.open(f).convert("RGB"), np.uint8)
+
+
+def preprocess(arr, size: int):
+    """Eval transform on a HWC uint8 array -> (1,size,size,3) uint8."""
+    import numpy as np
+    from PIL import Image
+    img = Image.fromarray(arr)
+    w, h = img.size
+    target = int(size * 1.14)
+    if w <= h:
+        nw, nh = target, max(int(round(h * target / w)), target)
+    else:
+        nh, nw = target, max(int(round(w * target / h)), target)
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)[None]
+
+
+def predict(variables, model, image_u8):
+    import jax
+    import jax.numpy as jnp
+    from rtdm_tpu.data.aider import normalize_batch
+
+    @jax.jit
+    def fwd(v, u8):
+        return model.apply(v, normalize_batch(u8), train=False)
+
+    probs = fwd(variables, jnp.asarray(image_u8))
+    import numpy as np
+    probs = np.asarray(probs)[0]
+    return int(np.argmax(probs)), probs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="AIDER single-image prediction")
+    p.add_argument("--image", required=True)
+    p.add_argument("--model", default="squeeze-ernet",
+                   choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
+    p.add_argument("--weights", help="weights: our .npz or torch .pt state_dict")
+    p.add_argument("--engine", help="serialized rtdm_tpu engine dir")
+    p.add_argument("--visualize", help="write annotated PNG here")
+    args = p.parse_args(argv)
+
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.ernet import CLASS_NAMES
+
+    model = create_model(args.model)
+    size = model.image_size
+    image = preprocess(load_image_rgb(args.image), size)
+
+    if args.engine:
+        from rtdm_tpu.export.engine import Engine
+        engine = Engine.load(args.engine)
+        t0 = time.time()
+        probs = engine(image)[0]
+        dt = time.time() - t0
+        import numpy as np
+        probs = np.asarray(probs, dtype=np.float32)
+        idx = int(np.argmax(probs))
+    else:
+        from rtdm_tpu.models.io import load_variables
+        variables = load_variables(args.weights)
+        t0 = time.time()
+        idx, probs = predict(variables, model, image)
+        dt = time.time() - t0
+
+    print(f"prediction: {CLASS_NAMES[idx]}  confidence: {probs[idx]:.4f}  "
+          f"({dt * 1e3:.1f} ms incl. compile)")
+    for i, name in enumerate(CLASS_NAMES):
+        print(f"  {name:>20}: {probs[i]:.4f}")
+
+    if args.visualize:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.imshow(image[0])
+        ax.set_title(f"{CLASS_NAMES[idx]} ({probs[idx]:.2%})")
+        ax.axis("off")
+        fig.savefig(args.visualize, dpi=110, bbox_inches="tight")
+        print(f"visualization written to {args.visualize}")
+    return idx
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)

@@ -1,0 +1,267 @@
+"""AIDER classifier training CLI.
+
+TPU-native re-design of the reference trainer entry point
+(code/disaster_detection/train.py:129-411 + training_utils/args.py:6-183):
+same knob surface (model/loss/optimizer/scheduler choices, grad accum,
+early stopping, resume), but the loop drives one jitted XLA train step per
+batch over a data-parallel mesh; checkpoints via Orbax; bf16 by default.
+
+Run: python -m rtdm_tpu.cli.aider_train --model squeeze-ernet \
+         --root-dir data/AIDER --train-split .../aider_train.csv ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("rtdm_tpu.train")
+
+
+def parse_args(argv=None):
+    from rtdm_tpu.core.config import TrainingConfig
+
+    p = argparse.ArgumentParser(description="Train AIDER classifiers on TPU")
+    p.add_argument("--model", default="squeeze-ernet",
+                   choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
+    p.add_argument("--loss", default="label_smoothing_ce",
+                   choices=["crossentropy", "label_smoothing_ce", "focal"])
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adam", "adamw", "sgd"])
+    p.add_argument("--scheduler", default="onecycle",
+                   choices=["onecycle", "cosine", "reduce"])
+    p.add_argument("--root-dir", default="data/AIDER")
+    p.add_argument("--train-split", default="dataloaders/aider_train.csv")
+    p.add_argument("--val-split", default="dataloaders/aider_val.csv")
+    p.add_argument("--test-split", default="dataloaders/aider_test.csv")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--grad-accum-steps", type=int, default=2)
+    p.add_argument("--warmup-ratio", type=float, default=0.1)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--no-early-stopping", action="store_true")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--checkpoint-dir", default="saves")
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    a = p.parse_args(argv)
+    return TrainingConfig(
+        model=a.model, loss=a.loss, optimizer=a.optimizer,
+        scheduler=a.scheduler, root_dir=a.root_dir,
+        train_split=a.train_split, val_split=a.val_split,
+        test_split=a.test_split, batch_size=a.batch_size, epochs=a.epochs,
+        lr=a.lr, weight_decay=a.weight_decay,
+        label_smoothing=a.label_smoothing, grad_clip=a.grad_clip,
+        grad_accum_steps=a.grad_accum_steps, warmup_ratio=a.warmup_ratio,
+        precision=a.precision, patience=a.patience,
+        early_stopping=not a.no_early_stopping, augment=not a.no_augment,
+        num_workers=a.num_workers, checkpoint_dir=a.checkpoint_dir,
+        log_dir=a.log_dir, resume=a.resume, seed=a.seed)
+
+
+def current_lr(opt_state) -> float:
+    """Dig the injected learning rate out of a (possibly chained) opt state."""
+    import jax
+    for leaf in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: hasattr(x, "hyperparams")):
+        if hasattr(leaf, "hyperparams") and "learning_rate" in leaf.hyperparams:
+            return float(leaf.hyperparams["learning_rate"])
+    return float("nan")
+
+
+def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rtdm_tpu.core.mesh import local_mesh
+    from rtdm_tpu.core.precision import policy_from_name
+    from rtdm_tpu.data.aider import AiderDataset, BatchLoader, normalize_batch
+    from rtdm_tpu.eval.classification import ClassificationMetrics
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.ernet import CLASS_NAMES
+    from rtdm_tpu.train.checkpoint import CheckpointManager
+    from rtdm_tpu.train.losses import make_classification_loss
+    from rtdm_tpu.train.schedules import (PlateauScaler, make_optimizer,
+                                          make_schedule)
+    from rtdm_tpu.train.trainer import Trainer
+    from rtdm_tpu.utils.early_stopping import EarlyStopping
+    from rtdm_tpu.utils.meters import AverageMeter
+
+    mesh = local_mesh()
+    n_dev = mesh.devices.size
+    policy = policy_from_name(config.precision)
+    size = config.image_size
+
+    # Batch must tile the mesh and the microbatch split.
+    bs = config.batch_size
+    tile = n_dev * max(config.grad_accum_steps, 1)
+    if bs % tile:
+        bs = ((bs + tile - 1) // tile) * tile
+        logger.info("batch_size rounded to %d (devices x accum)", bs)
+
+    train_ds = AiderDataset(config.train_split, config.root_dir, size,
+                            train=config.augment, seed=config.seed)
+    val_ds = AiderDataset(config.val_split, config.root_dir, size)
+    test_ds = AiderDataset(config.test_split, config.root_dir, size)
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
+                               num_workers=config.num_workers,
+                               seed=config.seed)
+    val_loader = BatchLoader(val_ds, bs, num_workers=config.num_workers)
+    test_loader = BatchLoader(test_ds, bs, num_workers=config.num_workers)
+
+    class_weights = (train_ds.class_weights()
+                     if config.loss == "focal" else None)
+    loss_fn = make_classification_loss(
+        config.loss, label_smoothing=config.label_smoothing,
+        focal_gamma=config.focal_gamma, class_weights=class_weights)
+
+    total_steps = max(len(train_loader), 1) * config.epochs
+    schedule = make_schedule(config.scheduler, config.lr, total_steps,
+                             config.warmup_ratio, config.min_lr)
+    tx = make_optimizer(config.optimizer, schedule, config.weight_decay,
+                        config.momentum, config.grad_clip)
+
+    model = create_model(config.model)
+    trainer = Trainer(model, tx, loss_fn, policy=policy,
+                      grad_accum_steps=config.grad_accum_steps, mesh=mesh,
+                      num_classes=config.num_classes)
+    state = trainer.init_state(jax.random.key(config.seed),
+                               (1, size, size, 3))
+
+    ckpt = CheckpointManager(config.checkpoint_dir)
+    history: Dict[str, List[float]] = {k: [] for k in
+                                       ("train_loss", "train_acc", "val_loss",
+                                        "val_acc", "val_f1", "lr")}
+    start_epoch = 0
+    if config.resume and ckpt.exists("last"):
+        state, meta = ckpt.restore("last", state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        history = meta.get("history", history)
+        logger.info("resumed from epoch %d", start_epoch)
+
+    data_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+
+    def put_batch(images, labels):
+        x = jax.device_put(jnp.asarray(images), data_sh)
+        y = jax.device_put(jnp.asarray(labels), data_sh)
+        return x, y
+
+    stopper = EarlyStopping(config.patience)
+    plateau = (PlateauScaler(patience=max(config.epochs // 3, 1))
+               if config.scheduler == "reduce" else None)
+    base_rng = jax.random.key(config.seed + 1)
+    best_val = float("inf")
+
+    # uint8 batches go to device as-is; /255 + ImageNet normalize runs on
+    # device and XLA fuses it into the first conv of each step.
+    @jax.jit
+    def _norm(x):
+        return normalize_batch(x)
+
+    def train_step(state, images_u8, labels, rng):
+        return trainer.train_step(state, _norm(images_u8), labels, rng)
+
+    def eval_step(state, images_u8, labels, valid):
+        return trainer.eval_step(state, _norm(images_u8), labels, valid)
+
+    def run_eval(loader):
+        metrics = ClassificationMetrics(config.num_classes, CLASS_NAMES)
+        for images, labels, valid in loader:
+            x, y = put_batch(images, labels)
+            out = eval_step(state, x, y, jnp.asarray(valid, jnp.int32))
+            out = jax.device_get(out)
+            metrics.update(out["confusion"], out.get("loss_sum", 0.0),
+                           out["count"])
+        return metrics
+
+    for epoch in range(start_epoch, config.epochs):
+        t0 = time.time()
+        loss_m, acc_m = AverageMeter("loss"), AverageMeter("acc")
+        for images, labels, _ in train_loader:
+            x, y = put_batch(images, labels)
+            state, m = train_step(state, x, y, base_rng)
+            m = jax.device_get(m)
+            loss_m.update(float(m["loss"]), len(labels))
+            acc_m.update(float(m["accuracy"]), len(labels))
+
+        val = run_eval(val_loader)
+        lr = current_lr(state.opt_state)
+        history["train_loss"].append(loss_m.avg)
+        history["train_acc"].append(acc_m.avg)
+        history["val_loss"].append(val.loss)
+        history["val_acc"].append(val.accuracy)
+        history["val_f1"].append(val.f1("weighted"))
+        history["lr"].append(lr)
+        logger.info(
+            "epoch %d/%d: train loss %.4f acc %.4f | val loss %.4f acc %.4f "
+            "f1 %.4f | lr %.2e | %.1fs", epoch + 1, config.epochs,
+            loss_m.avg, acc_m.avg, val.loss, val.accuracy,
+            val.f1("weighted"), lr, time.time() - t0)
+
+        if plateau is not None:
+            scale = plateau.update(val.loss)
+            _set_lr(state.opt_state, config.lr * scale)
+
+        meta = {"epoch": epoch, "history": history,
+                "config": dataclasses.asdict(config),
+                "val_loss": val.loss, "val_acc": val.accuracy}
+        ckpt.save("last", state, meta)
+        improved = stopper(val.loss)
+        if val.loss < best_val:
+            best_val = val.loss
+            ckpt.save("best", state, meta)
+        if config.early_stopping and stopper.should_stop:
+            logger.info("early stopping at epoch %d", epoch + 1)
+            break
+
+    if ckpt.exists("best"):
+        state, _ = ckpt.restore("best", state)
+    test = run_eval(test_loader)
+    logger.info("test:\n%s", test.report())
+
+    from rtdm_tpu.models.io import save_variables
+    wpath = save_variables(config.weights,
+                           {"params": jax.device_get(state.params),
+                            "batch_stats": jax.device_get(state.batch_stats)})
+    logger.info("final weights saved to %s", wpath)
+
+    try:
+        from rtdm_tpu.utils.plots import plot_training_curves
+        plot_training_curves(history, config.log_dir, config.model)
+    except Exception as e:  # plotting must never fail a run
+        logger.warning("plotting failed: %s", e)
+    return state, history
+
+
+def _set_lr(opt_state, lr: float) -> None:
+    import jax
+    for leaf in jax.tree_util.tree_leaves(
+            opt_state, is_leaf=lambda x: hasattr(x, "hyperparams")):
+        if hasattr(leaf, "hyperparams") and "learning_rate" in leaf.hyperparams:
+            leaf.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+    config = parse_args(argv)
+    config.save()
+    train_model(config)
+
+
+if __name__ == "__main__":
+    main()

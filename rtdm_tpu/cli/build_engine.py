@@ -1,0 +1,76 @@
+"""Engine-build CLI — the torch2trt / onnx_to_tensorrt analogue.
+
+Mirrors build_tensorrt_model.py's CLI shape (model + quant choice, max
+batch, verification inference, artifact directory) and
+onnx_to_tensorrt.py's int8 calibration flow (a directory of calibration
+jpgs, calibrator.py:125-142).
+
+Run: python -m rtdm_tpu.cli.build_engine --model squeeze-ernet \
+         --weights .../squeeze-ernet-state_dict.pt --quant bf16 \
+         --output engines/squeeze-ernet-bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+
+def load_calib_images(calib_dir: str, image_size: int, limit: int = 256):
+    import numpy as np
+    from rtdm_tpu.cli.aider_predict import load_image_rgb, preprocess
+
+    paths = sorted(
+        p for pat in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(calib_dir, pat)))[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no calibration images in {calib_dir}")
+    return np.concatenate(
+        [preprocess(load_image_rgb(p), image_size) for p in paths], axis=0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Build an rtdm_tpu engine")
+    p.add_argument("--model", default="squeeze-ernet",
+                   choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
+    p.add_argument("--weights", required=True,
+                   help="torch .pt state_dict to convert")
+    p.add_argument("--quant", default="bf16",
+                   choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--batch-size", type=int, default=256,
+                   help="engine max batch (TRT max_batch_size analogue)")
+    p.add_argument("--calib-dir", help="calibration image dir (int8)")
+    p.add_argument("--calib-method", default="percentile",
+                   choices=["percentile", "entropy"])
+    p.add_argument("--output", required=True, help="engine output dir")
+    args = p.parse_args(argv)
+
+    from rtdm_tpu.export.engine import build_engine
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.io import load_variables
+
+    variables = load_variables(args.weights)
+    model = create_model(args.model)
+
+    calib = None
+    if args.quant == "int8":
+        if not args.calib_dir:
+            raise SystemExit("--calib-dir is required for int8 engines")
+        calib = load_calib_images(args.calib_dir, model.image_size)
+        print(f"calibrating on {calib.shape[0]} images "
+              f"({args.calib_method})...")
+
+    t0 = time.time()
+    engine = build_engine(args.model, variables, quant=args.quant,
+                          batch_size=args.batch_size, calib_images=calib)
+    print(f"engine built + verified in {time.time() - t0:.1f}s")
+    engine.save(args.output)
+    print(f"saved to {args.output} "
+          f"(spec.json + params.npz"
+          f"{' + act_scales.npz' if args.quant == 'int8' else ''})")
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,7 @@ class TrainingConfig:
             self.image_size = 140
             self.batch_size *= 2
         if self.weights is None:
-            self.weights = os.path.join(self.checkpoint_dir, f"{self.model}.ckpt")
+            self.weights = os.path.join(self.checkpoint_dir, f"{self.model}.npz")
 
     def save(self, path: Optional[str] = None) -> str:
         path = path or os.path.join(self.log_dir, "config.json")

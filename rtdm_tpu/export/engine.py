@@ -1,0 +1,174 @@
+"""Inference engines: AOT-compiled, quantized, serializable.
+
+The TPU-native analogue of the reference's TensorRT pipeline:
+- build_tensorrt_model.py (torch2trt fp32/fp16 engines, max batch 256,
+  verification inference, saved as tensorrt_state_dicts/*_trt.pth)
+- onnx_to_tensorrt.py (engine builder with INT8 calibration)
+
+Design: an Engine is (spec JSON + params npz [+ int8 scales]) in a
+directory. At load/build time the forward — device-side normalize, network,
+softmax — is AOT-compiled for the fixed batch shape with
+`jax.jit(...).lower().compile()`, the XLA analogue of engine building;
+callers with smaller batches are zero-padded to the engine batch (TRT's
+max_batch_size semantics, build_tensorrt_model.py:88). Quantization modes:
+  fp32  -> float32 everywhere
+  bf16  -> bfloat16 compute (the TPU's half precision; 'fp16' is accepted)
+  int8  -> AQT-style w8a8 fake-quant with calibrated activation scales
+           (quant/int8.py), MXU int8 path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class EngineSpec:
+    model: str
+    quant: str = "bf16"           # fp32 | bf16 (fp16 alias) | int8
+    batch_size: int = 256
+    image_size: int = 140
+    num_classes: int = 5
+    with_softmax: bool = True
+    version: str = "1"
+
+    def normalized_quant(self) -> str:
+        q = self.quant.lower()
+        return {"fp16": "bf16", "half": "bf16"}.get(q, q)
+
+
+class Engine:
+    """A compiled classifier engine over uint8 NHWC frames."""
+
+    def __init__(self, spec: EngineSpec, variables: Dict[str, Any],
+                 act_scales: Optional[Dict[str, np.ndarray]] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from rtdm_tpu.data.aider import normalize_batch
+        from rtdm_tpu.models import create_model
+
+        self.spec = spec
+        self.variables = variables
+        self.act_scales = act_scales
+        model = create_model(spec.model)
+        quant = spec.normalized_quant()
+
+        if quant == "int8":
+            from rtdm_tpu.quant.int8 import quantize_classifier_apply
+            apply_fn = quantize_classifier_apply(model, variables, act_scales)
+        else:
+            dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[quant]
+            cast = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, variables["params"])
+            variables_c = {"params": cast,
+                           "batch_stats": variables.get("batch_stats", {})}
+
+            def apply_fn(u8):
+                x = normalize_batch(u8).astype(dtype)
+                return model.apply(variables_c, x, train=False,
+                                   apply_softmax=spec.with_softmax
+                                   ).astype(jnp.float32)
+
+        b, s = spec.batch_size, spec.image_size
+        self._compiled = (jax.jit(apply_fn)
+                          .lower(jax.ShapeDtypeStruct((b, s, s, 3),
+                                                      jnp.uint8))
+                          .compile())
+
+    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+        b = self.spec.batch_size
+        n = images_u8.shape[0]
+        if n > b:
+            raise ValueError(f"batch {n} exceeds engine max batch {b}")
+        if n < b:
+            pad = np.zeros((b - n,) + images_u8.shape[1:], images_u8.dtype)
+            images_u8 = np.concatenate([images_u8, pad], axis=0)
+        out = self._compiled(jnp.asarray(images_u8))
+        return np.asarray(out)[:n]
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "spec.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.spec), f, indent=2)
+        flat = _flatten("", self.variables)
+        np.savez(os.path.join(directory, "params.npz"),
+                 **{k: np.asarray(v) for k, v in flat.items()})
+        if self.act_scales:
+            np.savez(os.path.join(directory, "act_scales.npz"),
+                     **{k: np.asarray(v) for k, v in self.act_scales.items()})
+        return directory
+
+    @classmethod
+    def load(cls, directory: str) -> "Engine":
+        with open(os.path.join(directory, "spec.json")) as f:
+            spec = EngineSpec(**json.load(f))
+        flat = dict(np.load(os.path.join(directory, "params.npz")))
+        variables = _unflatten(flat)
+        scales_path = os.path.join(directory, "act_scales.npz")
+        act_scales = (dict(np.load(scales_path))
+                      if os.path.exists(scales_path) else None)
+        return cls(spec, variables, act_scales)
+
+
+def _flatten(prefix: str, tree: Any) -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(f"{prefix}{k}/", v))
+    else:
+        out[prefix.rstrip("/")] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def build_engine(model_name: str, variables: Dict[str, Any],
+                 quant: str = "bf16", batch_size: int = 256,
+                 calib_images: Optional[np.ndarray] = None,
+                 verify: bool = True) -> Engine:
+    """Build (and optionally verify) an engine.
+
+    Mirrors build_tensorrt_model.py's flow: convert -> run a test inference
+    -> report shape/dtype/sample (:262-275). For int8, `calib_images`
+    (uint8 NHWC) feed activation-range calibration, the
+    YOLOEntropyCalibrator analogue (calibrator.py:87-153).
+    """
+    from rtdm_tpu.models import create_model
+
+    model = create_model(model_name)
+    spec = EngineSpec(model=model_name, quant=quant, batch_size=batch_size,
+                      image_size=model.image_size)
+    act_scales = None
+    if spec.normalized_quant() == "int8":
+        from rtdm_tpu.quant.calibrate import calibrate_classifier
+        if calib_images is None:
+            raise ValueError("int8 engines need calib_images")
+        act_scales = calibrate_classifier(model, variables, calib_images)
+    engine = Engine(spec, variables, act_scales)
+    if verify:
+        test = np.zeros((1, spec.image_size, spec.image_size, 3), np.uint8)
+        t0 = time.time()
+        out = engine(test)
+        assert out.shape == (1, spec.num_classes), out.shape
+        assert np.all(np.isfinite(out)), "non-finite engine output"
+    return engine

@@ -26,8 +26,9 @@ def _one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
 
 def cross_entropy(logits: jax.Array, labels: jax.Array,
                   weights: Optional[jax.Array] = None,
-                  ignore_index: int = -100) -> jax.Array:
-    """Mean CE over valid targets, with optional per-class weights."""
+                  ignore_index: int = -100,
+                  reduction: str = "mean") -> jax.Array:
+    """CE over valid targets, with optional per-class weights."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     valid = labels != ignore_index
@@ -38,15 +39,17 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)
+    if reduction == "none":
+        return nll * w
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
 def label_smoothing_cross_entropy(logits: jax.Array, labels: jax.Array,
                                   epsilon: float = 0.1,
-                                  ignore_index: int = -100) -> jax.Array:
+                                  ignore_index: int = -100,
+                                  reduction: str = "mean") -> jax.Array:
     """eps * mean(-logp) + (1-eps) * nll, masked at ignore_index."""
     logits = logits.astype(jnp.float32)
-    n = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0)
@@ -54,12 +57,15 @@ def label_smoothing_cross_entropy(logits: jax.Array, labels: jax.Array,
     smooth = -jnp.mean(logp, axis=-1)
     per_example = epsilon * smooth + (1.0 - epsilon) * nll
     per_example = jnp.where(valid, per_example, 0.0)
+    if reduction == "none":
+        return per_example
     return jnp.sum(per_example) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def focal_loss(logits: jax.Array, labels: jax.Array,
                gamma: float = 2.0,
-               alpha: Optional[jax.Array] = None) -> jax.Array:
+               alpha: Optional[jax.Array] = None,
+               reduction: str = "mean") -> jax.Array:
     """(1-pt)^gamma * CE, with optional per-class alpha weighting."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -68,6 +74,8 @@ def focal_loss(logits: jax.Array, labels: jax.Array,
     focal = jnp.power(1.0 - pt, gamma) * nll
     if alpha is not None:
         focal = focal * jnp.asarray(alpha, jnp.float32)[labels]
+    if reduction == "none":
+        return focal
     return jnp.mean(focal)
 
 
@@ -87,12 +95,16 @@ def make_classification_loss(name: str,
     (train.py:190-211: 'crossentropy' | 'label_smoothing' | 'focal')."""
     name = name.lower().replace("-", "_")
     if name in ("ce", "crossentropy", "cross_entropy"):
-        return lambda logits, labels: cross_entropy(
-            logits, labels, weights=class_weights)
-    if name in ("label_smoothing", "labelsmoothing", "smooth"):
-        return lambda logits, labels: label_smoothing_cross_entropy(
-            logits, labels, epsilon=label_smoothing)
+        return lambda logits, labels, reduction="mean": cross_entropy(
+            logits, labels, weights=class_weights, reduction=reduction)
+    if name in ("label_smoothing", "labelsmoothing", "smooth",
+                "label_smoothing_ce"):
+        return (lambda logits, labels, reduction="mean":
+                label_smoothing_cross_entropy(
+                    logits, labels, epsilon=label_smoothing,
+                    reduction=reduction))
     if name == "focal":
-        return lambda logits, labels: focal_loss(
-            logits, labels, gamma=focal_gamma, alpha=class_weights)
+        return lambda logits, labels, reduction="mean": focal_loss(
+            logits, labels, gamma=focal_gamma, alpha=class_weights,
+            reduction=reduction)
     raise ValueError(f"unknown loss '{name}'")

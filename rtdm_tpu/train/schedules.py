@@ -23,8 +23,13 @@ def onecycle_schedule(peak_lr: float, total_steps: int,
                       pct_start: float = 0.1,
                       div_factor: float = 25.0,
                       final_div_factor: float = 1e4) -> optax.Schedule:
+    total_steps = max(total_steps, 2)
+    # optax builds the warmup interval as int(pct_start*total): if that
+    # rounds to 0 steps the piecewise interpolation divides by zero and the
+    # whole schedule is NaN. Guarantee >= 1 warmup step.
+    pct_start = max(pct_start, 1.0 / total_steps + 1e-6)
     return optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=total_steps,
         peak_value=peak_lr,
         pct_start=pct_start,
         div_factor=div_factor,

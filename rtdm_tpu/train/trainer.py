@@ -133,37 +133,43 @@ def make_eval_step(model: nn.Module, policy: Policy = DEFAULT_POLICY,
                    loss_fn: Optional[Callable] = None,
                    num_classes: int = 5,
                    mesh: Optional[Mesh] = None):
-    """(state, images, labels) -> per-batch metrics incl. confusion counts."""
+    """(state, images, labels, valid) -> per-batch metrics incl. confusion
+    counts. `valid` is the number of real (non-padded) rows: eval batches
+    are zero-padded to a fixed shape so jit never sees dynamic shapes."""
 
-    def step(state: TrainState, images: jax.Array, labels: jax.Array
-             ) -> Dict[str, jax.Array]:
+    def step(state: TrainState, images: jax.Array, labels: jax.Array,
+             valid: jax.Array) -> Dict[str, jax.Array]:
         variables = {"params": policy.cast_to_compute(state.params),
                      "batch_stats": state.batch_stats}
         logits = model.apply(variables, policy.cast_to_compute(images),
                              train=False, apply_softmax=False)
         logits = logits.astype(jnp.float32)
         preds = jnp.argmax(logits, -1)
+        mask = (jnp.arange(labels.shape[0]) < valid)
         out = {
-            "correct": jnp.sum((preds == labels).astype(jnp.int32)),
-            "count": jnp.asarray(labels.shape[0], jnp.int32),
-            "confusion": _confusion(labels, preds, num_classes),
+            "correct": jnp.sum(((preds == labels) & mask).astype(jnp.int32)),
+            "count": valid.astype(jnp.int32),
+            "confusion": _confusion(labels, preds, num_classes, mask),
         }
         if loss_fn is not None:
-            out["loss_sum"] = loss_fn(logits, labels) * labels.shape[0]
+            per_ex = loss_fn(logits, labels, reduction="none")
+            out["loss_sum"] = jnp.sum(jnp.where(mask, per_ex, 0.0))
         return out
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        return jax.jit(step, in_shardings=(repl, data, data),
+        return jax.jit(step, in_shardings=(repl, data, data, repl),
                        out_shardings=repl)
     return jax.jit(step)
 
 
-def _confusion(labels: jax.Array, preds: jax.Array, n: int) -> jax.Array:
-    """n x n confusion-count matrix, rows = true class."""
+def _confusion(labels: jax.Array, preds: jax.Array, n: int,
+               mask: jax.Array) -> jax.Array:
+    """n x n confusion-count matrix, rows = true class; masked rows drop."""
     idx = labels * n + preds
-    return jnp.bincount(idx, length=n * n).reshape(n, n)
+    return jnp.bincount(idx, weights=mask.astype(jnp.int32),
+                        length=n * n).reshape(n, n)
 
 
 class Trainer:

@@ -1,0 +1,128 @@
+"""End-to-end CLI tests: train -> weights -> predict / evaluate / engine.
+
+The synthetic dataset makes class separable by color so 2 epochs of
+training must beat chance — an actual learning smoke test, not just a
+plumbing check."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def aider_dir(tmp_path_factory):
+    """AIDER-style dir: 40 images, 5 classes, each class a distinct hue."""
+    root = tmp_path_factory.mktemp("aider_cli")
+    rng = np.random.default_rng(0)
+    colors = [(200, 30, 30), (30, 200, 30), (30, 30, 200),
+              (200, 200, 30), (30, 200, 200)]
+    rows = []
+    for i in range(40):
+        label = i % 5
+        base = np.array(colors[label], np.uint8)
+        arr = np.clip(base[None, None] +
+                      rng.normal(0, 25, (160, 160, 3)), 0, 255).astype(np.uint8)
+        rel = f"img_{i}.jpg"
+        Image.fromarray(arr).save(root / rel)
+        rows.append((rel, label))
+    for name, subset in [("train.csv", rows[:30]), ("val.csv", rows[30:35]),
+                         ("test.csv", rows[35:])]:
+        with open(root / name, "w", newline="") as f:
+            csv.writer(f).writerows(subset)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(aider_dir, tmp_path_factory):
+    from rtdm_tpu.cli.aider_train import train_model
+    from rtdm_tpu.core.config import TrainingConfig
+
+    out = tmp_path_factory.mktemp("run")
+    config = TrainingConfig(
+        model="squeeze-ernet", batch_size=5, epochs=3, lr=3e-3,
+        grad_accum_steps=1, precision="fp32", augment=False,
+        early_stopping=False, num_workers=2,
+        root_dir=str(aider_dir),
+        train_split=str(aider_dir / "train.csv"),
+        val_split=str(aider_dir / "val.csv"),
+        test_split=str(aider_dir / "test.csv"),
+        checkpoint_dir=str(out / "saves"), log_dir=str(out / "logs"))
+    state, history = train_model(config)
+    return config, state, history, out
+
+
+def test_training_learns(trained):
+    config, state, history, out = trained
+    assert len(history["train_loss"]) == 3
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    # color-separable classes: accuracy must beat 1/5 chance comfortably
+    assert history["val_acc"][-1] >= 0.4
+    assert os.path.exists(config.weights)
+    assert os.path.isdir(os.path.join(config.checkpoint_dir, "last"))
+
+
+def test_resume_continues(trained, aider_dir):
+    from rtdm_tpu.cli.aider_train import train_model
+    import dataclasses
+    config = dataclasses.replace(trained[0], resume=True, epochs=4)
+    # replace() reruns __post_init__ which doubles batch; undo
+    config.batch_size = 5
+    config.image_size = 140
+    state, history = train_model(config)
+    assert len(history["train_loss"]) == 4  # 3 restored + 1 new
+
+
+def test_predict_cli(trained, aider_dir, capsys):
+    from rtdm_tpu.cli.aider_predict import main
+    config = trained[0]
+    idx = main(["--image", str(aider_dir / "img_35.jpg"),
+                "--model", "squeeze-ernet", "--weights", config.weights])
+    out = capsys.readouterr().out
+    assert "prediction:" in out and "confidence:" in out
+    assert 0 <= idx <= 4
+
+
+def test_evaluate_cli(trained, aider_dir, capsys):
+    from rtdm_tpu.cli.evaluate_classification import main
+    config = trained[0]
+    metrics = main(["--model", "squeeze-ernet", "--weights", config.weights,
+                    "--root-dir", str(aider_dir),
+                    "--test-split", str(aider_dir / "test.csv"),
+                    "--batch-size", "5", "--precision", "fp32"])
+    out = capsys.readouterr().out
+    assert "accuracy" in out and "frames/s" in out
+    assert metrics.total == 5
+
+
+def test_build_engine_cli_and_predict_with_engine(trained, aider_dir,
+                                                  tmp_path, capsys):
+    from rtdm_tpu.cli.build_engine import main as build_main
+    from rtdm_tpu.cli.aider_predict import main as predict_main
+    config = trained[0]
+    eng_dir = str(tmp_path / "engine")
+    build_main(["--model", "squeeze-ernet", "--weights", config.weights,
+                "--quant", "fp32", "--batch-size", "4",
+                "--output", eng_dir])
+    assert os.path.exists(os.path.join(eng_dir, "spec.json"))
+    capsys.readouterr()
+    idx = predict_main(["--image", str(aider_dir / "img_36.jpg"),
+                        "--model", "squeeze-ernet", "--engine", eng_dir])
+    out = capsys.readouterr().out
+    assert "prediction:" in out
+
+
+def test_int8_engine_cli(trained, aider_dir, tmp_path):
+    from rtdm_tpu.cli.build_engine import main as build_main
+    from rtdm_tpu.export.engine import Engine
+    config = trained[0]
+    eng_dir = str(tmp_path / "engine8")
+    build_main(["--model", "squeeze-ernet", "--weights", config.weights,
+                "--quant", "int8", "--batch-size", "4",
+                "--calib-dir", str(aider_dir), "--output", eng_dir])
+    eng = Engine.load(eng_dir)
+    assert eng.act_scales is not None
+    out = eng(np.zeros((2, 140, 140, 3), np.uint8))
+    assert out.shape == (2, 5)

@@ -1,0 +1,117 @@
+"""AIDER data pipeline tests: transform parity vs torchvision, batch
+shapes, padding, corrupt-image fallback."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rtdm_tpu.data.aider import AiderDataset, BatchLoader, normalize_batch
+
+
+@pytest.fixture(scope="module")
+def synthetic_aider(tmp_path_factory):
+    """A tiny on-disk AIDER-style dataset: 12 images, 5 classes."""
+    root = tmp_path_factory.mktemp("aider")
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(12):
+        label = i % 5
+        sub = root / f"class_{label}"
+        sub.mkdir(exist_ok=True)
+        h, w = rng.integers(160, 320, 2)
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        rel = f"class_{label}/img_{i}.jpg"
+        Image.fromarray(arr).save(root / rel)
+        rows.append((rel, label))
+    csv_path = root / "split.csv"
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return str(csv_path), str(root)
+
+
+def test_eval_transform_matches_torchvision_semantics(synthetic_aider):
+    """Independent PIL implementation of torchvision Resize(short)+CenterCrop
+    (what the reference's val transform does, aider.py:413-419)."""
+    csv_path, root = synthetic_aider
+    size = 140
+    target = int(size * 1.14)  # 159
+    ds = AiderDataset(csv_path, root, size)
+    for idx in range(4):
+        got, _ = ds.load(idx)
+        path, _ = ds.samples[idx]
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        if w <= h:  # torchvision Resize(int): short side -> target
+            nw, nh = target, int(round(h * target / w))
+        else:
+            nw, nh = int(round(w * target / h)), target
+        img = img.resize((nw, nh), Image.BILINEAR)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        want = np.asarray(img.crop((left, top, left + size, top + size)),
+                          np.uint8)
+        assert got.shape == want.shape == (size, size, 3)
+        # identical resize kernel (PIL bilinear) -> byte-identical output
+        np.testing.assert_array_equal(got, want)
+
+
+def test_batch_loader_shapes_and_padding(synthetic_aider):
+    csv_path, root = synthetic_aider
+    ds = AiderDataset(csv_path, root, 140)
+    loader = BatchLoader(ds, batch_size=8, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    (img0, lbl0, v0), (img1, lbl1, v1) = batches
+    assert img0.shape == img1.shape == (8, 140, 140, 3)
+    assert img0.dtype == np.uint8
+    assert (v0, v1) == (8, 4)
+    assert np.all(img1[4:] == 0)  # padded rows are zeros
+
+
+def test_drop_last_and_shuffle(synthetic_aider):
+    csv_path, root = synthetic_aider
+    ds = AiderDataset(csv_path, root, 140)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                         seed=1)
+    assert len(loader) == 1
+    epoch1 = [lbl for _, lbl, _ in loader][0]
+    epoch2 = [lbl for _, lbl, _ in loader][0]
+    assert not np.array_equal(epoch1, epoch2)  # reshuffled across epochs
+
+
+def test_train_transform_shape_and_determinism(synthetic_aider):
+    csv_path, root = synthetic_aider
+    ds = AiderDataset(csv_path, root, 140, train=True)
+    img, lbl = ds.load(0, np.random.default_rng(7))
+    img2, _ = ds.load(0, np.random.default_rng(7))
+    assert img.shape == (140, 140, 3)
+    np.testing.assert_array_equal(img, img2)  # same rng -> same aug
+
+
+def test_corrupt_image_fallback(synthetic_aider, tmp_path):
+    csv_path, root = synthetic_aider
+    bad_csv = tmp_path / "bad.csv"
+    with open(bad_csv, "w", newline="") as f:
+        csv.writer(f).writerows([("missing/nope.jpg", 1)])
+    ds = AiderDataset(bad_csv, root, 140)
+    img, lbl = ds.load(0)
+    assert img.shape == (140, 140, 3) and np.all(img == 0) and lbl == 1
+    assert ds.load_errors == 1
+
+
+def test_class_weights(synthetic_aider):
+    csv_path, root = synthetic_aider
+    ds = AiderDataset(csv_path, root, 140)
+    w = ds.class_weights()
+    assert w.shape == (5,)
+    assert np.all(w > 0)
+
+
+def test_normalize_batch():
+    u8 = np.full((2, 4, 4, 3), 255, np.uint8)
+    out = np.asarray(normalize_batch(u8))
+    want = (1.0 - np.array([0.485, 0.456, 0.406])) / \
+        np.array([0.229, 0.224, 0.225])
+    np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)

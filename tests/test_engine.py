@@ -1,0 +1,93 @@
+"""Engine build / save / load / quantization tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtdm_tpu.export.engine import Engine, EngineSpec, build_engine
+from rtdm_tpu.models import create_model
+
+
+@pytest.fixture(scope="module")
+def variables():
+    model = create_model("squeeze-ernet")
+    v = model.init(jax.random.key(0), jnp.zeros((1, 140, 140, 3)))
+    return jax.device_get(v)
+
+
+@pytest.fixture(scope="module")
+def frames(rng):
+    return rng.integers(0, 255, (16, 140, 140, 3)).astype(np.uint8)
+
+
+def test_build_and_run_fp32(variables, frames):
+    eng = build_engine("squeeze-ernet", variables, quant="fp32",
+                       batch_size=16)
+    out = eng(frames)
+    assert out.shape == (16, 5)
+    np.testing.assert_allclose(out.sum(1), np.ones(16), rtol=1e-5)
+
+
+def test_batch_padding_and_overflow(variables, frames):
+    eng = build_engine("squeeze-ernet", variables, quant="fp32",
+                       batch_size=16)
+    small = eng(frames[:3])
+    assert small.shape == (3, 5)
+    np.testing.assert_allclose(small, eng(frames)[:3], rtol=1e-5)
+    with pytest.raises(ValueError, match="exceeds engine max batch"):
+        eng(np.zeros((17, 140, 140, 3), np.uint8))
+
+
+def test_bf16_close_to_fp32(variables, frames):
+    e32 = build_engine("squeeze-ernet", variables, "fp32", 16)
+    e16 = build_engine("squeeze-ernet", variables, "bf16", 16)
+    a, b = e32(frames), e16(frames)
+    assert np.mean(np.argmax(a, 1) == np.argmax(b, 1)) >= 0.9
+
+
+def test_save_load_roundtrip(variables, frames, tmp_path):
+    eng = build_engine("squeeze-ernet", variables, "fp32", 16)
+    eng.save(str(tmp_path / "eng"))
+    loaded = Engine.load(str(tmp_path / "eng"))
+    np.testing.assert_allclose(loaded(frames), eng(frames), rtol=1e-5)
+    assert loaded.spec.quant == "fp32"
+
+
+def test_int8_engine(variables, frames):
+    eng8 = build_engine("squeeze-ernet", variables, "int8", 16,
+                        calib_images=frames)
+    e32 = build_engine("squeeze-ernet", variables, "fp32", 16)
+    out8, out32 = eng8(frames), e32(frames)
+    assert out8.shape == (16, 5)
+    assert np.all(np.isfinite(out8))
+    # int8 QDQ should track fp32 closely on the same distribution
+    assert np.mean(np.argmax(out8, 1) == np.argmax(out32, 1)) >= 0.8
+
+
+def test_int8_requires_calibration(variables):
+    with pytest.raises(ValueError, match="calib_images"):
+        build_engine("squeeze-ernet", variables, "int8", 8)
+
+
+def test_calibration_scales_shapes(variables, frames):
+    from rtdm_tpu.quant.calibrate import calibrate_classifier
+    model = create_model("squeeze-ernet")
+    scales = calibrate_classifier(model, variables, frames[:8])
+    # every Conv/DepthwiseConv/Dense input observed: conv1 + 4 ACFFs x
+    # (3 dw + 1 fuse) + head conv2 + fc = 19
+    assert len(scales) == 19
+    assert all(float(s) > 0 for s in scales.values())
+
+
+def test_entropy_calibration():
+    from rtdm_tpu.quant.calibrate import compute_scale
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, 100_000).astype(np.float32)
+    x[:10] = 50.0  # outliers
+    s_pct = compute_scale(x, "percentile")
+    s_ent = compute_scale(x, "entropy")
+    # both should clip the outliers: threshold well below 50
+    assert s_pct * 127 < 10
+    assert s_ent * 127 < 10
