@@ -27,6 +27,9 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "model" in obj and not hasattr(obj, "detach"):
+        # yolov3-fork / yolov5 trainer checkpoints: {'model': state_dict|module}
+        obj = obj["model"]
     if hasattr(obj, "state_dict"):  # a pickled full module
         obj = obj.state_dict()
     if not isinstance(obj, Mapping):

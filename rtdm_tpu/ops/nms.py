@@ -1,0 +1,132 @@
+"""Batched on-device NMS with fixed shapes.
+
+TPU-native replacement for two reference implementations:
+- torchvision batched NMS with the class-offset trick
+  (yolov3/utils/utils.py:546-557, the 'vision_batch' default): boxes of
+  different classes are shifted by class_id*max_wh so one class-agnostic
+  pass does per-class NMS.
+- the host-side per-class greedy numpy NMS in the TRT runtime
+  (tensorrt_inference/utils/yolo_with_plugins.py:59-97).
+
+Exact greedy semantics (same as both): process candidates in score order;
+a candidate survives iff it does not overlap (IoU > threshold) any
+*already-kept* candidate. Implemented as a fori_loop over the top-K sorted
+candidates updating a keep mask — K vector ops of width K, fully shaped,
+fuses with decode into one XLA program. Variable-length results use the
+standard TPU fixed-size + valid-count convention.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def xywh_to_xyxy(b: jax.Array) -> jax.Array:
+    xy, wh = b[..., :2], b[..., 2:4]
+    return jnp.concatenate([xy - wh / 2.0, xy + wh / 2.0], axis=-1)
+
+
+def box_iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """IoU of (N,4) x (M,4) xyxy boxes -> (N,M)."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter,
+                               1e-9)
+
+
+def _greedy_keep(iou: jax.Array, valid: jax.Array,
+                 iou_thres: float) -> jax.Array:
+    """Greedy suppression over score-sorted candidates.
+
+    iou: (K,K) IoU matrix of sorted candidates; valid: (K,) bool.
+    Returns keep mask (K,).
+    """
+    k = iou.shape[0]
+    suppress = iou > iou_thres
+
+    def body(i, keep):
+        # candidate i survives iff valid and not suppressed by a kept j<i
+        col = suppress[:, i] & keep & (jnp.arange(k) < i)
+        keep_i = valid[i] & ~jnp.any(col)
+        return keep.at[i].set(keep_i)
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+
+
+@partial(jax.jit, static_argnames=("max_det", "top_k", "class_agnostic"))
+def batched_nms(pred: jax.Array,
+                conf_thres: float = 0.001,
+                iou_thres: float = 0.6,
+                max_det: int = 300,
+                top_k: int = 512,
+                multi_label: bool = False,
+                class_agnostic: bool = False,
+                max_wh: float = 4096.0
+                ) -> Tuple[jax.Array, jax.Array]:
+    """NMS over decoded predictions.
+
+    pred: (B, N, 5+nc) — cx,cy,w,h,obj,cls_probs (all sigmoided).
+    Returns (det, count): det (B, max_det, 6) = x1,y1,x2,y2,conf,cls
+    (zero-padded), count (B,) valid rows. Scores are obj*cls (utils.py:510).
+    """
+    def single(p):
+        boxes = xywh_to_xyxy(p[:, :4])
+        obj = p[:, 4]
+        cls_probs = p[:, 5:] * obj[:, None]
+        # best-class-only mode (the reference's default path when
+        # multi_label is off, utils.py:527-533)
+        best_cls = jnp.argmax(cls_probs, axis=-1)
+        score = jnp.max(cls_probs, axis=-1)
+        ok = score > conf_thres
+        score = jnp.where(ok, score, 0.0)
+
+        k = min(top_k, score.shape[0])
+        top_scores, idx = jax.lax.top_k(score, k)
+        top_boxes = boxes[idx]
+        top_cls = best_cls[idx]
+        valid = top_scores > conf_thres
+
+        if class_agnostic:
+            nms_boxes = top_boxes
+        else:
+            offset = top_cls.astype(jnp.float32)[:, None] * max_wh
+            nms_boxes = top_boxes + offset  # class-offset trick
+        iou = box_iou_matrix(nms_boxes, nms_boxes)
+        keep = _greedy_keep(iou, valid, iou_thres)
+
+        kept_scores = jnp.where(keep, top_scores, -1.0)
+        order = jnp.argsort(-kept_scores)[:max_det]
+        sel = keep[order]
+        det = jnp.concatenate(
+            [top_boxes[order], top_scores[order][:, None],
+             top_cls[order].astype(jnp.float32)[:, None]], axis=-1)
+        det = jnp.where(sel[:, None], det, 0.0)
+        return det, jnp.sum(sel.astype(jnp.int32))
+
+    return jax.vmap(single)(pred)
+
+
+def scale_coords(det: jax.Array, model_hw: Tuple[int, int],
+                 orig_hw: Tuple[int, int],
+                 letterboxed: bool = True) -> jax.Array:
+    """Map x1,y1,x2,y2 from model-input space back to the original frame
+    (yolov3/utils/utils.py scale_coords semantics)."""
+    mh, mw = model_hw
+    oh, ow = orig_hw
+    if letterboxed:
+        gain = min(mh / oh, mw / ow)
+        pad_w, pad_h = (mw - ow * gain) / 2.0, (mh - oh * gain) / 2.0
+        boxes = det[..., :4]
+        boxes = (boxes - jnp.array([pad_w, pad_h, pad_w, pad_h])) / gain
+    else:
+        boxes = det[..., :4] * jnp.array([ow / mw, oh / mh, ow / mw, oh / mh])
+    boxes = jnp.clip(boxes, 0.0, jnp.array([ow, oh, ow, oh], jnp.float32))
+    return jnp.concatenate([boxes, det[..., 4:]], axis=-1)

@@ -1,0 +1,194 @@
+"""Darknet cfg graph tests: parsing, shapes on the real reference cfgs,
+weight-binary round trip, and forward parity vs a torch-functional oracle
+on the tiny cfg."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtdm_tpu.models.darknet import (
+    Darknet,
+    create_darknet,
+    init_darknet,
+    load_darknet_weights,
+    parse_darknet_cfg,
+    save_darknet_weights,
+)
+from tests.conftest import REFERENCE_ROOT, needs_reference
+
+CFG_DIR = REFERENCE_ROOT / "code/victim_localization/yolov3/cfg"
+
+
+def test_parse_cfg_values():
+    text = """
+[net]
+width=416
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+pad=1
+activation=leaky
+[yolo]
+mask = 0,1
+anchors = 10,14,  23,27,  37,58
+classes=2
+"""
+    blocks = parse_darknet_cfg(text)
+    assert blocks[0] == {"type": "net", "width": 416}
+    assert blocks[1]["filters"] == 16 and blocks[1]["batch_normalize"] == 1
+    assert blocks[2]["mask"] == (0, 1)
+    assert blocks[2]["anchors"] == ((10.0, 14.0), (23.0, 27.0), (37.0, 58.0))
+
+
+@needs_reference
+@pytest.mark.parametrize("cfg,heads,img", [
+    ("yolov3-tiny-aider-416.cfg", 2, 416),
+    ("yolov4-tiny-aider-416.cfg", 3, 416),
+    ("yolov3-acffx.cfg", 3, 416),
+])
+def test_reference_cfgs_build_and_run(cfg, heads, img):
+    model = create_darknet(str(CFG_DIR / cfg))
+    variables = init_darknet(model, img)
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
+    raw = model.apply(variables, x)
+    bound = model.bind(variables)
+    assert len(raw) == len(bound.heads) == heads
+    for p, h in zip(raw, bound.heads):
+        assert p.shape[-1] == h.na * h.no
+        if "acff" not in cfg:
+            assert img % p.shape[1] == 0  # grid divides input
+        else:
+            # ACFF blocks shrink H,W by 2 each (valid-padding dilated convs),
+            # so acffx grids are not exact divisors — just sane.
+            assert 0 < p.shape[1] < img
+
+
+@needs_reference
+def test_weights_binary_roundtrip(tmp_path):
+    model = create_darknet(str(CFG_DIR / "yolov4-tiny-aider-416.cfg"))
+    variables = init_darknet(model, 416, seed=3)
+    path = str(tmp_path / "w.weights")
+    save_darknet_weights(variables, model.cfg_text, path)
+    # perturb, then restore from the binary
+    blank = init_darknet(model, 416, seed=99)
+    restored = load_darknet_weights(blank, model.cfg_text, path)
+    def by_key(pairs):
+        return sorted(((str(k), v) for k, v in pairs), key=lambda kv: kv[0])
+
+    for (ka, a), (kb, b) in zip(
+            by_key(jax.tree_util.tree_leaves_with_path(variables["params"])),
+            by_key(jax.tree_util.tree_leaves_with_path(restored["params"]))):
+        assert ka == kb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   err_msg=ka)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["batch_stats"]),
+                    jax.tree_util.tree_leaves(restored["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@needs_reference
+def test_tiny_forward_parity_vs_torch(rng):
+    """Execute yolov3-tiny's graph with torch.nn.functional as the oracle."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg_path = str(CFG_DIR / "yolov3-tiny-aider-416.cfg")
+    model = create_darknet(cfg_path)
+    img = 224  # smaller for speed; strides still divide
+    variables = init_darknet(model, img, seed=1)
+    x = rng.normal(size=(1, img, img, 3)).astype(np.float32) * 0.5
+    raw = model.apply(variables, jnp.asarray(x))
+
+    # --- torch oracle: walk the same defs with F.* ops ---
+    defs = parse_darknet_cfg(cfg_path)[1:]
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    outputs, yolo = [], []
+    for i, d in enumerate(defs):
+        ty = d["type"]
+        if ty == "convolutional":
+            k = int(d.get("size", 1))
+            w = torch.from_numpy(np.transpose(
+                np.asarray(params[f"l{i}_conv"]["kernel"]), (3, 2, 0, 1)).copy())
+            bias = None
+            if not d.get("batch_normalize", 0):
+                bias = torch.from_numpy(np.asarray(params[f"l{i}_conv"]["bias"]))
+            t = F.conv2d(t, w, bias, stride=int(d.get("stride", 1)),
+                         padding=(k - 1) // 2 if d.get("pad", 0) else 0)
+            if d.get("batch_normalize", 0):
+                bn, st = params[f"l{i}_bn"], stats[f"l{i}_bn"]
+                t = F.batch_norm(
+                    t, torch.from_numpy(np.asarray(st["mean"])),
+                    torch.from_numpy(np.asarray(st["var"])),
+                    torch.from_numpy(np.asarray(bn["scale"])),
+                    torch.from_numpy(np.asarray(bn["bias"])),
+                    training=False, eps=1e-4)
+            if d.get("activation") == "leaky":
+                t = F.leaky_relu(t, 0.1)
+        elif ty == "maxpool":
+            k, s = int(d["size"]), int(d["stride"])
+            if k == 2 and s == 1:
+                t = F.max_pool2d(F.pad(t, (0, 1, 0, 1), value=-1e38), 2, 1)
+            else:
+                t = F.max_pool2d(t, k, s, padding=(k - 1) // 2)
+        elif ty == "upsample":
+            t = F.interpolate(t, scale_factor=int(d["stride"]),
+                              mode="nearest")
+        elif ty == "route":
+            srcs = [outputs[li if li >= 0 else i + li] for li in d["layers"]]
+            t = torch.cat(srcs, 1) if len(srcs) > 1 else srcs[0]
+        elif ty == "yolo":
+            yolo.append(t)
+        outputs.append(t)
+
+    assert len(yolo) == len(raw)
+    for got, want in zip(raw, yolo):
+        want_nhwc = np.transpose(want.numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(got), want_nhwc,
+                                   rtol=2e-4, atol=2e-4)
+
+
+@needs_reference
+def test_torch_checkpoint_import_smoke(tmp_path):
+    """Round-trip a synthetic fork-style checkpoint through the importer."""
+    import torch
+
+    from rtdm_tpu.models.darknet import load_darknet_torch_checkpoint
+
+    cfg_path = str(CFG_DIR / "yolov3-tiny-aider-416.cfg")
+    model = create_darknet(cfg_path)
+    variables = init_darknet(model, 416, seed=5)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    sd = {}
+    defs = parse_darknet_cfg(model.cfg_text)[1:]
+    for i, d in enumerate(defs):
+        if d["type"] != "convolutional":
+            continue
+        k = np.transpose(np.asarray(params[f"l{i}_conv"]["kernel"]),
+                         (3, 2, 0, 1)).copy()
+        sd[f"module_list.{i}.Conv2d.weight"] = torch.from_numpy(k)
+        if d.get("batch_normalize", 0):
+            sd[f"module_list.{i}.BatchNorm2d.weight"] = torch.from_numpy(
+                np.asarray(params[f"l{i}_bn"]["scale"]).copy())
+            sd[f"module_list.{i}.BatchNorm2d.bias"] = torch.from_numpy(
+                np.asarray(params[f"l{i}_bn"]["bias"]).copy())
+            sd[f"module_list.{i}.BatchNorm2d.running_mean"] = torch.from_numpy(
+                np.asarray(stats[f"l{i}_bn"]["mean"]).copy())
+            sd[f"module_list.{i}.BatchNorm2d.running_var"] = torch.from_numpy(
+                np.asarray(stats[f"l{i}_bn"]["var"]).copy())
+        else:
+            sd[f"module_list.{i}.Conv2d.bias"] = torch.from_numpy(
+                np.asarray(params[f"l{i}_conv"]["bias"]).copy())
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({"model": sd}, path)
+
+    blank = init_darknet(model, 416, seed=77)
+    restored = load_darknet_torch_checkpoint(blank, model.cfg_text, path)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
