@@ -1,0 +1,139 @@
+"""YOLO folder/image inference CLI.
+
+Parity with yolov3/detect.py:9-155 and tensorrt_inference/trt_yolo.py's
+--detect-images mode (:54-127): letterbox -> one fused device program
+(forward+decode+NMS) -> un-letterbox coords -> annotated images + per-image
+detection txts in mAP-tool format (`cls conf x1 y1 x2 y2`).
+
+Run: python -m rtdm_tpu.cli.yolo_detect --cfg .../yolov4-tiny-aider-416.cfg
+         --weights model.weights --source <dir-or-image> --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+COLORS = [(255, 64, 64), (64, 160, 255), (64, 224, 64), (255, 192, 32),
+          (192, 64, 255), (32, 224, 224)]
+
+
+def list_images(source: str):
+    if os.path.isdir(source):
+        return sorted(p for p in glob.glob(os.path.join(source, "*"))
+                      if p.lower().endswith(IMG_EXTS))
+    return [source]
+
+
+def load_weights_for_cfg(cfg_path: str, weights: str, img_size: int):
+    import jax
+
+    from rtdm_tpu.models.darknet import (create_darknet, init_darknet,
+                                         load_darknet_torch_checkpoint,
+                                         load_darknet_weights)
+    model = create_darknet(cfg_path)
+    variables = init_darknet(model, img_size)
+    if weights:
+        if weights.endswith(".weights"):
+            variables = load_darknet_weights(variables, model.cfg_text,
+                                             weights)
+        elif weights.endswith((".pt", ".pth")):
+            variables = load_darknet_torch_checkpoint(variables,
+                                                      model.cfg_text, weights)
+        elif weights.endswith(".npz"):
+            from rtdm_tpu.models.io import load_variables
+            variables = load_variables(weights)
+        else:
+            raise ValueError(f"unknown weights format: {weights}")
+    return model, variables
+
+
+def draw_detections(img, dets, names):
+    """Annotate HWC uint8 with boxes (PIL, no cv2 dependency)."""
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(img)
+    d = ImageDraw.Draw(im)
+    for x1, y1, x2, y2, conf, cls in dets:
+        color = COLORS[int(cls) % len(COLORS)]
+        d.rectangle([x1, y1, x2, y2], outline=color, width=2)
+        label = f"{names[int(cls)] if int(cls) < len(names) else int(cls)} " \
+                f"{conf:.2f}"
+        d.text((x1 + 2, max(y1 - 12, 0)), label, fill=color)
+    import numpy as np
+    return np.asarray(im)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="YOLO detection on TPU")
+    p.add_argument("--cfg", required=True, help="darknet .cfg path")
+    p.add_argument("--weights", help=".weights | torch .pt | .npz")
+    p.add_argument("--source", required=True, help="image file or directory")
+    p.add_argument("--output", default="runs/detect")
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--names", help=".names file")
+    p.add_argument("--quant", default="bf16",
+                   choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--save-txt", action="store_true",
+                   help="write mAP-format detection txts")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from rtdm_tpu.data.odder import letterbox_image, load_names
+    from rtdm_tpu.export.detector import Detector, DetectorSpec
+    from rtdm_tpu.ops.nms import scale_coords
+
+    names = load_names(args.names) if args.names else ["person", "vehicle"]
+    model, variables = load_weights_for_cfg(args.cfg, args.weights,
+                                            args.img_size)
+    spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
+                        img_size=args.img_size, conf_thres=args.conf_thres,
+                        iou_thres=args.iou_thres, quant=args.quant)
+    detector = Detector(model, variables, spec)
+
+    os.makedirs(args.output, exist_ok=True)
+    from PIL import Image
+    import jax.numpy as jnp
+
+    times = []
+    results = []
+    for path in list_images(args.source):
+        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        boxed, _, _ = letterbox_image(img, args.img_size)
+        t0 = time.perf_counter()
+        det, count = detector(boxed[None])
+        times.append(time.perf_counter() - t0)
+        n = int(count[0])
+        det = np.asarray(scale_coords(
+            jnp.asarray(det), (args.img_size, args.img_size),
+            tuple(img.shape[:2])))[0][:n]
+        results.append((path, det))
+
+        stem = os.path.splitext(os.path.basename(path))[0]
+        annotated = draw_detections(img, det, names)
+        Image.fromarray(annotated).save(
+            os.path.join(args.output, f"{stem}.jpg"))
+        if args.save_txt:
+            with open(os.path.join(args.output, f"{stem}.txt"), "w") as f:
+                for x1, y1, x2, y2, conf, cls in det:
+                    cname = (names[int(cls)] if int(cls) < len(names)
+                             else str(int(cls)))
+                    f.write(f"{cname} {conf:.4f} {x1:.1f} {y1:.1f} "
+                            f"{x2:.1f} {y2:.1f}\n")
+        print(f"{path}: {n} detections "
+              f"({times[-1] * 1e3:.1f} ms)")
+    if len(times) > 1:
+        steady = np.mean(times[1:])
+        print(f"avg {steady * 1e3:.1f} ms/frame ({1 / steady:.1f} FPS)")
+    return results
+
+
+if __name__ == "__main__":
+    main()

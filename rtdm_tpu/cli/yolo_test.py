@@ -1,0 +1,119 @@
+"""YOLO mAP evaluation CLI.
+
+Parity with yolov3/test.py:11-197: run the valid split from a .data file,
+report P / R / mAP@0.5 / F1 (+ optional mAP@0.5:0.95) per class and overall
+with inference+NMS timing. `--task benchmark` sweeps image sizes and IoU
+thresholds like test.py:224-231.
+
+Run: python -m rtdm_tpu.cli.yolo_test --cfg ... --data .../aider-min.data \
+         --weights model.weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
+             batch_size: int = 8, conf_thres: float = 0.001,
+             iou_thres: float = 0.6, map_iou: float = 0.5,
+             quant: str = "bf16", num_workers: int = 8,
+             full_map_range: bool = False):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
+    from rtdm_tpu.data.odder import (DetectionBatchLoader, DetectionDataset,
+                                     load_names, parse_data_cfg)
+    from rtdm_tpu.eval.map import DetectionEvaluator
+    from rtdm_tpu.export.detector import Detector, DetectorSpec
+    from rtdm_tpu.ops.nms import xywh_to_xyxy
+
+    dcfg = parse_data_cfg(data)
+    base = os.path.dirname(os.path.dirname(os.path.abspath(data)))
+    names_path = dcfg.get("names", "")
+    names = (load_names(os.path.join(base, names_path))
+             if names_path and not os.path.isabs(names_path)
+             else (load_names(names_path) if names_path else []))
+    nc = int(dcfg.get("classes", len(names) or 2))
+    list_file = dcfg["valid"]
+    if not os.path.isabs(list_file):
+        list_file = os.path.join(base, list_file)
+
+    ds = DetectionDataset(list_file, img_size, base_dir=base)
+    loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
+    model, variables = load_weights_for_cfg(cfg, weights, img_size)
+    spec = DetectorSpec(cfg_name=os.path.basename(cfg), img_size=img_size,
+                        conf_thres=conf_thres, iou_thres=iou_thres,
+                        quant=quant)
+    detector = Detector(model, variables, spec, batch_size=batch_size)
+
+    iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
+            else np.array([map_iou]))
+    ev = DetectionEvaluator(nc, iouv)
+    t_infer = 0.0
+    n_images = 0
+    for batch, valid in loader:
+        t0 = time.perf_counter()
+        det, count = detector(batch["image"][:batch_size])
+        t_infer += time.perf_counter() - t0
+        for i in range(valid):
+            n = int(count[i])
+            d = det[i][:n]
+            nl = int(batch["num_labels"][i])
+            lab = batch["labels"][i][:nl]
+            gt_boxes = np.asarray(xywh_to_xyxy(jnp.asarray(lab[:, 1:5])))
+            ev.add_image(d, gt_boxes, lab[:, 0].astype(np.int32))
+            n_images += 1
+
+    res = ev.results()
+    ms = t_infer / max(n_images, 1) * 1e3
+    print(f"images {n_images}  P {res['mp']:.3f}  R {res['mr']:.3f}  "
+          f"mAP@{map_iou:g} {res['map50']:.3f}"
+          + (f"  mAP@0.5:0.95 {res['map']:.3f}" if full_map_range else "")
+          + f"  {ms:.2f} ms/img ({1000 / max(ms, 1e-9):.1f} FPS)")
+    pc = res.get("per_class")
+    if pc is not None:
+        for c in pc["classes"]:
+            cname = names[c] if c < len(names) else str(c)
+            print(f"  {cname:>12}: P {pc['p'][c, 0]:.3f} "
+                  f"R {pc['r'][c, 0]:.3f} AP {pc['ap'][c, 0]:.3f}")
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="YOLO mAP evaluation on TPU")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--data", required=True, help="darknet .data file")
+    p.add_argument("--weights")
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--map-iou", type=float, default=0.5)
+    p.add_argument("--full-map-range", action="store_true",
+                   help="report mAP@0.5:0.95 (v5-style)")
+    p.add_argument("--quant", default="bf16",
+                   choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--task", default="test",
+                   choices=["test", "benchmark"])
+    args = p.parse_args(argv)
+
+    if args.task == "benchmark":  # test.py:224-231's size x iou sweep
+        for size in (320, 416, 512, 608):
+            for miou in (0.5, 0.7):
+                print(f"--- img {size} iou {miou} ---")
+                evaluate(args.cfg, args.data, args.weights, size,
+                         args.batch_size, args.conf_thres, args.iou_thres,
+                         miou, args.quant)
+        return None
+    return evaluate(args.cfg, args.data, args.weights, args.img_size,
+                    args.batch_size, args.conf_thres, args.iou_thres,
+                    args.map_iou, args.quant,
+                    full_map_range=args.full_map_range)
+
+
+if __name__ == "__main__":
+    main()

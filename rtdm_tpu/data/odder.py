@@ -1,0 +1,188 @@
+"""ODDER detection dataset — darknet-style lists + YOLO label txts.
+
+Re-implements the reference's detection data layer semantics
+(yolov3/utils/parse_config.py:55-71 for .data files;
+yolov3/utils/datasets.py LoadImagesAndLabels for labels/caching/validation;
+letterbox :599-630) with TPU-fixed shapes:
+
+- .data files: key=value (classes/train/valid/names), paths relative to the
+  directory that contains the 'data' dir (reference runs from yolov3/).
+- image list txts: one path per line; label path = image path with
+  /images/ -> /labels/ and suffix .txt (datasets.py convention).
+- label rows: `class cx cy w h`, all normalized to [0,1]. Validation on
+  load mirrors datasets.py:335-341: 5 columns, coords in [0,1], duplicate
+  rows dropped; counters for missing/empty/corrupt files.
+- letterbox: aspect-preserving resize + gray (114) padding to a fixed
+  square — every batch is (B, s, s, 3) uint8 so jit sees one shape
+  (the reference's rectangular training is replaced by static squares;
+  multi-scale training swaps between a few pre-compiled sizes).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+PAD_COLOR = 114
+
+
+def parse_data_cfg(path: str) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = (s.strip() for s in line.split("=", 1))
+            out[k] = v
+    return out
+
+
+def load_names(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def label_path_for(image_path: str) -> str:
+    sep = os.sep
+    p = image_path.replace(f"{sep}images{sep}", f"{sep}labels{sep}")
+    return str(Path(p).with_suffix(".txt"))
+
+
+def letterbox_image(img: np.ndarray, size: int
+                    ) -> Tuple[np.ndarray, float, Tuple[float, float]]:
+    """HWC uint8 -> (size,size,3) uint8, returns (out, gain, (pad_w, pad_h))."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    gain = min(size / h, size / w)
+    nw, nh = int(round(w * gain)), int(round(h * gain))
+    resized = np.asarray(
+        Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8)
+    out = np.full((size, size, 3), PAD_COLOR, np.uint8)
+    pad_w, pad_h = (size - nw) // 2, (size - nh) // 2
+    out[pad_h:pad_h + nh, pad_w:pad_w + nw] = resized
+    return out, gain, (float(pad_w), float(pad_h))
+
+
+class DetectionDataset:
+    """Fixed-shape detection sample producer."""
+
+    def __init__(self, list_file: str, img_size: int = 416,
+                 max_labels: int = 100, base_dir: Optional[str] = None):
+        list_file = str(list_file)
+        self.base_dir = Path(base_dir) if base_dir else Path(list_file).parents[2]
+        with open(list_file) as f:
+            rels = [ln.strip() for ln in f if ln.strip()]
+        self.image_paths = [str(p if os.path.isabs(p) else self.base_dir / p)
+                            for p in rels]
+        self.img_size = int(img_size)
+        self.max_labels = int(max_labels)
+        self.stats = {"found": 0, "missing": 0, "empty": 0, "corrupt": 0,
+                      "duplicate_rows": 0}
+        self.labels = [self._load_label(p) for p in self.image_paths]
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def _load_label(self, image_path: str) -> np.ndarray:
+        lp = label_path_for(image_path)
+        if not os.path.exists(lp):
+            self.stats["missing"] += 1
+            return np.zeros((0, 5), np.float32)
+        try:
+            rows = np.loadtxt(lp, ndmin=2, dtype=np.float32)
+        except Exception as e:
+            logger.warning("corrupt label %s: %s", lp, e)
+            self.stats["corrupt"] += 1
+            return np.zeros((0, 5), np.float32)
+        if rows.size == 0:
+            self.stats["empty"] += 1
+            return np.zeros((0, 5), np.float32)
+        assert rows.shape[1] == 5, f"{lp}: expected 5 columns"
+        assert (rows[:, 1:] <= 1.0).all() and (rows[:, 1:] >= 0.0).all(), \
+            f"{lp}: coords must be normalized to [0,1]"
+        dedup = np.unique(rows, axis=0)
+        if len(dedup) < len(rows):
+            self.stats["duplicate_rows"] += len(rows) - len(dedup)
+        self.stats["found"] += 1
+        return dedup
+
+    def load(self, idx: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        path = self.image_paths[idx]
+        try:
+            with open(path, "rb") as f:
+                img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        except Exception as e:
+            logger.warning("failed to load %s: %s", path, e)
+            img = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+        orig_h, orig_w = img.shape[:2]
+        out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
+
+        raw = self.labels[idx]
+        n = min(len(raw), self.max_labels)
+        labels = np.zeros((self.max_labels, 5), np.float32)
+        if n:
+            lab = raw[:n].copy()
+            # normalized xywh (original frame) -> letterboxed pixel xywh
+            lab[:, 1] = lab[:, 1] * orig_w * gain + pad_w
+            lab[:, 2] = lab[:, 2] * orig_h * gain + pad_h
+            lab[:, 3] = lab[:, 3] * orig_w * gain
+            lab[:, 4] = lab[:, 4] * orig_h * gain
+            labels[:n] = lab
+        return {"image": out, "labels": labels,
+                "num_labels": np.int32(n),
+                "orig_hw": np.array([orig_h, orig_w], np.int32),
+                "index": np.int32(idx)}
+
+
+class DetectionBatchLoader:
+    """Threaded fixed-shape batch iterator; eval batches zero-padded with a
+    valid count (same convention as data/aider.py)."""
+
+    def __init__(self, dataset: DetectionDataset, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = False,
+                 num_workers: int = 8, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, int(num_workers))
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return (n // self.batch_size if self.drop_last
+                else (n + self.batch_size - 1) // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        bs = self.batch_size
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for start in range(0, n, bs):
+                idxs = order[start:start + bs]
+                if len(idxs) < bs and self.drop_last:
+                    break
+                samples = list(pool.map(self.ds.load, idxs))
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                if len(idxs) < bs:  # pad to fixed shape
+                    pad = bs - len(idxs)
+                    for k, v in batch.items():
+                        batch[k] = np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                yield batch, len(idxs)

@@ -1,0 +1,128 @@
+"""Detection data + mAP pipeline tests, using the reference's bundled
+mini-dataset (10 real images + labels) as fixtures."""
+
+import numpy as np
+import pytest
+
+from rtdm_tpu.data.odder import (
+    DetectionBatchLoader,
+    DetectionDataset,
+    letterbox_image,
+    load_names,
+    parse_data_cfg,
+)
+from rtdm_tpu.eval.map import (
+    DetectionEvaluator,
+    ap_per_class,
+    box_iou_np,
+    compute_ap,
+    match_predictions,
+)
+from tests.conftest import REFERENCE_ROOT, needs_reference
+
+YOLO_DATA = REFERENCE_ROOT / "code/victim_localization/yolov3/data"
+
+
+@needs_reference
+def test_parse_data_cfg_and_names():
+    d = parse_data_cfg(str(YOLO_DATA / "aider-min.data"))
+    assert d["classes"] == "2"
+    names = load_names(str(YOLO_DATA / "aider.names"))
+    assert names == ["person", "vehicle"]
+
+
+@needs_reference
+def test_detection_dataset_real_fixtures():
+    ds = DetectionDataset(str(YOLO_DATA / "custom/test-min.txt"), 416,
+                          base_dir=str(YOLO_DATA.parent))
+    assert len(ds) == 10
+    assert ds.stats["found"] == 10
+    s = ds.load(0)
+    assert s["image"].shape == (416, 416, 3)
+    n = int(s["num_labels"])
+    assert n > 0
+    lab = s["labels"][:n]
+    assert set(np.unique(lab[:, 0])) <= {0.0, 1.0}
+    # boxes live inside the letterboxed frame
+    assert np.all(lab[:, 1] - lab[:, 3] / 2 >= -1.0)
+    assert np.all(lab[:, 1] + lab[:, 3] / 2 <= 417.0)
+
+
+@needs_reference
+def test_detection_batch_loader_padding():
+    ds = DetectionDataset(str(YOLO_DATA / "custom/test-min.txt"), 320,
+                          base_dir=str(YOLO_DATA.parent))
+    loader = DetectionBatchLoader(ds, batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    last, valid = batches[-1]
+    assert last["image"].shape == (4, 320, 320, 3)
+    assert valid == 2
+    assert np.all(last["image"][2:] == 0)
+
+
+def test_letterbox_geometry():
+    img = np.full((100, 200, 3), 50, np.uint8)
+    out, gain, (pw, ph) = letterbox_image(img, 64)
+    assert out.shape == (64, 64, 3)
+    np.testing.assert_allclose(gain, 0.32)
+    assert (pw, ph) == (0.0, 16.0)
+    assert np.all(out[:16] == 114) and np.all(out[-16:] == 114)
+    assert np.all(out[16:48] == 50)
+
+
+def test_compute_ap_perfect_and_worst():
+    # single TP out of one GT: perfect detector
+    ap = compute_ap([1.0], [1.0])
+    assert ap > 0.99
+    ap0 = compute_ap([0.0], [0.0])
+    assert ap0 < 0.02
+
+
+def test_match_predictions_greedy():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+    gt_cls = np.array([0, 0])
+    pred = np.array([
+        [0, 0, 10, 10, 0.9, 0],     # exact match gt0
+        [1, 1, 11, 11, 0.8, 0],     # overlaps gt0 but gt0 consumed -> FP
+        [20, 20, 30, 30, 0.7, 1],   # wrong class -> FP
+        [21, 21, 31, 31, 0.6, 0],   # iou ~0.68 with gt1 -> TP @0.5
+    ])
+    tp = match_predictions(pred, gt, gt_cls, np.array([0.5]))
+    np.testing.assert_array_equal(tp[:, 0], [True, False, False, True])
+
+
+def test_ap_per_class_end_to_end():
+    ev = DetectionEvaluator(2, np.array([0.5]))
+    gt = np.array([[0, 0, 10, 10]], float)
+    # image 1: perfect detection of class 0
+    ev.add_image(np.array([[0, 0, 10, 10, 0.9, 0]]), gt, np.array([0]))
+    # image 2: one miss (gt present, no det)
+    ev.add_image(np.zeros((0, 6)), gt, np.array([0]))
+    res = ev.results()
+    assert 0.45 <= res["map50"] <= 0.55  # recall caps at 0.5
+    assert res["mp"] == 1.0
+
+
+def test_box_iou_np():
+    a = np.array([[0, 0, 10, 10]], float)
+    b = np.array([[5, 5, 15, 15], [0, 0, 10, 10]], float)
+    iou = box_iou_np(a, b)
+    np.testing.assert_allclose(iou[0], [25 / 175, 1.0], rtol=1e-6)
+
+
+@needs_reference
+def test_yolo_test_cli_runs_on_mini_dataset(capsys):
+    """Full pipeline over the real mini dataset with random weights:
+    pipeline must run end-to-end and report ~0 mAP (untrained)."""
+    from rtdm_tpu.cli.yolo_test import main
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    res = main(["--cfg", cfg,
+                "--data", str(YOLO_DATA / "aider-min.data"),
+                "--img-size", "320", "--batch-size", "4",
+                "--quant", "fp32", "--conf-thres", "0.3"])
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out and "images 10" in out
+    assert res["map50"] < 0.3  # untrained weights can't be good
