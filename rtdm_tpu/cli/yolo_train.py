@@ -1,0 +1,256 @@
+"""YOLO detector training CLI.
+
+TPU-native re-design of yolov3/train.py:54-391: cfg-driven model, mosaic/
+HSV/affine/flip augmentation, nominal-batch-64 gradient accumulation
+(train.py:299-301), linear burn-in then cosine LR to lr0*10^lrf
+(train.py:143), SGD(momentum)/Adam choice, per-epoch mAP eval, fitness-
+weighted best checkpoint (train.py:343-345), results.txt append log.
+
+The whole step (forward, yolo_loss, backward, accumulate, clip, update,
+BN stats) is ONE jitted XLA program over the data-parallel mesh; eval
+(forward+decode+NMS) is a second jitted program reused across epochs.
+
+Run: python -m rtdm_tpu.cli.yolo_train --cfg .../yolov4-tiny-aider-416.cfg \
+         --data .../aider.data --epochs 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import time
+
+logger = logging.getLogger("rtdm_tpu.yolo_train")
+
+# fitness weights over [P, R, mAP@0.5, F1] — mAP-dominated, mirroring the
+# reference's fitness usage (train.py:343-345)
+FITNESS_W = (0.0, 0.01, 0.99, 0.0)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train YOLO detectors on TPU")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--weights", help="initial weights (.weights/.pt/.npz)")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", type=int, default=416)
+    p.add_argument("--lr0", type=float, default=0.001)
+    p.add_argument("--lrf", type=float, default=-4.0,
+                   help="final lr = lr0 * 10**lrf (cosine)")
+    p.add_argument("--momentum", type=float, default=0.637)
+    p.add_argument("--weight-decay", type=float, default=0.000084)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
+    p.add_argument("--burn-in", type=int, default=200,
+                   help="linear LR warm-up steps")
+    p.add_argument("--iou-t", type=float, default=0.3)
+    p.add_argument("--fl-gamma", type=float, default=1.5)
+    p.add_argument("--giou-gain", type=float, default=1.0)
+    p.add_argument("--cls-gain", type=float, default=37.4)
+    p.add_argument("--obj-gain", type=float, default=64.3)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--precision", default="fp32", choices=["bf16", "fp32"])
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--output", default="runs/train")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--nominal-batch", type=int, default=64,
+                   help="accumulate grads to this effective batch")
+    p.add_argument("--train-list-override",
+                   help="use this image-list txt for training instead of "
+                        "the .data file's train entry")
+    return p.parse_args(argv)
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
+    from rtdm_tpu.core.mesh import local_mesh
+    from rtdm_tpu.data.odder import (DetectionBatchLoader, DetectionDataset,
+                                     parse_data_cfg)
+    from rtdm_tpu.eval.map import DetectionEvaluator
+    from rtdm_tpu.models.io import save_variables
+    from rtdm_tpu.ops.nms import batched_nms, xywh_to_xyxy
+    from rtdm_tpu.ops.yolo import decode_all
+    from rtdm_tpu.train.yolo_loss import YoloHyp, yolo_loss
+
+    mesh = local_mesh()
+    n_dev = mesh.devices.size
+    bs = max(args.batch_size // n_dev, 1) * n_dev
+    accumulate = max(round(args.nominal_batch / bs), 1)  # train.py:299
+
+    dcfg = parse_data_cfg(args.data)
+    base = os.path.dirname(os.path.dirname(os.path.abspath(args.data)))
+
+    def resolve(pth):
+        return pth if os.path.isabs(pth) else os.path.join(base, pth)
+
+    train_list = args.train_list_override or resolve(dcfg["train"])
+    train_ds = DetectionDataset(train_list, args.img_size,
+                                base_dir=base, train=not args.no_augment,
+                                seed=args.seed)
+    if len(train_ds) < bs:
+        logger.warning("train set (%d) smaller than batch (%d): indices "
+                       "will cycle", len(train_ds), bs)
+    val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
+                              base_dir=base)
+    nc = int(dcfg.get("classes", 2))
+    train_loader = DetectionBatchLoader(train_ds, bs, shuffle=True,
+                                        drop_last=True,
+                                        num_workers=args.num_workers,
+                                        seed=args.seed)
+    val_loader = DetectionBatchLoader(val_ds, bs,
+                                      num_workers=args.num_workers)
+
+    model, variables = load_weights_for_cfg(args.cfg, args.weights,
+                                            args.img_size)
+    heads = model.bind(variables).heads
+    hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain, obj=args.obj_gain,
+                  iou_t=args.iou_t, fl_gamma=args.fl_gamma)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    total_steps = steps_per_epoch * args.epochs
+    cosine = optax.cosine_decay_schedule(
+        args.lr0, max(total_steps - args.burn_in, 1),
+        alpha=10.0 ** args.lrf)
+    schedule = optax.join_schedules(
+        [optax.linear_schedule(0.0, args.lr0, max(args.burn_in, 1)), cosine],
+        [max(args.burn_in, 1)])
+    if args.optimizer == "sgd":
+        tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.add_decayed_weights(args.weight_decay),
+            optax.sgd(schedule, momentum=args.momentum, nesterov=True))
+    else:
+        tx = optax.chain(optax.clip_by_global_norm(10.0),
+                         optax.adamw(schedule,
+                                     weight_decay=args.weight_decay))
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, batch_stats, images, labels, nlab, rng):
+        x = images.astype(dtype) / 255.0
+        raw, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        loss, comps = yolo_loss(raw, heads, labels, nlab, args.img_size, hyp)
+        return loss, (mutated["batch_stats"], comps)
+
+    def step(params, batch_stats, opt_state, images, labels, nlab, rng):
+        mb_i = images.reshape((accumulate, -1) + images.shape[1:])
+        mb_l = labels.reshape((accumulate, -1) + labels.shape[1:])
+        mb_n = nlab.reshape((accumulate, -1))
+
+        def body(carry, mb):
+            stats, gsum, lsum, comp_sum, k = carry
+            im, lb, nl = mb
+            (loss, (stats, comps)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats, im, lb, nl,
+                                       jax.random.fold_in(rng, k))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            comp_vec = jnp.stack([comps["box"], comps["obj"], comps["cls"]])
+            return (stats, gsum, lsum + loss, comp_sum + comp_vec,
+                    k + 1), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
+            body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros((3,)),
+                   jnp.zeros((), jnp.int32)), (mb_i, mb_l, mb_n))
+        grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, batch_stats, opt_state, loss / accumulate, \
+            comps / accumulate
+
+    train_step = jax.jit(
+        step, in_shardings=(repl, repl, repl, dsh, dsh, dsh, repl),
+        out_shardings=repl, donate_argnums=(0, 1, 2))
+
+    @jax.jit
+    def eval_step(params, batch_stats, images):
+        x = images.astype(dtype) / 255.0
+        raw = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        pred = decode_all(raw, heads, args.img_size)
+        return batched_nms(pred, 0.001, 0.6, 300, 512)
+
+    os.makedirs(args.output, exist_ok=True)
+    results_path = os.path.join(args.output, "results.txt")
+    rng = jax.random.key(args.seed)
+    best_fitness = -1.0
+    it = 0
+    history = []
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        ep_loss = np.zeros(3)
+        nb = 0
+        for batch, valid in train_loader:
+            images = jax.device_put(jnp.asarray(batch["image"]), dsh)
+            labels = jax.device_put(jnp.asarray(batch["labels"]), dsh)
+            nlab = jax.device_put(jnp.asarray(batch["num_labels"]), dsh)
+            params, batch_stats, opt_state, loss, comps = train_step(
+                params, batch_stats, opt_state, images, labels, nlab,
+                jax.random.fold_in(rng, it))
+            ep_loss += np.asarray(jax.device_get(comps))
+            nb += 1
+            it += 1
+        ep_loss /= max(nb, 1)
+
+        line = (f"epoch {epoch + 1}/{args.epochs} "
+                f"box {ep_loss[0]:.4f} obj {ep_loss[1]:.4f} "
+                f"cls {ep_loss[2]:.4f} {time.time() - t0:.1f}s")
+        res = None
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            ev = DetectionEvaluator(nc, np.array([0.5]))
+            for batch, valid in val_loader:
+                det, count = jax.device_get(eval_step(
+                    params, batch_stats, jnp.asarray(batch["image"])))
+                for i in range(valid):
+                    n = int(count[i])
+                    nl = int(batch["num_labels"][i])
+                    lab = batch["labels"][i][:nl]
+                    gt = np.asarray(xywh_to_xyxy(jnp.asarray(lab[:, 1:5])))
+                    ev.add_image(det[i][:n], gt, lab[:, 0].astype(np.int32))
+            res = ev.results()
+            f1 = (2 * res["mp"] * res["mr"]
+                  / max(res["mp"] + res["mr"], 1e-9))
+            fitness = float(np.dot(FITNESS_W,
+                                   [res["mp"], res["mr"], res["map50"], f1]))
+            line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
+                     f"mAP@0.5 {res['map50']:.3f}")
+            var_now = {"params": jax.device_get(params),
+                       "batch_stats": jax.device_get(batch_stats)}
+            save_variables(os.path.join(args.output, "last.npz"), var_now)
+            if fitness > best_fitness:
+                best_fitness = fitness
+                save_variables(os.path.join(args.output, "best.npz"),
+                               var_now)
+        logger.info(line)
+        with open(results_path, "a") as f:
+            f.write(line + "\n")
+        history.append({"loss": ep_loss.tolist(),
+                        "map50": None if res is None else res["map50"]})
+    return {"params": params, "batch_stats": batch_stats,
+            "history": history, "best_fitness": best_fitness}
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(message)s")
+    return train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,13 @@ class DetectionDataset:
     """Fixed-shape detection sample producer."""
 
     def __init__(self, list_file: str, img_size: int = 416,
-                 max_labels: int = 100, base_dir: Optional[str] = None):
+                 max_labels: int = 100, base_dir: Optional[str] = None,
+                 train: bool = False,
+                 aug_hyp: Optional[Dict[str, float]] = None,
+                 seed: int = 0):
+        self.train = train
+        self.aug_hyp = aug_hyp or {}
+        self._rng = np.random.default_rng(seed)
         list_file = str(list_file)
         self.base_dir = Path(base_dir) if base_dir else Path(list_file).parents[2]
         with open(list_file) as f:
@@ -115,7 +121,57 @@ class DetectionDataset:
         self.stats["found"] += 1
         return dedup
 
-    def load(self, idx: int) -> Dict[str, np.ndarray]:
+    def load(self, idx: int,
+             rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        if self.train:
+            return self._load_train(idx, rng or self._rng)
+        return self._load_eval(idx)
+
+    def _load_train(self, idx: int,
+                    rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """Mosaic + HSV + hflip training sample (datasets.py __getitem__
+        train path). Labels come back as cls + pixel cxcywh."""
+        from rtdm_tpu.data.yolo_augment import (DEFAULT_AUG_HYP, augment_hsv,
+                                                load_mosaic)
+
+        hyp = {**DEFAULT_AUG_HYP, **self.aug_hyp}
+        if rng.random() < hyp["mosaic"]:
+            img, lab_xyxy = load_mosaic(self, idx, rng, hyp)
+        else:
+            sample = self._load_eval(idx)
+            img = sample["image"]
+            n = int(sample["num_labels"])
+            cxcywh = sample["labels"][:n]
+            lab_xyxy = np.zeros((n, 5), np.float32)
+            lab_xyxy[:, 0] = cxcywh[:, 0]
+            lab_xyxy[:, 1] = cxcywh[:, 1] - cxcywh[:, 3] / 2
+            lab_xyxy[:, 2] = cxcywh[:, 2] - cxcywh[:, 4] / 2
+            lab_xyxy[:, 3] = cxcywh[:, 1] + cxcywh[:, 3] / 2
+            lab_xyxy[:, 4] = cxcywh[:, 2] + cxcywh[:, 4] / 2
+        img = augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng)
+        if rng.random() < hyp["fliplr"]:
+            img = img[:, ::-1].copy()
+            if len(lab_xyxy):
+                w = img.shape[1]
+                x1 = lab_xyxy[:, 1].copy()
+                lab_xyxy[:, 1] = w - lab_xyxy[:, 3]
+                lab_xyxy[:, 3] = w - x1
+
+        n = min(len(lab_xyxy), self.max_labels)
+        labels = np.zeros((self.max_labels, 5), np.float32)
+        if n:
+            sel = lab_xyxy[:n]
+            labels[:n, 0] = sel[:, 0]
+            labels[:n, 1] = (sel[:, 1] + sel[:, 3]) / 2
+            labels[:n, 2] = (sel[:, 2] + sel[:, 4]) / 2
+            labels[:n, 3] = sel[:, 3] - sel[:, 1]
+            labels[:n, 4] = sel[:, 4] - sel[:, 2]
+        return {"image": np.ascontiguousarray(img), "labels": labels,
+                "num_labels": np.int32(n),
+                "orig_hw": np.array(img.shape[:2], np.int32),
+                "index": np.int32(idx)}
+
+    def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
         path = self.image_paths[idx]
@@ -168,8 +224,14 @@ class DetectionBatchLoader:
     def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
         n = len(self.ds)
         order = np.arange(n)
+        epoch_rng = np.random.default_rng(self.seed + self.epoch)
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            epoch_rng.shuffle(order)
+        if self.drop_last and 0 < n < self.batch_size:
+            # tiny dataset: cycle indices so training still sees one full
+            # fixed-shape batch instead of silently yielding nothing
+            order = np.resize(order, self.batch_size)
+            n = self.batch_size
         self.epoch += 1
         bs = self.batch_size
         with ThreadPoolExecutor(self.num_workers) as pool:
@@ -177,7 +239,10 @@ class DetectionBatchLoader:
                 idxs = order[start:start + bs]
                 if len(idxs) < bs and self.drop_last:
                     break
-                samples = list(pool.map(self.ds.load, idxs))
+                rngs = [np.random.default_rng(epoch_rng.integers(2 ** 63))
+                        for _ in idxs]
+                samples = list(pool.map(lambda t: self.ds.load(*t),
+                                        zip(idxs, rngs)))
                 batch = {k: np.stack([s[k] for s in samples])
                          for k in samples[0]}
                 if len(idxs) < bs:  # pad to fixed shape
