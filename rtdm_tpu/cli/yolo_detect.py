@@ -29,26 +29,13 @@ def list_images(source: str):
     return [source]
 
 
-def load_weights_for_cfg(cfg_path: str, weights: str, img_size: int):
-    import jax
+def load_weights_for_cfg(cfg_path: str, weights: str, img_size: int,
+                         num_classes=None):
+    """Model+weights for a darknet .cfg or v5 .yaml (shared CLI loader)."""
+    from rtdm_tpu.export.detector import load_detection_model
 
-    from rtdm_tpu.models.darknet import (create_darknet, init_darknet,
-                                         load_darknet_torch_checkpoint,
-                                         load_darknet_weights)
-    model = create_darknet(cfg_path)
-    variables = init_darknet(model, img_size)
-    if weights:
-        if weights.endswith(".weights"):
-            variables = load_darknet_weights(variables, model.cfg_text,
-                                             weights)
-        elif weights.endswith((".pt", ".pth")):
-            variables = load_darknet_torch_checkpoint(variables,
-                                                      model.cfg_text, weights)
-        elif weights.endswith(".npz"):
-            from rtdm_tpu.models.io import load_variables
-            variables = load_variables(weights)
-        else:
-            raise ValueError(f"unknown weights format: {weights}")
+    model, variables, _ = load_detection_model(cfg_path, weights, img_size,
+                                               num_classes)
     return model, variables
 
 
@@ -70,7 +57,8 @@ def draw_detections(img, dets, names):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="YOLO detection on TPU")
-    p.add_argument("--cfg", required=True, help="darknet .cfg path")
+    p.add_argument("--cfg", required=True,
+                   help="darknet .cfg or yolov5 .yaml")
     p.add_argument("--weights", help=".weights | torch .pt | .npz")
     p.add_argument("--source", required=True, help="image file or directory")
     p.add_argument("--output", default="runs/detect")

@@ -46,7 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--burn-in", type=int, default=200,
                    help="linear LR warm-up steps")
     p.add_argument("--iou-t", type=float, default=0.3)
-    p.add_argument("--fl-gamma", type=float, default=1.5)
+    p.add_argument("--fl-gamma", type=float, default=None,
+                   help="focal gamma (default: 1.5 darknet, 0.0 v5)")
     p.add_argument("--giou-gain", type=float, default=1.0)
     p.add_argument("--cls-gain", type=float, default=37.4)
     p.add_argument("--obj-gain", type=float, default=64.3)
@@ -58,6 +59,8 @@ def parse_args(argv=None):
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--nominal-batch", type=int, default=64,
                    help="accumulate grads to this effective batch")
+    p.add_argument("--ema", action="store_true",
+                   help="keep an EMA of the weights (ModelEMA analogue)")
     p.add_argument("--train-list-override",
                    help="use this image-list txt for training instead of "
                         "the .data file's train entry")
@@ -79,7 +82,7 @@ def train(args):
     from rtdm_tpu.models.io import save_variables
     from rtdm_tpu.ops.nms import batched_nms, xywh_to_xyxy
     from rtdm_tpu.ops.yolo import decode_all
-    from rtdm_tpu.train.yolo_loss import YoloHyp, yolo_loss
+    from rtdm_tpu.train.yolo_loss import (YoloHyp, YoloHypV5, yolo_loss, yolo_loss_v5)
 
     mesh = local_mesh()
     n_dev = mesh.devices.size
@@ -109,11 +112,23 @@ def train(args):
     val_loader = DetectionBatchLoader(val_ds, bs,
                                       num_workers=args.num_workers)
 
+    is_v5 = args.cfg.endswith((".yaml", ".yml"))
     model, variables = load_weights_for_cfg(args.cfg, args.weights,
-                                            args.img_size)
-    heads = model.bind(variables).heads
-    hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain, obj=args.obj_gain,
-                  iou_t=args.iou_t, fl_gamma=args.fl_gamma)
+                                            args.img_size,
+                                            num_classes=nc if is_v5 else None)
+    from rtdm_tpu.export.detector import model_heads
+    heads = model_heads(model, variables)
+    if is_v5:
+        # ultralytics loss + hyp.scratch defaults (yolov5/data/hyp.scratch.yaml)
+        hyp = YoloHypV5(fl_gamma=args.fl_gamma if args.fl_gamma is not None
+                        else 0.0)
+        loss_impl = yolo_loss_v5
+    else:
+        hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain,
+                      obj=args.obj_gain, iou_t=args.iou_t,
+                      fl_gamma=args.fl_gamma if args.fl_gamma is not None
+                      else 1.5)
+        loss_impl = yolo_loss
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * args.epochs
@@ -145,7 +160,7 @@ def train(args):
         raw, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             mutable=["batch_stats"], rngs={"dropout": rng})
-        loss, comps = yolo_loss(raw, heads, labels, nlab, args.img_size, hyp)
+        loss, comps = loss_impl(raw, heads, labels, nlab, args.img_size, hyp)
         return loss, (mutated["batch_stats"], comps)
 
     def step(params, batch_stats, opt_state, images, labels, nlab, rng):
@@ -186,6 +201,10 @@ def train(args):
         pred = decode_all(raw, heads, args.img_size)
         return batched_nms(pred, 0.001, 0.6, 300, 512)
 
+    from rtdm_tpu.train.ema import ema_init, ema_update
+    ema_vars = (ema_init({"params": params, "batch_stats": batch_stats})
+                if args.ema else None)
+
     os.makedirs(args.output, exist_ok=True)
     results_path = os.path.join(args.output, "results.txt")
     rng = jax.random.key(args.seed)
@@ -203,6 +222,10 @@ def train(args):
             params, batch_stats, opt_state, loss, comps = train_step(
                 params, batch_stats, opt_state, images, labels, nlab,
                 jax.random.fold_in(rng, it))
+            if ema_vars is not None:
+                ema_vars = ema_update(
+                    ema_vars, {"params": params, "batch_stats": batch_stats},
+                    jnp.asarray(it))
             ep_loss += np.asarray(jax.device_get(comps))
             nb += 1
             it += 1
@@ -230,8 +253,9 @@ def train(args):
                                    [res["mp"], res["mr"], res["map50"], f1]))
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP@0.5 {res['map50']:.3f}")
-            var_now = {"params": jax.device_get(params),
-                       "batch_stats": jax.device_get(batch_stats)}
+            var_now = (jax.device_get(ema_vars) if ema_vars is not None
+                       else {"params": jax.device_get(params),
+                             "batch_stats": jax.device_get(batch_stats)})
             save_variables(os.path.join(args.output, "last.npz"), var_now)
             if fitness > best_fitness:
                 best_fitness = fitness

@@ -32,11 +32,63 @@ class DetectorSpec:
     version: str = "1"
 
 
+def model_heads(model, variables) -> Any:
+    """Head metadata for either family (darknet .heads / v5 yaml)."""
+    from rtdm_tpu.models.yolov5 import YoloV5, yolov5_heads
+
+    if isinstance(model, YoloV5):
+        return yolov5_heads(model)
+    return model.bind(variables).heads
+
+
+def load_detection_model(model_path: str, weights: Optional[str],
+                         img_size: int, num_classes: Optional[int] = None):
+    """Build (model, variables, heads) from a darknet .cfg or a v5 .yaml,
+    optionally loading weights (.weights | torch .pt | .npz)."""
+    import jax
+    import jax.numpy as jnp
+
+    if model_path.endswith((".yaml", ".yml")):
+        from rtdm_tpu.models.yolov5 import (create_yolov5,
+                                            load_yolov5_torch_checkpoint)
+        model = create_yolov5(model_path, num_classes=num_classes)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, img_size, img_size, 3)))
+        if weights:
+            if weights.endswith((".pt", ".pth")):
+                variables = load_yolov5_torch_checkpoint(variables, weights)
+            elif weights.endswith(".npz"):
+                from rtdm_tpu.models.io import load_variables
+                variables = load_variables(weights)
+            else:
+                raise ValueError(
+                    f"v5 models load .pt or .npz weights, not {weights}")
+    else:
+        from rtdm_tpu.models.darknet import (create_darknet, init_darknet,
+                                             load_darknet_torch_checkpoint,
+                                             load_darknet_weights)
+        model = create_darknet(model_path)
+        variables = init_darknet(model, img_size)
+        if weights:
+            if weights.endswith(".weights"):
+                variables = load_darknet_weights(variables, model.cfg_text,
+                                                 weights)
+            elif weights.endswith((".pt", ".pth")):
+                variables = load_darknet_torch_checkpoint(
+                    variables, model.cfg_text, weights)
+            elif weights.endswith(".npz"):
+                from rtdm_tpu.models.io import load_variables
+                variables = load_variables(weights)
+            else:
+                raise ValueError(f"unknown weights format: {weights}")
+    return model, variables, model_heads(model, variables)
+
+
 class Detector:
     """Callable over uint8 letterboxed NHWC batches -> (det, count)."""
 
     def __init__(self, model, variables: Dict[str, Any], spec: DetectorSpec,
-                 batch_size: int = 1):
+                 batch_size: int = 1, heads=None):
         import jax
         import jax.numpy as jnp
 
@@ -46,7 +98,7 @@ class Detector:
         self.spec = spec
         self.model = model
         self.batch_size = batch_size
-        heads = model.bind(variables).heads
+        heads = heads if heads is not None else model_heads(model, variables)
         quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
         params = variables["params"]
@@ -88,11 +140,11 @@ class Detector:
         return np.asarray(det)[:n], np.asarray(count)[:n]
 
 
-def build_detector(cfg_path: str, variables: Dict[str, Any],
+def build_detector(model_path: str, weights: Optional[str] = None,
                    spec: Optional[DetectorSpec] = None,
-                   batch_size: int = 1):
-    from rtdm_tpu.models.darknet import create_darknet
-
-    spec = spec or DetectorSpec(cfg_name=os.path.basename(cfg_path))
-    model = create_darknet(cfg_path)
-    return Detector(model, variables, spec, batch_size)
+                   batch_size: int = 1,
+                   num_classes: Optional[int] = None):
+    spec = spec or DetectorSpec(cfg_name=os.path.basename(model_path))
+    model, variables, heads = load_detection_model(
+        model_path, weights, spec.img_size, num_classes)
+    return Detector(model, variables, spec, batch_size, heads)

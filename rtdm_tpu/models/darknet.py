@@ -106,12 +106,13 @@ class YoloHead:
 
     def __init__(self, anchors_px: np.ndarray, num_classes: int,
                  layer_index: int, scale_x_y: float = 1.0,
-                 new_coords: bool = False):
+                 new_coords: bool = False, v5: bool = False):
         self.anchors_px = np.asarray(anchors_px, np.float32)  # (na, 2)
         self.num_classes = int(num_classes)
         self.layer_index = int(layer_index)
         self.scale_x_y = float(scale_x_y)
         self.new_coords = bool(new_coords)
+        self.v5 = bool(v5)  # ultralytics decode (yolov5/models/yolo.py:58-62)
 
     @property
     def na(self) -> int:

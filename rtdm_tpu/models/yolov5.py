@@ -1,0 +1,516 @@
+"""YOLOv5 yaml model DSL -> TPU-native JAX graph.
+
+Re-implements the semantics of the reference's v5 fork
+(yolov5/models/yolo.py:232-283 parse_model; models/common.py:33-200 block
+zoo) as NHWC flax modules:
+
+- Conv = conv(autopad, no bias) + BN(eps 1e-3, momentum 0.03 —
+  torch_utils.py:151-158) + SiLU
+- Focus = 2x2 space-to-depth (even-y/even-x, odd-y/even-x, even-y/odd-x,
+  odd-y/odd-x channel order, common.py:169) + Conv
+- Bottleneck / C3 / BottleneckCSP / SPP / DWConv / CrossConv / GhostConv /
+  GhostBottleneck / Contract / Expand / Concat / nn.Upsample
+- Detect = per-level 1x1 conv (WITH bias, initialized per the focal-prior
+  scheme, yolo.py:176-184); raw NHWC maps returned + YoloHead metadata
+  with v5 decode (xy = (2sig-0.5+grid)*stride, wh = (2sig)^2*anchor —
+  yolo.py:58-62; ops/yolo.py `v5=True`).
+
+Channel arithmetic (depth/width multiples, make_divisible 8) happens at
+plan time so the graph is fully static. Parameter names mirror the torch
+module tree (m{i}/cv1/conv/kernel ...) making checkpoint import mechanical.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from rtdm_tpu.models.darknet import YoloHead
+from rtdm_tpu.models.layers import BatchNorm, Conv as RawConv
+from rtdm_tpu.ops.convpool import max_pool2d
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def autopad(k, p=None):
+    if p is not None:
+        return p
+    if isinstance(k, (tuple, list)):
+        return tuple(x // 2 for x in k)
+    return k // 2
+
+
+# ---------------------------------------------------------------------------
+# blocks (NHWC)
+
+
+class ConvBnSiLU(nn.Module):
+    c2: int
+    k: Any = 1
+    s: Any = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: bool = True
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = RawConv(self.c2, self.k, self.s, autopad(self.k, self.p),
+                    groups=self.g, use_bias=False, name="conv")(x)
+        x = BatchNorm(momentum=0.03, epsilon=1e-3, axis_name=self.bn_axis,
+                      name="bn")(x, train)
+        return jax.nn.silu(x) if self.act else x
+
+
+class Focus(nn.Module):
+    c2: int
+    k: int = 1
+    s: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = jnp.concatenate([x[:, ::2, ::2], x[:, 1::2, ::2],
+                             x[:, ::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        return ConvBnSiLU(self.c2, self.k, self.s, bn_axis=self.bn_axis,
+                          name="conv")(x, train)
+
+
+class Bottleneck(nn.Module):
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = int(self.c2 * self.e)
+        out = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv1")(x, train)
+        out = ConvBnSiLU(self.c2, 3, g=self.g, bn_axis=self.bn_axis,
+                         name="cv2")(out, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + out
+        return out
+
+
+class C3(nn.Module):
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv1")(x, train)
+        for j in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0,
+                            bn_axis=self.bn_axis, name=f"m{j}")(y1, train)
+        y2 = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv2")(x, train)
+        return ConvBnSiLU(self.c2, 1, bn_axis=self.bn_axis,
+                          name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
+class BottleneckCSP(nn.Module):
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv1")(x, train)
+        for j in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0,
+                            bn_axis=self.bn_axis, name=f"m{j}")(y1, train)
+        y1 = RawConv(c_, 1, use_bias=False, name="cv3")(y1)
+        y2 = RawConv(c_, 1, use_bias=False, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], -1)
+        y = BatchNorm(momentum=0.03, epsilon=1e-3, axis_name=self.bn_axis,
+                      name="bn")(y, train)
+        y = nn.leaky_relu(y, 0.1)
+        return ConvBnSiLU(self.c2, 1, bn_axis=self.bn_axis,
+                          name="cv4")(y, train)
+
+
+class SPP(nn.Module):
+    c2: int
+    ks: Tuple[int, ...] = (5, 9, 13)
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = x.shape[-1] // 2
+        x = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv1")(x, train)
+        pools = [max_pool2d(x, k, 1, k // 2) for k in self.ks]
+        return ConvBnSiLU(self.c2, 1, bn_axis=self.bn_axis, name="cv2")(
+            jnp.concatenate([x] + pools, -1), train)
+
+
+class DWConv(nn.Module):
+    c2: int
+    k: int = 1
+    s: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        g = math.gcd(x.shape[-1], self.c2)
+        return ConvBnSiLU(self.c2, self.k, self.s, g=g,
+                          bn_axis=self.bn_axis, name="conv")(x, train)
+
+
+class CrossConv(nn.Module):
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = int(self.c2 * self.e)
+        out = ConvBnSiLU(c_, (1, self.k), (1, self.s),
+                         bn_axis=self.bn_axis, name="cv1")(x, train)
+        out = ConvBnSiLU(self.c2, (self.k, 1), (self.s, 1), g=self.g,
+                         bn_axis=self.bn_axis, name="cv2")(out, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + out
+        return out
+
+
+class GhostConv(nn.Module):
+    c2: int
+    k: int = 1
+    s: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = self.c2 // 2
+        y = ConvBnSiLU(c_, self.k, self.s, bn_axis=self.bn_axis,
+                       name="cv1")(x, train)
+        y2 = ConvBnSiLU(c_, 5, 1, g=c_, bn_axis=self.bn_axis,
+                        name="cv2")(y, train)
+        return jnp.concatenate([y, y2], -1)
+
+
+class GhostBottleneck(nn.Module):
+    c2: int
+    k: int = 3
+    s: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, bn_axis=self.bn_axis, name="conv0")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, bn_axis=self.bn_axis,
+                       name="conv1")(y, train)
+        y = GhostConv(self.c2, 1, 1, bn_axis=self.bn_axis,
+                      name="conv2")(y, train)
+        if self.s == 1 and x.shape[-1] == self.c2:
+            return x + y
+        sc = DWConv(x.shape[-1], self.k, self.s, bn_axis=self.bn_axis,
+                    name="sc_dw")(x, train)
+        sc = ConvBnSiLU(self.c2, 1, act=False, bn_axis=self.bn_axis,
+                        name="sc_pw")(sc, train)
+        return y + sc
+
+
+def contract(x, gain=2):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // gain, gain, w // gain, gain, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h // gain, w // gain, c * gain * gain)
+
+
+def expand(x, gain=2):
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, gain, gain, c // gain ** 2)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(n, h * gain, w * gain, c // gain ** 2)
+
+
+# ---------------------------------------------------------------------------
+# plan + model
+
+
+def parse_v5_yaml(yaml_text: str, nc_override: Optional[int] = None
+                  ) -> Dict[str, Any]:
+    import yaml
+
+    d = yaml.safe_load(yaml_text)
+    if nc_override is not None:
+        d["nc"] = nc_override
+    return d
+
+
+def build_plan(d: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Resolve channels/depth like parse_model (yolo.py:232-283)."""
+    nc, gd, gw = d["nc"], d["depth_multiple"], d["width_multiple"]
+    anchors = d["anchors"]
+    na = len(anchors[0]) // 2 if isinstance(anchors, list) else anchors
+    no = na * (nc + 5)
+    ch = [3]
+    plan = []
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        args = list(args)
+        n_rep = max(round(n * gd), 1) if n > 1 else n
+        entry = {"i": i, "f": f, "module": m, "n": n_rep, "args": args}
+        if m in ("Conv", "GhostConv", "Bottleneck", "GhostBottleneck",
+                 "SPP", "DWConv", "Focus", "CrossConv", "BottleneckCSP",
+                 "C3", "C3TR"):
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            entry["args"] = [c2] + args[1:]
+        elif m == "Concat":
+            c2 = sum(ch[x] for x in f)
+        elif m == "Detect":
+            entry["ch_in"] = [ch[x] for x in f]
+            c2 = no
+        elif m == "Contract":
+            c2 = ch[f] * args[0] ** 2
+        elif m == "Expand":
+            c2 = ch[f] // args[0] ** 2
+        else:
+            c2 = ch[f if isinstance(f, int) else f[0]]
+        entry["c2"] = c2
+        plan.append(entry)
+        if i == 0:
+            ch = []
+        ch.append(c2)
+    return plan
+
+
+class YoloV5(nn.Module):
+    """yaml-driven v5 detector; returns raw NHWC head maps."""
+
+    yaml_text: str
+    num_classes: Optional[int] = None
+    bn_axis: Optional[str] = None
+
+    def setup(self):
+        d = parse_v5_yaml(self.yaml_text, self.num_classes)
+        self.cfg = d
+        self.plan = tuple(
+            tuple(sorted(e.items())) for e in build_plan(d))  # hashable
+        anchors = d["anchors"]
+        self.nc = d["nc"]
+        self.anchors_px = np.array(anchors, np.float32).reshape(
+            len(anchors), -1, 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        d = parse_v5_yaml(self.yaml_text, self.num_classes)
+        plan = build_plan(d)
+        na = self.anchors_px.shape[1]
+        no = na * (self.nc + 5)
+        outputs: List[Optional[jax.Array]] = []
+        needed = set()
+        for e in plan:
+            f = e["f"]
+            for src in ([f] if isinstance(f, int) else f):
+                if src != -1:
+                    needed.add(src % len(plan))
+        raw_heads: List[jax.Array] = []
+
+        for e in plan:
+            i, f, m, n, args = e["i"], e["f"], e["module"], e["n"], e["args"]
+            src = (x if f == -1 else outputs[f]) if isinstance(f, int) \
+                else [x if j == -1 else outputs[j] for j in f]
+            name = f"m{i}"
+            ax = self.bn_axis
+            if m == "Focus":
+                x = Focus(args[0], *args[1:], bn_axis=ax, name=name)(
+                    src, train)
+            elif m == "Conv":
+                x = ConvBnSiLU(args[0], *args[1:], bn_axis=ax,
+                               name=name)(src, train)
+            elif m == "DWConv":
+                x = DWConv(args[0], *args[1:], bn_axis=ax, name=name)(
+                    src, train)
+            elif m == "Bottleneck":
+                x = src
+                for j in range(n):
+                    x = Bottleneck(args[0], *args[1:], bn_axis=ax,
+                                   name=f"{name}_{j}" if n > 1 else name)(
+                        x, train)
+            elif m in ("C3", "C3TR"):
+                sc = args[1] if len(args) > 1 else True
+                x = C3(args[0], n=n, shortcut=sc, bn_axis=ax,
+                       name=name)(src, train)
+            elif m == "BottleneckCSP":
+                sc = args[1] if len(args) > 1 else True
+                x = BottleneckCSP(args[0], n=n, shortcut=sc, bn_axis=ax,
+                                  name=name)(src, train)
+            elif m == "SPP":
+                ks = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
+                x = SPP(args[0], ks, bn_axis=ax, name=name)(src, train)
+            elif m == "CrossConv":
+                x = CrossConv(args[0], *args[1:], bn_axis=ax,
+                              name=name)(src, train)
+            elif m == "GhostConv":
+                x = GhostConv(args[0], *args[1:], bn_axis=ax,
+                              name=name)(src, train)
+            elif m == "GhostBottleneck":
+                x = GhostBottleneck(args[0], *args[1:], bn_axis=ax,
+                                    name=name)(src, train)
+            elif m == "nn.Upsample":
+                scale = int(args[1])
+                x = jnp.repeat(jnp.repeat(src, scale, axis=1), scale, axis=2)
+            elif m == "Concat":
+                x = jnp.concatenate(src, axis=-1)
+            elif m == "Contract":
+                x = contract(src, args[0])
+            elif m == "Expand":
+                x = expand(src, args[0])
+            elif m == "Detect":
+                for li, s in enumerate(src):
+                    raw_heads.append(
+                        RawConv(no, 1, use_bias=True,
+                                name=f"{name}_m{li}")(s))
+                x = raw_heads[-1]
+            else:
+                raise ValueError(f"unsupported v5 module '{m}'")
+            outputs.append(x if i in needed else None)
+        return raw_heads
+
+
+def create_yolov5(yaml_path: str, num_classes: Optional[int] = None,
+                  **kwargs) -> YoloV5:
+    with open(yaml_path) as f:
+        return YoloV5(yaml_text=f.read(), num_classes=num_classes, **kwargs)
+
+
+def yolov5_heads(model: YoloV5) -> List[YoloHead]:
+    """Head metadata for a v5 model (stride derives from each map's grid)."""
+    d = parse_v5_yaml(model.yaml_text, model.num_classes)
+    a = np.array(d["anchors"], np.float32)
+    a = a.reshape(a.shape[0], -1, 2)
+    return [YoloHead(a[i], d["nc"], i, v5=True) for i in range(a.shape[0])]
+
+
+# ---------------------------------------------------------------------------
+# torch v5 checkpoint import
+
+
+def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
+                                 path: str,
+                                 prefer_ema: bool = True) -> Dict[str, Any]:
+    """Import an ultralytics-v5-era checkpoint ({'model': module, 'ema': ...},
+    yolov5/train.py:148-171) into our parameter tree.
+
+    Key mapping: 'model.{i}.<sub>.conv.weight' -> params['m{i}']...['conv']
+    ['kernel'] (OIHW->HWIO), '.bn.*' -> BatchNorm scale/bias + batch_stats,
+    'model.{24}.m.{j}.weight|bias' -> Detect convs 'm24_m{j}'.
+    """
+    import copy
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    model_obj = None
+    if isinstance(obj, dict):
+        if prefer_ema and obj.get("ema") is not None:
+            model_obj = obj["ema"]
+        elif "model" in obj:
+            model_obj = obj["model"]
+    if model_obj is None:
+        model_obj = obj
+    sd = (model_obj.float().state_dict()
+          if hasattr(model_obj, "state_dict") else dict(model_obj))
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else v
+          for k, v in sd.items()}
+
+    variables = copy.deepcopy(jax.device_get(variables))
+    params = variables["params"]
+    stats = variables.setdefault("batch_stats", {})
+
+    unmatched = []
+    for key, val in sd.items():
+        if not key.startswith("model."):
+            continue
+        parts = key.split(".")
+        i = int(parts[1])
+        rest = parts[2:]
+        if rest and rest[0] == "m" and len(rest) >= 3 and rest[1].isdigit() \
+                and rest[-1] in ("weight", "bias") and len(rest) == 3:
+            # Detect convs: model.{i}.m.{j}.weight
+            name = f"m{i}_m{rest[1]}"
+            if name in params:
+                tgt = params[name]
+                if rest[-1] == "weight":
+                    tgt["kernel"] = np.transpose(val, (2, 3, 1, 0)) \
+                        .astype(np.float32)
+                else:
+                    tgt["bias"] = val.astype(np.float32)
+                continue
+        # generic module path: rename m.{j} -> m{j}
+        mapped = [f"m{i}"]
+        j = 0
+        while j < len(rest) - 1:
+            if rest[j] == "m" and rest[j + 1].isdigit():
+                mapped.append(f"m{rest[j + 1]}")
+                j += 2
+            else:
+                mapped.append(rest[j])
+                j += 1
+        leaf = rest[-1]
+        arr = np.asarray(val)
+        if mapped and mapped[-1] == "bn":
+            if leaf == "weight":
+                ok = _set_nested(params, mapped, "scale", arr)
+            elif leaf == "bias":
+                ok = _set_nested(params, mapped, "bias", arr)
+            elif leaf == "running_mean":
+                ok = _set_nested(stats, mapped, "mean", arr, create=True)
+            elif leaf == "running_var":
+                ok = _set_nested(stats, mapped, "var", arr, create=True)
+            else:
+                ok = True  # num_batches_tracked
+        elif leaf == "weight" and arr.ndim == 4:
+            ok = _set_nested(params, mapped, "kernel",
+                             np.transpose(arr, (2, 3, 1, 0)))
+        elif leaf == "bias":
+            ok = _set_nested(params, mapped, "bias", arr)
+        elif leaf in ("anchors", "anchor_grid"):
+            ok = True  # static metadata, read from yaml
+        else:
+            ok = False
+        if not ok:
+            unmatched.append(key)
+    if unmatched:
+        raise ValueError(f"unmatched v5 checkpoint keys: {unmatched[:8]}"
+                         f" (+{max(len(unmatched) - 8, 0)} more)")
+    return variables
+
+
+def _set_nested(tree, path_parts, leaf, value, create=False):
+    node = tree
+    for p in path_parts:
+        if p not in node:
+            if create:
+                node[p] = {}
+            else:
+                return False
+        node = node[p]
+    node[leaf] = value.astype(np.float32)
+    return True

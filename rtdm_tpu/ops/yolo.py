@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 def decode_head(p: jax.Array, anchors_px: jax.Array, img_size: int,
                 num_classes: int, scale_x_y: float = 1.0,
-                new_coords: bool = False) -> jax.Array:
+                new_coords: bool = False, v5: bool = False) -> jax.Array:
     """(B, ny, nx, na*(5+nc)) raw map -> (B, na*ny*nx, 5+nc) decoded.
 
     Output columns: cx, cy, w, h (input-image pixels), obj, cls...
@@ -41,6 +41,14 @@ def decode_head(p: jax.Array, anchors_px: jax.Array, img_size: int,
     anchors = jnp.asarray(anchors_px, jnp.float32)[None, None, None, :, :]
 
     txy, twh, trest = p[..., 0:2], p[..., 2:4], p[..., 4:]
+    if v5:
+        # ultralytics decode: xy = (2sig-0.5+grid)*stride, wh = (2sig)^2*a
+        s = jax.nn.sigmoid(p)
+        xy = (s[..., 0:2] * 2.0 - 0.5 + grid) * stride
+        wh = jnp.square(s[..., 2:4] * 2.0) * anchors
+        out = jnp.concatenate([xy, wh, s[..., 4:]], axis=-1)
+        return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(
+            b, na * ny * nx, no)
     if new_coords:
         xy = (txy * scale_x_y - 0.5 * (scale_x_y - 1.0) + grid) * stride
         wh = jnp.square(twh * 2.0) * anchors
@@ -59,7 +67,8 @@ def decode_all(raw_maps: Sequence[jax.Array], heads, img_size: int
                ) -> jax.Array:
     """Concatenate decoded predictions of every head: (B, total, 5+nc)."""
     decoded = [decode_head(p, h.anchors_px, img_size, h.num_classes,
-                           h.scale_x_y, h.new_coords)
+                           h.scale_x_y, h.new_coords,
+                           getattr(h, "v5", False))
                for p, h in zip(raw_maps, heads)]
     return jnp.concatenate(decoded, axis=1)
 

@@ -1,0 +1,121 @@
+"""Autoanchor: anchor-fit checking + k-means/genetic anchor evolution.
+
+Re-implements the reference's anchor tooling semantics:
+- check_anchors (yolov5/utils/autoanchor.py:22-58): best-possible-recall
+  (BPR) of the current anchors over the dataset's label wh distribution
+  (with the random-scale jitter the reference applies); evolve when
+  BPR < 0.98.
+- kmean_anchors (autoanchor.py:61-161 and yolov3/utils/utils.py:707):
+  whitened k-means seed + genetic mutation (90% prob, sigma 0.1, 1000
+  generations) maximizing the anchor fitness metric
+  (best-ratio > 1/thr mask times ratio).
+
+Pure numpy — anchors are static metadata baked into the compiled graph.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _ratio_metric(wh: np.ndarray, anchors: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """x[i,j] = min-ratio metric of label i vs anchor j; best[i] = max_j."""
+    r = wh[:, None] / anchors[None]
+    x = np.minimum(r, 1.0 / r).min(2)
+    return x, x.max(1)
+
+
+def anchor_fitness(anchors: np.ndarray, wh: np.ndarray,
+                   thr: float = 4.0) -> float:
+    _, best = _ratio_metric(wh, anchors)
+    mask = best > 1.0 / thr
+    return float((best * mask).mean())
+
+
+def best_possible_recall(anchors: np.ndarray, wh: np.ndarray,
+                         thr: float = 4.0) -> float:
+    _, best = _ratio_metric(wh, anchors)
+    return float((best > 1.0 / thr).mean())
+
+
+def collect_label_wh(dataset, img_size: int,
+                     jitter: bool = True,
+                     seed: int = 0) -> np.ndarray:
+    """Label wh in pixels at img_size scale, with the reference's +-10%
+    scale augmentation (autoanchor.py:28-30)."""
+    rng = np.random.default_rng(seed)
+    whs = []
+    for i in range(len(dataset)):
+        raw = dataset.labels[i]  # normalized cls,x,y,w,h
+        if not len(raw):
+            continue
+        scale = rng.uniform(0.9, 1.1) if jitter else 1.0
+        whs.append(raw[:, 3:5] * img_size * scale)
+    if not whs:
+        return np.zeros((0, 2), np.float32)
+    return np.concatenate(whs).astype(np.float32)
+
+
+def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 416,
+                  thr: float = 4.0, gen: int = 1000,
+                  seed: int = 0, verbose: bool = False) -> np.ndarray:
+    """Evolve `n` anchors over the label wh distribution."""
+    wh = wh[(wh >= 2.0).any(1)]  # ignore tiny boxes (autoanchor.py:77)
+    if len(wh) < n:
+        raise ValueError(f"need >= {n} labels for {n} anchors, got {len(wh)}")
+    rng = np.random.default_rng(seed)
+
+    # k-means seed in whitened space
+    std = wh.std(0)
+    try:
+        from scipy.cluster.vq import kmeans
+        k, _ = kmeans(wh / std, n, iter=30, seed=seed)
+        k = k * std
+    except Exception:  # scipy absent/failed -> simple Lloyd's
+        k = wh[rng.choice(len(wh), n, replace=False)].copy()
+        for _ in range(30):
+            d = ((wh[:, None] - k[None]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for j in range(n):
+                pts = wh[assign == j]
+                if len(pts):
+                    k[j] = pts.mean(0)
+
+    # genetic evolution (autoanchor.py:140-156)
+    f = anchor_fitness(k, wh, thr)
+    shape = k.shape
+    mp, s = 0.9, 0.1
+    for _ in range(gen):
+        v = np.ones(shape)
+        while (v == 1).all():
+            v = ((rng.random(shape) < mp) * rng.random()
+                 * rng.normal(1, s, shape) + 1).clip(0.3, 3.0)
+        kg = (k * v).clip(2.0, img_size)
+        fg = anchor_fitness(kg, wh, thr)
+        if fg > f:
+            f, k = fg, kg.copy()
+    return k[np.argsort(k.prod(1))].astype(np.float32)  # small-to-large
+
+
+def check_anchors(dataset, anchors_px: np.ndarray, img_size: int,
+                  thr: float = 4.0, bpr_threshold: float = 0.98,
+                  gen: int = 1000, verbose: bool = True
+                  ) -> Tuple[np.ndarray, float, bool]:
+    """Returns (anchors, bpr, evolved?). Evolves new anchors when the BPR
+    of the current set is below threshold (autoanchor.py:40-56)."""
+    wh = collect_label_wh(dataset, img_size)
+    flat = anchors_px.reshape(-1, 2)
+    if not len(wh):
+        return anchors_px, 1.0, False
+    bpr = best_possible_recall(flat, wh, thr)
+    if bpr >= bpr_threshold:
+        return anchors_px, bpr, False
+    new = kmean_anchors(wh, n=flat.shape[0], img_size=img_size, thr=thr,
+                        gen=gen)
+    new_bpr = best_possible_recall(new, wh, thr)
+    if new_bpr > bpr:
+        return new.reshape(anchors_px.shape), new_bpr, True
+    return anchors_px, bpr, False

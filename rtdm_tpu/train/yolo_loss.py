@@ -161,3 +161,138 @@ def yolo_loss(raw_maps: Sequence[jax.Array], heads,
     lcls = total_cls * hyp.cls
     loss = lbox + lobj + lcls
     return loss, {"box": lbox, "obj": lobj, "cls": lcls, "total": loss}
+
+
+# ---------------------------------------------------------------------------
+# v5 variant
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloHypV5:
+    """v5 loss hyperparameters (defaults = yolov5/data/hyp.scratch.yaml)."""
+    box: float = 0.05
+    cls: float = 0.5
+    cls_pw: float = 1.0
+    obj: float = 1.0
+    obj_pw: float = 1.0
+    anchor_t: float = 4.0
+    fl_gamma: float = 0.0
+    fl_alpha: float = 0.25
+    gr: float = 1.0
+    label_smoothing: float = 0.0
+
+
+_V5_OFFSETS = ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (-0.5, 0.0), (0.0, -0.5))
+
+
+def yolo_loss_v5(raw_maps: Sequence[jax.Array], heads,
+                 labels: jax.Array, num_labels: jax.Array,
+                 img_size: int, hyp: YoloHypV5 = YoloHypV5()
+                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """ultralytics ComputeLoss (yolov5/utils/loss.py:90-216), fixed shapes.
+
+    Differences from the v3 loss: ratio-based anchor match (max(r,1/r) <
+    anchor_t), up to 3 grid cells per target (center + 2 nearest via the
+    0.5-bias offsets), CIoU box loss, per-layer obj balance [4,1,0.4],
+    v5 box decode (2sig-0.5 / (2sig)^2*anchor), total scaled by batch size
+    (loss.py:161).
+    """
+    nc = heads[0].num_classes
+    nl = len(raw_maps)
+    balance = {3: (4.0, 1.0, 0.4)}.get(nl, (4.0, 1.0, 0.25, 0.06, 0.02))
+    total_box = jnp.zeros(())
+    total_obj = jnp.zeros(())
+    total_cls = jnp.zeros(())
+
+    bsz, m = labels.shape[0], labels.shape[1]
+    slot_valid = (jax.lax.broadcasted_iota(jnp.int32, (bsz, m), 1)
+                  < num_labels[:, None])
+    n_off = len(_V5_OFFSETS)
+    offs = jnp.asarray(_V5_OFFSETS, jnp.float32)  # (5, 2)
+
+    for li, (raw, head) in enumerate(zip(raw_maps, heads)):
+        p = raw_to_train_layout(raw, head.na, nc).astype(jnp.float32)
+        _, na, ny, nx, _ = p.shape
+        stride = img_size / max(nx, ny)
+        anchor_vec = jnp.asarray(head.anchors_px, jnp.float32) / stride
+
+        gxy = labels[..., 1:3] / stride           # (B, M, 2)
+        gwh = labels[..., 3:5] / stride
+
+        # ratio anchor match (loss.py:188-190)
+        r = gwh[:, :, None, :] / anchor_vec[None, None]       # (B,M,na,2)
+        ratio_ok = jnp.max(jnp.maximum(r, 1.0 / (r + 1e-16)),
+                           axis=-1) < hyp.anchor_t            # (B,M,na)
+        base_valid = slot_valid[:, :, None] & ratio_ok
+
+        # offset validity (loss.py:193-198): center always; neighbours when
+        # the fractional part is on their side and the cell is interior.
+        fx, fy = gxy[..., 0] % 1.0, gxy[..., 1] % 1.0
+        jm = (fx < 0.5) & (gxy[..., 0] > 1.0)
+        km = (fy < 0.5) & (gxy[..., 1] > 1.0)
+        lm = ((nx - gxy[..., 0]) % 1.0 < 0.5) & ((nx - gxy[..., 0]) > 1.0)
+        mm = ((ny - gxy[..., 1]) % 1.0 < 0.5) & ((ny - gxy[..., 1]) > 1.0)
+        off_ok = jnp.stack([jnp.ones_like(jm), jm, km, lm, mm],
+                           axis=-1)                            # (B,M,5)
+        valid = base_valid[:, :, :, None] & off_ok[:, :, None, :]
+
+        shape = (bsz, m, na, n_off)
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0).ravel()
+        a_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 2).ravel()
+        o_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 3).ravel()
+        vmask = valid.ravel()
+
+        gxy_c = jnp.broadcast_to(gxy[:, :, None, None, :],
+                                 shape + (2,)).reshape(-1, 2)
+        gwh_c = jnp.broadcast_to(gwh[:, :, None, None, :],
+                                 shape + (2,)).reshape(-1, 2)
+        off_c = offs[o_idx]
+        gij = jnp.floor(gxy_c - off_c)
+        gi = jnp.clip(gij[:, 0], 0, nx - 1).astype(jnp.int32)
+        gj = jnp.clip(gij[:, 1], 0, ny - 1).astype(jnp.int32)
+        tbox = jnp.concatenate(
+            [gxy_c - jnp.stack([gi, gj], -1).astype(jnp.float32), gwh_c],
+            axis=-1)
+        avec = jnp.broadcast_to(anchor_vec[None, None, :, None, :],
+                                shape + (2,)).reshape(-1, 2)
+        tcls = jnp.broadcast_to(
+            labels[..., 0].astype(jnp.int32)[:, :, None, None],
+            shape).ravel()
+
+        ps = p[b_idx, a_idx, gj, gi]
+        pxy = jax.nn.sigmoid(ps[:, 0:2]) * 2.0 - 0.5
+        pwh = jnp.square(jax.nn.sigmoid(ps[:, 2:4]) * 2.0) * avec
+        pbox = jnp.concatenate([pxy, pwh], axis=-1)
+        iou = bbox_iou(pbox, tbox, xywh=True, ciou=True)
+        total_box = total_box + _masked_mean(1.0 - iou, vmask)
+
+        tobj = jnp.zeros((bsz, na, ny, nx), jnp.float32)
+        val = jnp.where(
+            vmask,
+            (1.0 - hyp.gr)
+            + hyp.gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0),
+            0.0)
+        tobj = tobj.at[b_idx, a_idx, gj, gi].max(val)
+        obj_bce = _bce_logits(p[..., 4], tobj, hyp.obj_pw)
+        if hyp.fl_gamma > 0:
+            obj_bce = _focal(obj_bce, p[..., 4], tobj, hyp.fl_gamma,
+                             hyp.fl_alpha)
+        total_obj = total_obj + jnp.mean(obj_bce) * balance[li]
+
+        if nc > 1:
+            cp = 1.0 - 0.5 * hyp.label_smoothing
+            cn = 0.5 * hyp.label_smoothing
+            t_one = jnp.where(
+                jax.nn.one_hot(tcls, nc, dtype=jnp.float32) > 0, cp, cn)
+            cls_bce = _bce_logits(ps[:, 5:], t_one, hyp.cls_pw)
+            if hyp.fl_gamma > 0:
+                cls_bce = _focal(cls_bce, ps[:, 5:], t_one, hyp.fl_gamma,
+                                 hyp.fl_alpha)
+            total_cls = total_cls + _masked_mean(
+                jnp.mean(cls_bce, axis=-1), vmask)
+
+    lbox = total_box * hyp.box
+    lobj = total_obj * hyp.obj
+    lcls = total_cls * hyp.cls
+    loss = (lbox + lobj + lcls) * bsz  # loss.py:161 scales by batch size
+    return loss, {"box": lbox, "obj": lobj, "cls": lcls, "total": loss}
