@@ -160,6 +160,11 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         y = jax.device_put(jnp.asarray(labels), data_sh)
         return x, y
 
+    from rtdm_tpu.utils.experiment_log import ExperimentLogger
+    import dataclasses as _dc
+    explog = ExperimentLogger(config.log_dir, run_name=config.model,
+                              config=_dc.asdict(config))
+
     stopper = EarlyStopping(config.patience)
     plateau = (PlateauScaler(patience=max(config.epochs // 3, 1))
                if config.scheduler == "reduce" else None)
@@ -206,6 +211,12 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         history["val_acc"].append(val.accuracy)
         history["val_f1"].append(val.f1("weighted"))
         history["lr"].append(lr)
+        explog.log_scalars(epoch, {"train_loss": loss_m.avg,
+                                   "train_acc": acc_m.avg,
+                                   "val_loss": val.loss,
+                                   "val_acc": val.accuracy,
+                                   "val_f1": val.f1("weighted"),
+                                   "lr": lr})
         logger.info(
             "epoch %d/%d: train loss %.4f acc %.4f | val loss %.4f acc %.4f "
             "f1 %.4f | lr %.2e | %.1fs", epoch + 1, config.epochs,
@@ -238,6 +249,8 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
                            {"params": jax.device_get(state.params),
                             "batch_stats": jax.device_get(state.batch_stats)})
     logger.info("final weights saved to %s", wpath)
+    explog.log_artifact(wpath)
+    explog.close()
 
     try:
         from rtdm_tpu.utils.plots import plot_training_curves

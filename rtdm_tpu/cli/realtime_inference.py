@@ -1,0 +1,164 @@
+"""Real-time classifier streaming CLI.
+
+Parity with the reference's real-time-inference.py:23-221 (webcam/video
+loop: preprocess -> infer -> class+FPS overlay; avg/min/max FPS report) —
+minus its per-frame PIL round trip: here the host only resizes uint8
+(cv2, SIMD) and ships ~59 KB/frame; /255 + ImageNet normalize + forward +
+argmax all run inside one compiled device program. Frames can be
+micro-batched (--batch) to amortize dispatch for offline sources.
+
+Also reports energy/frame via the modelled PowerMonitor (the
+calculate-power-usage.py analogue) with --power.
+
+Run: python -m rtdm_tpu.cli.realtime_inference --source video.mp4 \
+         --model squeeze-ernet --weights .../squeeze-ernet-state_dict.pt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Real-time AIDER classification")
+    p.add_argument("--source", required=True,
+                   help="webcam id | /dev/videoN | rtsp:// | video file | "
+                        "image dir")
+    p.add_argument("--model", default="squeeze-ernet",
+                   choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
+    p.add_argument("--weights")
+    p.add_argument("--engine", help="serialized engine dir (TRT analogue)")
+    p.add_argument("--quant", default="bf16",
+                   choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--batch", type=int, default=1,
+                   help="micro-batch frames before dispatch")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="stop after N frames (0 = run to end)")
+    p.add_argument("--save-dir", help="write annotated frames here")
+    p.add_argument("--power", action="store_true",
+                   help="report modelled energy per frame")
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from rtdm_tpu.data.camera import FrameSource
+    from rtdm_tpu.models.ernet import CLASS_NAMES
+    from rtdm_tpu.utils.profiler import FpsMeter, PowerMonitor, StepTimer
+
+    # --- build the compiled classifier ---
+    if args.engine:
+        from rtdm_tpu.export.engine import Engine
+        engine = Engine.load(args.engine)
+        size = engine.spec.image_size
+        def infer(u8_batch):
+            return engine(u8_batch)
+    else:
+        import jax
+        import jax.numpy as jnp
+        from rtdm_tpu.core.precision import policy_from_name
+        from rtdm_tpu.data.aider import normalize_batch
+        from rtdm_tpu.models import create_model
+        from rtdm_tpu.models.io import load_variables
+
+        model = create_model(args.model)
+        size = model.image_size
+        policy = policy_from_name(
+            {"int8": "bf16"}.get(args.quant, args.quant))
+        variables = load_variables(args.weights)
+        cast = {"params": policy.cast_to_compute(variables["params"]),
+                "batch_stats": variables.get("batch_stats", {})}
+
+        @jax.jit
+        def _fwd(v, u8):
+            x = normalize_batch(u8).astype(policy.compute_dtype)
+            return model.apply(v, x, train=False)
+
+        def infer(u8_batch):
+            return np.asarray(_fwd(cast, jnp.asarray(u8_batch)))
+
+    def resize_frame(frame):
+        import cv2
+        return cv2.resize(frame, (size, size),
+                          interpolation=cv2.INTER_LINEAR)
+
+    src = FrameSource.open(
+        int(args.source) if args.source.isdigit() else args.source).start()
+    fps = FpsMeter()
+    timer = StepTimer()
+    power = PowerMonitor() if args.power else None
+    if power:
+        power.start()
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    inst_fps = []
+    batch_frames, batch_raw = [], []
+    n_out = 0
+
+    def flush():
+        nonlocal n_out
+        if not batch_frames:
+            return
+        arr = np.stack(batch_frames)
+        timer.start()
+        probs = infer(arr)
+        dt = timer.stop(probs)
+        if power:
+            power.record_busy(dt)
+        for i in range(len(batch_frames)):
+            idx = int(np.argmax(probs[i]))
+            conf = float(probs[i][idx])
+            cur = fps.tick()
+            inst_fps.append(cur)
+            label = f"{CLASS_NAMES[idx]} {conf:.2f} | {cur:.1f} FPS"
+            if args.save_dir:
+                _annotate_and_save(batch_raw[i], label,
+                                   os.path.join(args.save_dir,
+                                                f"frame_{n_out:05d}.jpg"))
+            if n_out % 25 == 0:
+                print(f"frame {n_out}: {label}")
+            n_out += 1
+        batch_frames.clear()
+        batch_raw.clear()
+
+    try:
+        for frame in src:
+            batch_frames.append(resize_frame(frame))
+            batch_raw.append(frame)
+            if len(batch_frames) >= args.batch:
+                flush()
+            if args.max_frames and n_out >= args.max_frames:
+                break
+        flush()
+    except KeyboardInterrupt:  # graceful exit (real-time-inference.py:210)
+        pass
+    finally:
+        src.stop()
+        if power:
+            power.stop()
+
+    if inst_fps:
+        arr = np.array(inst_fps[1:] if len(inst_fps) > 1 else inst_fps)
+        print(f"frames {n_out}  FPS avg {arr.mean():.1f} "
+              f"min {arr.min():.1f} max {arr.max():.1f}  "
+              f"infer {timer.mean * 1e3:.2f} ms/batch")
+        if power:
+            print(f"energy/frame (modelled): "
+                  f"{power.energy_per_frame(n_out):.3f} mJ, "
+                  f"total {power.get_total_energy():.1f} J")
+    return n_out
+
+
+def _annotate_and_save(frame, label: str, path: str) -> None:
+    from PIL import Image, ImageDraw
+    im = Image.fromarray(frame)
+    d = ImageDraw.Draw(im)
+    d.rectangle([0, 0, 8 + 7 * len(label), 18], fill=(0, 0, 0))
+    d.text((4, 3), label, fill=(0, 255, 128))
+    im.save(path)
+
+
+if __name__ == "__main__":
+    main()

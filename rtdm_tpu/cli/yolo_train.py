@@ -206,6 +206,9 @@ def train(args):
                 if args.ema else None)
 
     os.makedirs(args.output, exist_ok=True)
+    from rtdm_tpu.utils.experiment_log import ExperimentLogger
+    explog = ExperimentLogger(args.output, run_name="yolo",
+                              config=vars(args))
     results_path = os.path.join(args.output, "results.txt")
     rng = jax.random.key(args.seed)
     best_fitness = -1.0
@@ -262,6 +265,12 @@ def train(args):
                 save_variables(os.path.join(args.output, "best.npz"),
                                var_now)
         logger.info(line)
+        scalars = {"box": float(ep_loss[0]), "obj": float(ep_loss[1]),
+                   "cls": float(ep_loss[2])}
+        if res is not None:
+            scalars.update({"precision": res["mp"], "recall": res["mr"],
+                            "map50": res["map50"]})
+        explog.log_scalars(epoch, scalars)
         with open(results_path, "a") as f:
             f.write(line + "\n")
         history.append({"loss": ep_loss.tolist(),

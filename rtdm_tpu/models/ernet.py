@@ -60,19 +60,20 @@ class SqueezeErNET(nn.Module):
     """169k-param squeeze variant; input 140x140x3 NHWC."""
     bn_axis: Optional[str] = None
     image_size: int = 140
+    dropout_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  apply_softmax: bool = True) -> jax.Array:
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
-        x = ACFF(64, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(256, bn_axis=ax, name="acff4")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
         return _ErnetHead(pool_padding=1, fc_in=20,
                           name="head")(x, apply_softmax and not train)
 
@@ -81,6 +82,7 @@ class SqueezeRedConv(nn.Module):
     """109k-param variant with 1x1 reduction convs; input 140x140x3."""
     bn_axis: Optional[str] = None
     image_size: int = 140
+    dropout_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -88,15 +90,15 @@ class SqueezeRedConv(nn.Module):
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
         x = Conv(8, kernel_size=1, name="conv_red1")(x)
-        x = ACFF(64, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
         x = Conv(48, kernel_size=1, name="conv_red2")(x)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
         x = Conv(64, kernel_size=1, name="conv_red3")(x)
-        x = ACFF(256, bn_axis=ax, name="acff4")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
         return _ErnetHead(pool_padding=1, fc_in=20,
                           name="head")(x, apply_softmax and not train)
 
@@ -105,21 +107,22 @@ class ErNET(nn.Module):
     """276k-param EmergencyNet baseline; input 240x240x3."""
     bn_axis: Optional[str] = None
     image_size: int = 240
+    dropout_rate: float = 0.2
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  apply_softmax: bool = True) -> jax.Array:
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
-        x = ACFF(64, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, bn_axis=ax, name="acff4")(x, train)
-        x = ACFF(128, bn_axis=ax, name="acff5")(x, train)
-        x = ACFF(256, bn_axis=ax, name="acff6")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff5")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff6")(x, train)
         return _ErnetHead(pool_padding=0, fc_in=45,
                           name="head")(x, apply_softmax and not train)
 

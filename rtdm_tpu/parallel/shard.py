@@ -1,0 +1,106 @@
+"""Explicit-SPMD building blocks: shard_map train step + spatial sharding.
+
+Two things the implicit GSPMD path doesn't show directly:
+
+1. `make_shard_map_train_step` — the classifier train step written as an
+   explicit per-device program (shard_map over the 'data' axis) with
+   hand-placed collectives: lax.pmean for gradients (the DDP allreduce,
+   yolov3/train.py:169-170) and cross-replica BatchNorm via the models'
+   `bn_axis` (SyncBatchNorm, yolov3/models.py:36). Numerically identical
+   to the GSPMD step; exists so the collective structure is explicit,
+   testable, and extensible.
+
+2. `spatial_shard_conv` — halo-exchange convolution over a 'spatial' mesh
+   axis via lax.ppermute: the TPU-native answer to "the frame is too large
+   for one chip" (SURVEY §5's long-context analogue: the reference scales
+   spatial resolution, not sequence length). Rows are sharded across
+   devices; each step exchanges k//2 boundary rows with neighbours, then
+   runs a normal XLA conv on the haloed block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import optax
+
+from rtdm_tpu.ops.convpool import conv2d
+
+
+def make_shard_map_train_step(model, tx, loss_fn, mesh: Mesh,
+                              axis: str = "data"):
+    """Explicit data-parallel train step: per-device grads + pmean.
+
+    The model must be constructed with `bn_axis=axis` so BatchNorm pmeans
+    its batch statistics (true SyncBatchNorm) — under shard_map, plain
+    jnp.mean only sees the local shard.
+    """
+
+    def per_device(params, batch_stats, opt_state, images, labels, rng):
+        def loss_of(p):
+            variables = {"params": p, "batch_stats": batch_stats}
+            logits, mutated = model.apply(
+                variables, images, train=True, apply_softmax=False,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            return loss_fn(logits.astype(jnp.float32), labels), \
+                mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)        # DDP allreduce
+        loss = jax.lax.pmean(loss, axis)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt, loss
+
+    repl = P()
+    data = P(axis)
+    mapped = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(repl, repl, repl, data, data, repl),
+        out_specs=(repl, repl, repl, repl),
+        check_rep=False)
+    return jax.jit(mapped, donate_argnums=(0, 1, 2))
+
+
+def spatial_shard_conv(x_sharded: jax.Array, kernel: jax.Array,
+                       mesh: Mesh, axis: str = "spatial",
+                       bias: Optional[jax.Array] = None) -> jax.Array:
+    """SAME conv over an H-sharded NHWC tensor with ppermute halo exchange.
+
+    x_sharded: (N, H, W, C) with H split over `axis`. kernel: HWIO with odd
+    kH. Result matches the unsharded conv2d(x, kernel, padding=k//2).
+    """
+    kh = kernel.shape[0]
+    halo = kh // 2
+    n_dev = mesh.shape[axis]
+
+    def per_device(xs, k, b):
+        idx = jax.lax.axis_index(axis)
+        up = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        down = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        # receive bottom rows of the previous shard / top rows of the next
+        top_halo = jax.lax.ppermute(xs[:, -halo:], axis, up)
+        bot_halo = jax.lax.ppermute(xs[:, :halo], axis, down)
+        # first/last shard get zero padding instead of wrapped halos
+        zeros = jnp.zeros_like(top_halo)
+        top_halo = jnp.where(idx == 0, zeros, top_halo)
+        bot_halo = jnp.where(idx == n_dev - 1, zeros, bot_halo)
+        padded = jnp.concatenate([top_halo, xs, bot_halo], axis=1)
+        out = conv2d(padded, k, b, stride=1, padding=(0, halo))
+        return out
+
+    mapped = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(None, axis, None, None), P(), P()),
+        out_specs=P(None, axis, None, None),
+        check_rep=False)
+    b = bias if bias is not None else jnp.zeros((kernel.shape[-1],),
+                                                kernel.dtype)
+    return jax.jit(mapped)(x_sharded, kernel, b)

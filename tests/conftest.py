@@ -30,8 +30,10 @@ REFERENCE_ROOT = pathlib.Path("/root/reference")
 CLS_WEIGHTS = REFERENCE_ROOT / "code/disaster_detection/weights"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of which other tests ran first
     return np.random.default_rng(42)
 
 

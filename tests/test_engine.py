@@ -18,7 +18,8 @@ def variables():
 
 
 @pytest.fixture(scope="module")
-def frames(rng):
+def frames():
+    rng = np.random.default_rng(42)
     return rng.integers(0, 255, (16, 140, 140, 3)).astype(np.uint8)
 
 
