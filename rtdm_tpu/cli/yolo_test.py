@@ -98,9 +98,30 @@ def main(argv=None):
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
     p.add_argument("--task", default="test",
-                   choices=["test", "benchmark"])
+                   choices=["test", "benchmark", "study"])
+    p.add_argument("--study-plot", default="study.png")
     args = p.parse_args(argv)
 
+    if args.task == "study":  # test.py:233-255's iou-threshold sweep + plot
+        import numpy as np
+        ious = np.arange(0.4, 0.95, 0.05)
+        maps = []
+        for miou in ious:
+            res = evaluate(args.cfg, args.data, args.weights, args.img_size,
+                           args.batch_size, args.conf_thres, args.iou_thres,
+                           float(miou), args.quant)
+            maps.append(res["map50"])
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(ious, maps, marker="o")
+        ax.set_xlabel("mAP IoU threshold")
+        ax.set_ylabel("mAP")
+        ax.grid(alpha=0.3)
+        fig.savefig(args.study_plot, dpi=110, bbox_inches="tight")
+        print(f"study plot: {args.study_plot}")
+        return list(zip(ious.tolist(), maps))
     if args.task == "benchmark":  # test.py:224-231's size x iou sweep
         for size in (320, 416, 512, 608):
             for miou in (0.5, 0.7):

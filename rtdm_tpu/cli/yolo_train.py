@@ -59,6 +59,14 @@ def parse_args(argv=None):
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--nominal-batch", type=int, default=64,
                    help="accumulate grads to this effective batch")
+    p.add_argument("--evolve", type=int, default=0, metavar="N",
+                   help="genetic hyperparameter evolution over N cycles "
+                        "(yolov3/train.py:444-491 analogue)")
+    p.add_argument("--hyp", help="hyp yaml overriding loss/aug knobs "
+                   "(yolov5 data/hyp.scratch.yaml format)")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="resize batches to 67-150%% of --img-size on "
+                        "device (one compiled step per size)")
     p.add_argument("--ema", action="store_true",
                    help="keep an EMA of the weights (ModelEMA analogue)")
     p.add_argument("--train-list-override",
@@ -96,9 +104,18 @@ def train(args):
         return pth if os.path.isabs(pth) else os.path.join(base, pth)
 
     train_list = args.train_list_override or resolve(dcfg["train"])
+    hyp_file = {}
+    if args.hyp:
+        import yaml as _yaml
+        with open(args.hyp) as f:
+            hyp_file = _yaml.safe_load(f) or {}
+
+    aug_keys = ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
+                "scale", "shear", "fliplr", "mosaic")
+    aug_hyp = {k: hyp_file[k] for k in aug_keys if k in hyp_file}
     train_ds = DetectionDataset(train_list, args.img_size,
                                 base_dir=base, train=not args.no_augment,
-                                seed=args.seed)
+                                aug_hyp=aug_hyp, seed=args.seed)
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
@@ -120,8 +137,16 @@ def train(args):
     heads = model_heads(model, variables)
     if is_v5:
         # ultralytics loss + hyp.scratch defaults (yolov5/data/hyp.scratch.yaml)
-        hyp = YoloHypV5(fl_gamma=args.fl_gamma if args.fl_gamma is not None
-                        else 0.0)
+        hyp = YoloHypV5(
+            box=hyp_file.get("box", 0.05),
+            cls=hyp_file.get("cls", 0.5),
+            cls_pw=hyp_file.get("cls_pw", 1.0),
+            obj=hyp_file.get("obj", 1.0),
+            obj_pw=hyp_file.get("obj_pw", 1.0),
+            anchor_t=hyp_file.get("anchor_t", 4.0),
+            label_smoothing=hyp_file.get("label_smoothing", 0.0),
+            fl_gamma=(args.fl_gamma if args.fl_gamma is not None
+                      else hyp_file.get("fl_gamma", 0.0)))
         loss_impl = yolo_loss_v5
     else:
         hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain,
@@ -189,9 +214,86 @@ def train(args):
         return params, batch_stats, opt_state, loss / accumulate, \
             comps / accumulate
 
-    train_step = jax.jit(
+    base_step = jax.jit(
         step, in_shardings=(repl, repl, repl, dsh, dsh, dsh, repl),
         out_shardings=repl, donate_argnums=(0, 1, 2))
+
+    if args.multi_scale:
+        # 67-150% of img-size in stride-32 steps (yolov3/train.py:269-275)
+        gs = 32
+        sizes = sorted({max(round(args.img_size * s / gs) * gs, gs)
+                        for s in (0.67, 0.83, 1.0, 1.17, 1.5)})
+        _scaled_steps = {}
+
+        def make_scaled(sz):
+            ratio = sz / args.img_size
+
+            def scaled(params, batch_stats, opt_state, images, labels,
+                       nlab, rng):
+                imgs = jax.image.resize(
+                    images.astype(jnp.float32),
+                    (images.shape[0], sz, sz, images.shape[3]),
+                    method="bilinear")
+                lab = labels.at[..., 1:5].multiply(ratio)
+                return step_at_size(params, batch_stats, opt_state, imgs,
+                                    lab, nlab, rng, sz)
+
+            def step_at_size(params, batch_stats, opt_state, images,
+                             labels, nlab, rng, sz):
+                # identical to `step` but with img_size = sz for the loss
+                mb_i = images.reshape((accumulate, -1) + images.shape[1:])
+                mb_l = labels.reshape((accumulate, -1) + labels.shape[1:])
+                mb_n = nlab.reshape((accumulate, -1))
+
+                def body(carry, mb):
+                    stats, gsum, lsum, comp_sum, k = carry
+                    im, lb, nl = mb
+                    def loss_sz(p, s, i2, l2, n2, r2):
+                        raw, mutated = model.apply(
+                            {"params": p, "batch_stats": s},
+                            (i2 / 255.0).astype(dtype), train=True,
+                            mutable=["batch_stats"], rngs={"dropout": r2})
+                        loss, comps = loss_impl(raw, heads, l2, n2, sz, hyp)
+                        return loss, (mutated["batch_stats"], comps)
+                    (loss, (stats, comps)), grads = jax.value_and_grad(
+                        loss_sz, has_aux=True)(params, stats, im, lb, nl,
+                                               jax.random.fold_in(rng, k))
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                    comp_vec = jnp.stack([comps["box"], comps["obj"],
+                                          comps["cls"]])
+                    return (stats, gsum, lsum + loss, comp_sum + comp_vec,
+                            k + 1), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
+                    body, (batch_stats, zeros, jnp.zeros(()),
+                           jnp.zeros((3,)), jnp.zeros((), jnp.int32)),
+                    (mb_i, mb_l, mb_n))
+                grads = jax.tree_util.tree_map(lambda g: g / accumulate,
+                                               grads)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, batch_stats, opt_state, loss / accumulate, \
+                    comps / accumulate
+            return jax.jit(scaled,
+                           in_shardings=(repl, repl, repl, dsh, dsh, dsh,
+                                         repl),
+                           out_shardings=repl, donate_argnums=(0, 1, 2))
+
+        size_rng = np.random.default_rng(args.seed + 7)
+
+        def train_step(params, batch_stats, opt_state, images, labels,
+                       nlab, rng):
+            sz = int(size_rng.choice(sizes))
+            if sz == args.img_size:
+                return base_step(params, batch_stats, opt_state, images,
+                                 labels, nlab, rng)
+            if sz not in _scaled_steps:
+                _scaled_steps[sz] = make_scaled(sz)
+            return _scaled_steps[sz](params, batch_stats, opt_state,
+                                     images, labels, nlab, rng)
+    else:
+        train_step = base_step
 
     @jax.jit
     def eval_step(params, batch_stats, images):
@@ -279,10 +381,69 @@ def train(args):
             "history": history, "best_fitness": best_fitness}
 
 
+# Evolvable keys + (mutation sigma, min, max) — mirrors the reference's
+# evolved set (train.py:481: lr0, iou_t, momentum, weight_decay, hsv_s,
+# hsv_v, translate, scale, fl_gamma) plus the loss gains.
+EVOLVE_META = {
+    "lr0": (0.3, 1e-5, 0.1),
+    "iou_t": (0.2, 0.05, 0.7),
+    "momentum": (0.1, 0.3, 0.98),
+    "weight_decay": (0.3, 0.0, 0.01),
+    "giou_gain": (0.3, 0.1, 10.0),
+    "cls_gain": (0.3, 1.0, 100.0),
+    "obj_gain": (0.3, 1.0, 150.0),
+    "fl_gamma": (0.3, 0.0, 3.0),
+}
+
+
+def evolve(args):
+    """Genetic search: mutate hyp, short train, keep the fittest.
+
+    Results appended to <output>/evolve.txt as (fitness, hyp...) rows,
+    like the reference's print_mutation/evolve.txt flow."""
+    import numpy as np
+
+    rng = np.random.default_rng(args.seed)
+    # resolve defaults from argparse values (fl_gamma may be None)
+    base = {k: (getattr(args, k) if getattr(args, k) is not None else
+                {"fl_gamma": 1.5}.get(k, 0.0)) for k in EVOLVE_META}
+    best_hyp, best_fit = dict(base), -1.0
+    os.makedirs(args.output, exist_ok=True)
+    log_path = os.path.join(args.output, "evolve.txt")
+    cycles = args.evolve
+    for g in range(cycles):
+        hyp = dict(best_hyp)
+        if g > 0:  # first cycle evaluates the parent
+            for k, (sigma, lo, hi) in EVOLVE_META.items():
+                if rng.random() < 0.8:
+                    hyp[k] = float(np.clip(
+                        hyp[k] * (1 + rng.normal(0, sigma)), lo, hi))
+        trial = argparse.Namespace(**vars(args))
+        trial.evolve = 0
+        trial.output = os.path.join(args.output, f"gen{g}")
+        for k, v in hyp.items():
+            setattr(trial, k, v)
+        result = train(trial)
+        fit = result["best_fitness"]
+        with open(log_path, "a") as f:
+            f.write(f"gen {g} fitness {fit:.5f} " +
+                    " ".join(f"{k}={hyp[k]:.5g}" for k in EVOLVE_META) +
+                    "\n")
+        logger.info("evolve gen %d: fitness %.5f (best %.5f)", g, fit,
+                    best_fit)
+        if fit > best_fit:
+            best_fit, best_hyp = fit, dict(hyp)
+    logger.info("evolved hyp: %s (fitness %.5f)", best_hyp, best_fit)
+    return best_hyp, best_fit
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
-    return train(parse_args(argv))
+    args = parse_args(argv)
+    if args.evolve:
+        return evolve(args)
+    return train(args)
 
 
 if __name__ == "__main__":

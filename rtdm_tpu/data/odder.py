@@ -121,6 +121,20 @@ class DetectionDataset:
         self.stats["found"] += 1
         return dedup
 
+    def image_weights(self, class_weights: np.ndarray) -> np.ndarray:
+        """Per-image sampling weights from per-class weights
+        (labels_to_image_weights semantics, yolov3/utils/utils.py;
+        used for image-weight resampling, train.py:236-239)."""
+        nc = len(class_weights)
+        w = np.zeros(len(self), np.float64)
+        for i, lab in enumerate(self.labels):
+            counts = np.bincount(lab[:, 0].astype(int), minlength=nc) \
+                if len(lab) else np.zeros(nc)
+            w[i] = float((counts * class_weights).sum())
+        if w.sum() <= 0:
+            return np.ones(len(self)) / max(len(self), 1)
+        return w / w.sum()
+
     def load(self, idx: int,
              rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
         if self.train:
@@ -132,11 +146,19 @@ class DetectionDataset:
         """Mosaic + HSV + hflip training sample (datasets.py __getitem__
         train path). Labels come back as cls + pixel cxcywh."""
         from rtdm_tpu.data.yolo_augment import (DEFAULT_AUG_HYP, augment_hsv,
-                                                load_mosaic)
+                                                cutout, load_mosaic,
+                                                load_mosaic9, mixup)
 
         hyp = {**DEFAULT_AUG_HYP, **self.aug_hyp}
         if rng.random() < hyp["mosaic"]:
-            img, lab_xyxy = load_mosaic(self, idx, rng, hyp)
+            if rng.random() < hyp.get("mosaic9", 0.0):
+                img, lab_xyxy = load_mosaic9(self, idx, rng, hyp)
+            else:
+                img, lab_xyxy = load_mosaic(self, idx, rng, hyp)
+            if rng.random() < hyp.get("mixup", 0.0):
+                idx2 = int(rng.integers(0, len(self)))
+                img2, lab2 = load_mosaic(self, idx2, rng, hyp)
+                img, lab_xyxy = mixup(img, lab_xyxy, img2, lab2, rng)
         else:
             sample = self._load_eval(idx)
             img = sample["image"]
@@ -149,6 +171,8 @@ class DetectionDataset:
             lab_xyxy[:, 3] = cxcywh[:, 1] + cxcywh[:, 3] / 2
             lab_xyxy[:, 4] = cxcywh[:, 2] + cxcywh[:, 4] / 2
         img = augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng)
+        if rng.random() < hyp.get("cutout", 0.0):
+            img, lab_xyxy = cutout(img, lab_xyxy, rng)
         if rng.random() < hyp["fliplr"]:
             img = img[:, ::-1].copy()
             if len(lab_xyxy):
@@ -207,7 +231,8 @@ class DetectionBatchLoader:
 
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  shuffle: bool = False, drop_last: bool = False,
-                 num_workers: int = 8, seed: int = 0):
+                 num_workers: int = 8, seed: int = 0,
+                 image_weights: Optional[np.ndarray] = None):
         self.ds = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -215,6 +240,8 @@ class DetectionBatchLoader:
         self.num_workers = max(1, int(num_workers))
         self.seed = seed
         self.epoch = 0
+        # optional weighted resampling (with replacement) per epoch
+        self.image_weights = image_weights
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -223,10 +250,14 @@ class DetectionBatchLoader:
 
     def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
         n = len(self.ds)
-        order = np.arange(n)
         epoch_rng = np.random.default_rng(self.seed + self.epoch)
-        if self.shuffle:
-            epoch_rng.shuffle(order)
+        if self.image_weights is not None:
+            order = epoch_rng.choice(n, size=n, replace=True,
+                                     p=self.image_weights)
+        else:
+            order = np.arange(n)
+            if self.shuffle:
+                epoch_rng.shuffle(order)
         if self.drop_last and 0 < n < self.batch_size:
             # tiny dataset: cycle indices so training still sees one full
             # fixed-shape batch instead of silently yielding nothing

@@ -21,7 +21,8 @@ import numpy as np
 DEFAULT_AUG_HYP = {
     "hsv_h": 0.0138, "hsv_s": 0.678, "hsv_v": 0.36,
     "degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0,
-    "fliplr": 0.5, "mosaic": 1.0,
+    "fliplr": 0.5, "mosaic": 1.0, "mosaic9": 0.0, "mixup": 0.0,
+    "cutout": 0.0,
 }
 
 
@@ -163,3 +164,86 @@ def load_mosaic(dataset, idx: int, rng: np.random.Generator,
     else:
         labels = np.zeros((0, 5), np.float32)
     return img_out, labels.astype(np.float32)
+
+
+def load_mosaic9(dataset, idx: int, rng: np.random.Generator,
+                 hyp: Optional[Dict[str, float]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """9-image mosaic (yolov5/utils/datasets.py:734 load_mosaic9): a 3x3
+    grid on a 3s canvas, then affine-cropped to s x s."""
+    from PIL import Image
+
+    s = dataset.img_size
+    canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
+    idxs = [idx] + list(rng.integers(0, len(dataset), 8))
+    all_labels = []
+    for cell, index in enumerate(idxs):
+        r, c = divmod(cell, 3)
+        with open(dataset.image_paths[index], "rb") as f:
+            img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        h0, w0 = img.shape[:2]
+        gain = s / max(h0, w0)
+        img = np.asarray(Image.fromarray(img).resize(
+            (max(int(w0 * gain), 1), max(int(h0 * gain), 1)),
+            Image.BILINEAR), np.uint8)
+        h, w = img.shape[:2]
+        y0, x0 = r * s, c * s
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        raw = dataset.labels[index]
+        if len(raw):
+            lab = np.zeros((len(raw), 5), np.float32)
+            lab[:, 0] = raw[:, 0]
+            lab[:, 1] = raw[:, 1] * w - raw[:, 3] * w / 2 + x0
+            lab[:, 2] = raw[:, 2] * h - raw[:, 4] * h / 2 + y0
+            lab[:, 3] = raw[:, 1] * w + raw[:, 3] * w / 2 + x0
+            lab[:, 4] = raw[:, 2] * h + raw[:, 4] * h / 2 + y0
+            all_labels.append(lab)
+    labels = (np.concatenate(all_labels)
+              if all_labels else np.zeros((0, 5), np.float32))
+    labels[:, 1:] = labels[:, 1:].clip(0, 3 * s - 1)
+    hyp = {**DEFAULT_AUG_HYP, **(hyp or {})}
+    img_out, boxes, cls = random_affine(
+        canvas, labels[:, 1:5], labels[:, 0],
+        degrees=hyp["degrees"], translate=hyp["translate"],
+        scale=hyp["scale"], shear=hyp["shear"], rng=rng, border=-s)
+    if len(boxes):
+        labels = np.concatenate([cls[:, None], boxes], axis=1)
+    else:
+        labels = np.zeros((0, 5), np.float32)
+    return img_out, labels.astype(np.float32)
+
+
+def mixup(img1: np.ndarray, lab1: np.ndarray, img2: np.ndarray,
+          lab2: np.ndarray, rng: np.random.Generator
+          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Image mixup (datasets.py __getitem__: beta(8,8) blend, labels
+    concatenated)."""
+    r = rng.beta(8.0, 8.0)
+    img = (img1.astype(np.float32) * r
+           + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
+    return img, np.concatenate([lab1, lab2], axis=0)
+
+
+def cutout(img: np.ndarray, labels_xyxy: np.ndarray,
+           rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """Cutout (yolov3/utils/datasets.py:703): random gray patches; labels
+    whose boxes are >60%% obscured are dropped."""
+    h, w = img.shape[:2]
+    img = img.copy()
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    keep = np.ones(len(labels_xyxy), bool)
+    for s in scales:
+        mh, mw = int(h * s * rng.uniform(0.5, 1.0)), \
+            int(w * s * rng.uniform(0.5, 1.0))
+        cy, cx = int(rng.uniform(0, h)), int(rng.uniform(0, w))
+        y1, y2 = max(cy - mh // 2, 0), min(cy + mh // 2, h)
+        x1, x2 = max(cx - mw // 2, 0), min(cx + mw // 2, w)
+        img[y1:y2, x1:x2] = rng.integers(64, 191, 3, dtype=np.uint8)
+        if len(labels_xyxy):
+            bx1, by1 = labels_xyxy[:, 1], labels_xyxy[:, 2]
+            bx2, by2 = labels_xyxy[:, 3], labels_xyxy[:, 4]
+            iw = np.clip(np.minimum(bx2, x2) - np.maximum(bx1, x1), 0, None)
+            ih = np.clip(np.minimum(by2, y2) - np.maximum(by1, y1), 0, None)
+            area = np.maximum((bx2 - bx1) * (by2 - by1), 1e-9)
+            keep &= (iw * ih / area) < 0.6
+    return img, labels_xyxy[keep]

@@ -114,6 +114,85 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     return {"p": p, "r": r, "ap": ap, "f1": f1, "classes": classes}
 
 
+class DetectionConfusionMatrix:
+    """IoU-matched detection confusion matrix (yolov5/utils/metrics.py:109):
+    (nc+1)x(nc+1) where the extra row/col is background (FP/FN)."""
+
+    def __init__(self, num_classes: int, conf: float = 0.25,
+                 iou_thres: float = 0.45):
+        self.nc = num_classes
+        self.conf = conf
+        self.iou_thres = iou_thres
+        self.matrix = np.zeros((num_classes + 1, num_classes + 1), np.int64)
+
+    def process_batch(self, det: np.ndarray, gt_boxes: np.ndarray,
+                      gt_cls: np.ndarray) -> None:
+        det = det[det[:, 4] > self.conf] if len(det) else det
+        gt_cls = np.asarray(gt_cls, int)
+        if len(gt_boxes) == 0:
+            for c in (det[:, 5].astype(int) if len(det) else []):
+                self.matrix[c, self.nc] += 1  # predicted, no gt -> FP col
+            return
+        if len(det) == 0:
+            for c in gt_cls:
+                self.matrix[self.nc, c] += 1  # gt, no pred -> FN row
+            return
+        iou = box_iou_np(gt_boxes, det[:, :4])
+        matches = np.argwhere(iou > self.iou_thres)
+        if len(matches):
+            vals = iou[matches[:, 0], matches[:, 1]]
+            order = np.argsort(-vals)
+            matches = matches[order]
+            # unique per detection then per gt (metrics.py:128-133)
+            matches = matches[np.unique(matches[:, 1],
+                                        return_index=True)[1]]
+            matches = matches[np.unique(matches[:, 0],
+                                        return_index=True)[1]]
+        matched_gt = set(matches[:, 0]) if len(matches) else set()
+        matched_det = set(matches[:, 1]) if len(matches) else set()
+        for gi, di in matches:
+            self.matrix[int(det[di, 5]), int(gt_cls[gi])] += 1
+        for gi in range(len(gt_cls)):
+            if gi not in matched_gt:
+                self.matrix[self.nc, int(gt_cls[gi])] += 1
+        for di in range(len(det)):
+            if di not in matched_det:
+                self.matrix[int(det[di, 5]), self.nc] += 1
+
+
+def plot_pr_curve(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
+                  target_cls: np.ndarray, num_classes: int, path: str,
+                  names: Optional[Sequence[str]] = None) -> str:
+    """Per-class PR curves at IoU 0.5 (metrics.py plot_pr_curve analogue)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    order = np.argsort(-conf)
+    tp, pred_cls = tp[order], pred_cls[order]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for c in np.unique(target_cls).astype(int):
+        mask = pred_cls == c
+        n_gt = int((target_cls == c).sum())
+        if not mask.any() or n_gt == 0:
+            continue
+        tpc = np.cumsum(tp[mask, 0])
+        fpc = np.cumsum(~tp[mask, 0])
+        recall = tpc / n_gt
+        precision = tpc / np.maximum(tpc + fpc, 1e-16)
+        label = names[c] if names and c < len(names) else f"class {c}"
+        ax.plot(recall, precision, label=label)
+    ax.set_xlabel("recall")
+    ax.set_ylabel("precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1.02)
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 class DetectionEvaluator:
     """Streaming accumulator: feed per-image (detections, ground truth),
     get mAP@0.5 / mAP@0.5:0.95 / P / R at the end."""

@@ -92,6 +92,10 @@ def _activation(name: str):
         return lambda x: x * jnp.tanh(jax.nn.softplus(x))
     if name == "relu":
         return jax.nn.relu
+    if name in ("hardswish", "hard_swish"):
+        return jax.nn.hard_swish
+    if name == "relu6":
+        return lambda x: jnp.clip(x, 0, 6)
     if name in ("linear", "logistic"):
         return (jax.nn.sigmoid if name == "logistic" else (lambda x: x))
     raise ValueError(f"unsupported activation '{name}'")

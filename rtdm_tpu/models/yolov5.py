@@ -146,6 +146,89 @@ class BottleneckCSP(nn.Module):
                           name="cv4")(y, train)
 
 
+class TransformerLayer(nn.Module):
+    """common.py:48-62: pre-projections q/k/v (no bias), 4-head attention,
+    2-layer MLP, both residual. LayerNorm intentionally absent (the
+    reference removed it 'for better performance')."""
+    c: int
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, T, C)
+        c, h = self.c, self.num_heads
+        dk = c // h
+
+        def lin(name, y, bias=False):
+            w = self.param(f"{name}_w", nn.initializers.lecun_normal(),
+                           (c, c), jnp.float32)
+            out = y @ w.astype(y.dtype)
+            if bias:
+                b = self.param(f"{name}_b", nn.initializers.zeros, (c,),
+                               jnp.float32)
+                out = out + b.astype(y.dtype)
+            return out
+
+        q = lin("q", x)
+        k = lin("k", x)
+        v = lin("v", x)
+        # torch MultiheadAttention applies its own in/out projections
+        qi, ki, vi = lin("in_q", q, True), lin("in_k", k, True), \
+            lin("in_v", v, True)
+        bsz, t, _ = x.shape
+
+        def split(y):
+            return y.reshape(bsz, t, h, dk).transpose(0, 2, 1, 3)
+
+        att = jnp.einsum("bhqd,bhkd->bhqk", split(qi), split(ki)) \
+            / jnp.sqrt(dk).astype(x.dtype)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", att, split(vi))
+        out = out.transpose(0, 2, 1, 3).reshape(bsz, t, c)
+        x = lin("out", out, True) + x
+        return lin("fc2", lin("fc1", x)) + x
+
+
+class TransformerBlock(nn.Module):
+    """common.py:65-93: optional input Conv, learned position embedding
+    (linear), n TransformerLayers over HW tokens."""
+    c2: int
+    num_heads: int = 4
+    n: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        if x.shape[-1] != self.c2:
+            x = ConvBnSiLU(self.c2, 1, bn_axis=self.bn_axis,
+                           name="conv")(x, train)
+        b, hh, ww, c = x.shape
+        tokens = x.reshape(b, hh * ww, c)
+        pe_w = self.param("linear_w", nn.initializers.lecun_normal(),
+                          (c, c), jnp.float32)
+        pe_b = self.param("linear_b", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        tokens = tokens + (tokens @ pe_w.astype(tokens.dtype)
+                           + pe_b.astype(tokens.dtype))
+        for j in range(self.n):
+            tokens = TransformerLayer(c, self.num_heads,
+                                      name=f"tr{j}")(tokens)
+        return tokens.reshape(b, hh, ww, c)
+
+
+class C3TRBlock(C3):
+    """C3 whose inner stack is a TransformerBlock (common.py:140-146)."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, bn_axis=self.bn_axis,
+                              name="m")(y1, train)
+        y2 = ConvBnSiLU(c_, 1, bn_axis=self.bn_axis, name="cv2")(x, train)
+        return ConvBnSiLU(self.c2, 1, bn_axis=self.bn_axis,
+                          name="cv3")(jnp.concatenate([y1, y2], -1), train)
+
+
 class SPP(nn.Module):
     c2: int
     ks: Tuple[int, ...] = (5, 9, 13)
@@ -353,10 +436,14 @@ class YoloV5(nn.Module):
                     x = Bottleneck(args[0], *args[1:], bn_axis=ax,
                                    name=f"{name}_{j}" if n > 1 else name)(
                         x, train)
-            elif m in ("C3", "C3TR"):
+            elif m == "C3":
                 sc = args[1] if len(args) > 1 else True
                 x = C3(args[0], n=n, shortcut=sc, bn_axis=ax,
                        name=name)(src, train)
+            elif m == "C3TR":
+                sc = args[1] if len(args) > 1 else True
+                x = C3TRBlock(args[0], n=n, shortcut=sc, bn_axis=ax,
+                              name=name)(src, train)
             elif m == "BottleneckCSP":
                 sc = args[1] if len(args) > 1 else True
                 x = BottleneckCSP(args[0], n=n, shortcut=sc, bn_axis=ax,

@@ -61,7 +61,8 @@ def _greedy_keep(iou: jax.Array, valid: jax.Array,
     return jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
 
 
-@partial(jax.jit, static_argnames=("max_det", "top_k", "class_agnostic"))
+@partial(jax.jit,
+         static_argnames=("max_det", "top_k", "class_agnostic", "method"))
 def batched_nms(pred: jax.Array,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.6,
@@ -69,7 +70,8 @@ def batched_nms(pred: jax.Array,
                 top_k: int = 512,
                 multi_label: bool = False,
                 class_agnostic: bool = False,
-                max_wh: float = 4096.0
+                max_wh: float = 4096.0,
+                method: str = "greedy"
                 ) -> Tuple[jax.Array, jax.Array]:
     """NMS over decoded predictions.
 
@@ -100,7 +102,28 @@ def batched_nms(pred: jax.Array,
             offset = top_cls.astype(jnp.float32)[:, None] * max_wh
             nms_boxes = top_boxes + offset  # class-offset trick
         iou = box_iou_matrix(nms_boxes, nms_boxes)
-        keep = _greedy_keep(iou, valid, iou_thres)
+
+        if method == "soft":
+            # soft-NMS (utils.py:585-597's variant): instead of killing
+            # overlapped boxes, decay their score by prod(1 - iou) with
+            # all higher-scoring boxes, then re-threshold.
+            upper = jnp.triu(iou, k=1)  # iou with higher-scored j<i is
+            decay = jnp.prod(1.0 - jnp.where(upper > iou_thres, upper, 0.0),
+                             axis=0)
+            soft_scores = top_scores * decay
+            keep = valid & (soft_scores > conf_thres)
+            top_scores = jnp.where(keep, soft_scores, 0.0)
+        else:
+            keep = _greedy_keep(iou, valid, iou_thres)
+            if method == "merge":
+                # merge-NMS (utils.py:604-610 / general.py:520-523):
+                # surviving boxes become the score-weighted average of the
+                # boxes they suppressed (same class, iou > thres).
+                w = jnp.where((iou > iou_thres) & valid[None, :],
+                              top_scores[None, :], 0.0)   # (kept i, j)
+                merged = (w @ top_boxes) / jnp.maximum(
+                    jnp.sum(w, axis=1, keepdims=True), 1e-9)
+                top_boxes = jnp.where(keep[:, None], merged, top_boxes)
 
         kept_scores = jnp.where(keep, top_scores, -1.0)
         order = jnp.argsort(-kept_scores)[:max_det]
