@@ -1,0 +1,189 @@
+// rtdm_io — native image-decode + letterbox runtime for rtdm_tpu.
+//
+// The TPU-native counterpart of the reference's native runtime layer: where
+// the reference spends C++/CUDA on the TensorRT plugin and buffer plumbing
+// (tensorrt_inference/plugins/, common/), the TPU build's native budget goes
+// where the host actually burns time — JPEG decode + resize + letterbox on
+// the streaming/data path (the per-frame PIL round trip called out in
+// real-time-inference.py's hot loop).
+//
+// Design:
+//  - libjpeg with DCT-domain prescaling: decode directly at ~target size
+//    (scale_num/8) instead of full-res + downsample — typically 3-6x less
+//    decode work for aerial stills.
+//  - fixed-point bilinear resize (16.16) to the exact target, then
+//    letterbox-pad with gray 114 (data/odder.py letterbox semantics) or
+//    stretch-resize (classifier eval path does its own crop).
+//  - plain C ABI (ctypes-friendly), caller-owned output buffers, no Python
+//    objects held during work so Python threads overlap fully.
+//
+// Build: see native/Makefile (g++ -O3 -fPIC -shared, links -ljpeg).
+
+#include <cstddef>
+#include <cstdio>
+// jpeglib.h needs size_t/FILE declared first (it does not include them)
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <csetjmp>
+#include <cstdio>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* mgr = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(mgr->jump, 1);
+}
+
+// Bilinear resize RGB u8 (h,w) -> (oh,ow), 16.16 fixed point.
+// Half-pixel-center coordinate mapping (src = (dst+0.5)*scale - 0.5), the
+// cv2.INTER_LINEAR convention the reference's letterbox uses
+// (yolov3/utils/datasets.py:599-630) — no antialiasing.
+void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int oh,
+                     int ow) {
+  if (h == oh && w == ow) {
+    std::memcpy(dst, src, static_cast<size_t>(h) * w * 3);
+    return;
+  }
+  const int64_t x_ratio = ((int64_t)w << 16) / ow;
+  const int64_t y_ratio = ((int64_t)h << 16) / oh;
+  for (int oy = 0; oy < oh; ++oy) {
+    int64_t sy = ((2 * oy + 1) * y_ratio - (1 << 16)) / 2;
+    if (sy < 0) sy = 0;
+    int y0 = static_cast<int>(sy >> 16);
+    if (y0 > h - 1) y0 = h - 1;
+    const int y1 = std::min(y0 + 1, h - 1);
+    const int fy = static_cast<int>(sy & 0xffff);
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * w * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * w * 3;
+    uint8_t* out = dst + static_cast<size_t>(oy) * ow * 3;
+    for (int ox = 0; ox < ow; ++ox) {
+      int64_t sx = ((2 * ox + 1) * x_ratio - (1 << 16)) / 2;
+      if (sx < 0) sx = 0;
+      int x0 = static_cast<int>(sx >> 16);
+      if (x0 > w - 1) x0 = w - 1;
+      const int x1 = std::min(x0 + 1, w - 1);
+      const int fx = static_cast<int>(sx & 0xffff);
+      for (int c = 0; c < 3; ++c) {
+        const int p00 = row0[x0 * 3 + c], p01 = row0[x1 * 3 + c];
+        const int p10 = row1[x0 * 3 + c], p11 = row1[x1 * 3 + c];
+        const int top = p00 + (((p01 - p00) * fx) >> 16);
+        const int bot = p10 + (((p11 - p10) * fx) >> 16);
+        out[ox * 3 + c] =
+            static_cast<uint8_t>(top + (((bot - top) * fy) >> 16));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a JPEG from memory, resize+letterbox into out (size*size*3, RGB).
+// Returns 0 on success; fills gain (resize factor) and pad_w/pad_h.
+// letterbox=0 stretches to size x size instead (no padding; gain/pads are
+// per-axis meaningless and set to 0).
+int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
+                               int letterbox, uint8_t pad_value,
+                               uint8_t* out, float* gain, float* pad_w,
+                               float* pad_h, int* orig_h, int* orig_w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = error_exit;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  *orig_h = static_cast<int>(cinfo.image_height);
+  *orig_w = static_cast<int>(cinfo.image_width);
+
+  // DCT prescale: decode at the smallest n/8 >= target coverage.
+  const int big = std::max(*orig_h, *orig_w);
+  int num = 8;
+  while (num > 1 && (big * (num - 1)) / 8 >= size) --num;
+  cinfo.scale_num = num;
+  cinfo.scale_denom = 8;
+
+  jpeg_start_decompress(&cinfo);
+  const int dh = static_cast<int>(cinfo.output_height);
+  const int dw = static_cast<int>(cinfo.output_width);
+  std::vector<uint8_t> decoded(static_cast<size_t>(dh) * dw * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = decoded.data() +
+                   static_cast<size_t>(cinfo.output_scanline) * dw * 3;
+    JSAMPROW rows[1] = {row};
+    jpeg_read_scanlines(&cinfo, rows, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  if (!letterbox) {
+    resize_bilinear(decoded.data(), dh, dw, out, size, size);
+    *gain = 0.f;
+    *pad_w = 0.f;
+    *pad_h = 0.f;
+    return 0;
+  }
+  // letterbox relative to the ORIGINAL image (odder.py semantics)
+  const float g = std::min(static_cast<float>(size) / *orig_h,
+                           static_cast<float>(size) / *orig_w);
+  const int nw = std::max(static_cast<int>(*orig_w * g + 0.5f), 1);
+  const int nh = std::max(static_cast<int>(*orig_h * g + 0.5f), 1);
+  std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+  resize_bilinear(decoded.data(), dh, dw, resized.data(), nh, nw);
+  std::memset(out, pad_value, static_cast<size_t>(size) * size * 3);
+  const int pw = (size - nw) / 2;
+  const int ph = (size - nh) / 2;
+  for (int y = 0; y < nh; ++y) {
+    std::memcpy(out + (static_cast<size_t>(y + ph) * size + pw) * 3,
+                resized.data() + static_cast<size_t>(y) * nw * 3,
+                static_cast<size_t>(nw) * 3);
+  }
+  *gain = g;
+  *pad_w = static_cast<float>(pw);
+  *pad_h = static_cast<float>(ph);
+  return 0;
+}
+
+// Resize+letterbox an already-decoded RGB u8 frame (for camera streams).
+int rtdm_letterbox_rgb(const uint8_t* src, int h, int w, int size,
+                       uint8_t pad_value, uint8_t* out, float* gain,
+                       float* pad_w, float* pad_h) {
+  const float g = std::min(static_cast<float>(size) / h,
+                           static_cast<float>(size) / w);
+  const int nw = std::max(static_cast<int>(w * g + 0.5f), 1);
+  const int nh = std::max(static_cast<int>(h * g + 0.5f), 1);
+  std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+  resize_bilinear(src, h, w, resized.data(), nh, nw);
+  std::memset(out, pad_value, static_cast<size_t>(size) * size * 3);
+  const int pw = (size - nw) / 2;
+  const int ph = (size - nh) / 2;
+  for (int y = 0; y < nh; ++y) {
+    std::memcpy(out + (static_cast<size_t>(y + ph) * size + pw) * 3,
+                resized.data() + static_cast<size_t>(y) * nw * 3,
+                static_cast<size_t>(nw) * 3);
+  }
+  *gain = g;
+  *pad_w = static_cast<float>(pw);
+  *pad_h = static_cast<float>(ph);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,112 @@
+"""ctypes bridge to the native IO runtime (native/librtdm_io.so).
+
+Auto-builds the shared library on first use when g++ is available;
+everything degrades gracefully to the PIL path when it is not. The native
+decoder uses libjpeg DCT prescaling (decode at ~target size), which the
+PIL path cannot do per-call, so dataset/streaming preprocessing drops from
+tens of ms to a few ms per aerial frame on one core.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "librtdm_io.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:
+            logger.info("native IO unavailable (build failed: %s); "
+                        "using PIL path", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError as e:
+        logger.info("native IO unavailable (%s); using PIL path", e)
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    lib.rtdm_decode_jpeg_letterbox.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+        u8p, f32p, f32p, f32p, i32p, i32p]
+    lib.rtdm_decode_jpeg_letterbox.restype = ctypes.c_int
+    lib.rtdm_letterbox_rgb.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+        u8p, f32p, f32p, f32p]
+    lib.rtdm_letterbox_rgb.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg_letterbox(data: bytes, size: int, pad_value: int = 114
+                          ) -> Optional[Tuple[np.ndarray, float,
+                                              Tuple[float, float],
+                                              Tuple[int, int]]]:
+    """JPEG bytes -> (letterboxed (size,size,3) u8, gain, (pad_w, pad_h),
+    (orig_h, orig_w)); None when native IO or the decode is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    gain = ctypes.c_float()
+    pw = ctypes.c_float()
+    ph = ctypes.c_float()
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.rtdm_decode_jpeg_letterbox(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        size, 1, pad_value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph),
+        ctypes.byref(oh), ctypes.byref(ow))
+    if rc != 0:
+        return None
+    return out, float(gain.value), (float(pw.value), float(ph.value)), \
+        (int(oh.value), int(ow.value))
+
+
+def letterbox_rgb(frame: np.ndarray, size: int, pad_value: int = 114
+                  ) -> Optional[Tuple[np.ndarray, float,
+                                      Tuple[float, float]]]:
+    """Decoded RGB frame -> letterboxed square (camera path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    frame = np.ascontiguousarray(frame, np.uint8)
+    h, w = frame.shape[:2]
+    out = np.empty((size, size, 3), np.uint8)
+    gain = ctypes.c_float()
+    pw = ctypes.c_float()
+    ph = ctypes.c_float()
+    lib.rtdm_letterbox_rgb(
+        frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, size,
+        pad_value, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph))
+    return out, float(gain.value), (float(pw.value), float(ph.value))

@@ -196,17 +196,30 @@ class DetectionDataset:
                 "index": np.int32(idx)}
 
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
-
         path = self.image_paths[idx]
-        try:
-            with open(path, "rb") as f:
-                img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
-        except Exception as e:
-            logger.warning("failed to load %s: %s", path, e)
-            img = np.zeros((self.img_size, self.img_size, 3), np.uint8)
-        orig_h, orig_w = img.shape[:2]
-        out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
+        out = None
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # native fast path: libjpeg DCT-prescaled decode + letterbox
+            # (native/rtdm_io.cpp); graceful fallback to PIL below
+            try:
+                from rtdm_tpu.data.native_io import decode_jpeg_letterbox
+                with open(path, "rb") as f:
+                    res = decode_jpeg_letterbox(f.read(), self.img_size,
+                                                PAD_COLOR)
+                if res is not None:
+                    out, gain, (pad_w, pad_h), (orig_h, orig_w) = res
+            except Exception:
+                out = None
+        if out is None:
+            from PIL import Image
+            try:
+                with open(path, "rb") as f:
+                    img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+            except Exception as e:
+                logger.warning("failed to load %s: %s", path, e)
+                img = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+            orig_h, orig_w = img.shape[:2]
+            out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
 
         raw = self.labels[idx]
         n = min(len(raw), self.max_labels)
