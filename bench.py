@@ -53,7 +53,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     best = {"fps": 0.0, "batch": 0, "ms": 0.0}
-    for batch in (1024, 2048, 4096):
+    for batch in (2048, 4096, 8192):
         bufs = [jax.device_put(jnp.asarray(
             rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
             for _ in range(2)]

@@ -20,7 +20,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              batch_size: int = 8, conf_thres: float = 0.001,
              iou_thres: float = 0.6, map_iou: float = 0.5,
              quant: str = "bf16", num_workers: int = 8,
-             full_map_range: bool = False):
+             full_map_range: bool = False, save_json: str = ""):
     import numpy as np
     import jax.numpy as jnp
 
@@ -55,6 +55,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     ev = DetectionEvaluator(nc, iouv)
     t_infer = 0.0
     n_images = 0
+    json_records = []
     for batch, valid in loader:
         t0 = time.perf_counter()
         det, count = detector(batch["image"][:batch_size])
@@ -66,7 +67,24 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             lab = batch["labels"][i][:nl]
             gt_boxes = np.asarray(xywh_to_xyxy(jnp.asarray(lab[:, 1:5])))
             ev.add_image(d, gt_boxes, lab[:, 0].astype(np.int32))
+            if save_json:
+                # COCO-style detection records (yolov5/test.py --save-json)
+                img_id = int(batch["index"][i])
+                for x1, y1, x2, y2, conf, c in d:
+                    json_records.append({
+                        "image_id": img_id,
+                        "category_id": int(c),
+                        "bbox": [round(float(x1), 2), round(float(y1), 2),
+                                 round(float(x2 - x1), 2),
+                                 round(float(y2 - y1), 2)],
+                        "score": round(float(conf), 5)})
             n_images += 1
+
+    if save_json:
+        import json
+        with open(save_json, "w") as f:
+            json.dump(json_records, f)
+        print(f"wrote {len(json_records)} detections to {save_json}")
 
     res = ev.results()
     ms = t_infer / max(n_images, 1) * 1e3
@@ -97,6 +115,8 @@ def main(argv=None):
                    help="report mAP@0.5:0.95 (v5-style)")
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--save-json", default="",
+                   help="write COCO-format detection json here")
     p.add_argument("--task", default="test",
                    choices=["test", "benchmark", "study"])
     p.add_argument("--study-plot", default="study.png")
@@ -133,7 +153,8 @@ def main(argv=None):
     return evaluate(args.cfg, args.data, args.weights, args.img_size,
                     args.batch_size, args.conf_thres, args.iou_thres,
                     args.map_iou, args.quant,
-                    full_map_range=args.full_map_range)
+                    full_map_range=args.full_map_range,
+                    save_json=args.save_json)
 
 
 if __name__ == "__main__":
