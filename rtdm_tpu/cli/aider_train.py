@@ -153,7 +153,6 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         logger.info("resumed from epoch %d", start_epoch)
 
     data_sh = NamedSharding(mesh, P("data"))
-    repl_sh = NamedSharding(mesh, P())
 
     def put_batch(images, labels):
         x = jax.device_put(jnp.asarray(images), data_sh)
@@ -161,9 +160,8 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         return x, y
 
     from rtdm_tpu.utils.experiment_log import ExperimentLogger
-    import dataclasses as _dc
     explog = ExperimentLogger(config.log_dir, run_name=config.model,
-                              config=_dc.asdict(config))
+                              config=dataclasses.asdict(config))
 
     stopper = EarlyStopping(config.patience)
     plateau = (PlateauScaler(patience=max(config.epochs // 3, 1))

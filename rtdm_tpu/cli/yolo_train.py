@@ -17,7 +17,6 @@ Run: python -m rtdm_tpu.cli.yolo_train --cfg .../yolov4-tiny-aider-416.cfg \
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import os
 import time

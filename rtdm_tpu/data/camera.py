@@ -19,7 +19,7 @@ import glob
 import os
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

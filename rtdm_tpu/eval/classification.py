@@ -12,7 +12,7 @@ so eval needs exactly one small device->host transfer per batch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

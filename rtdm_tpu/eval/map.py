@@ -14,7 +14,7 @@ heavy lifting (forward + decode + NMS) already happened on device.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

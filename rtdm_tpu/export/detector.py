@@ -13,7 +13,6 @@ darknet convention (yolov3/detect.py img/255).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 

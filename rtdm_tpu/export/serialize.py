@@ -16,7 +16,7 @@ backend. Mirrors the reference surface:
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 
 def export_stablehlo(fn: Callable, example_args: Sequence[Any],

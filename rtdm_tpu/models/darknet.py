@@ -28,7 +28,7 @@ the fork's torch checkpoints (module_list.{i}.* state_dicts).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,6 @@ def _nchw_flatten(x: jax.Array) -> jax.Array:
 class _ErnetHead(nn.Module):
     """1x1 conv -> odd avg-pool -> flatten -> fc -> (optional) softmax."""
     pool_padding: int
-    fc_in: int
     num_classes: int = NUM_CLASSES
 
     @nn.compact
@@ -74,8 +73,7 @@ class SqueezeErNET(nn.Module):
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
-        return _ErnetHead(pool_padding=1, fc_in=20,
-                          name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=1, name="head")(x, apply_softmax and not train)
 
 
 class SqueezeRedConv(nn.Module):
@@ -99,8 +97,7 @@ class SqueezeRedConv(nn.Module):
         x = max_pool2d(x, 2, 2)
         x = Conv(64, kernel_size=1, name="conv_red3")(x)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
-        return _ErnetHead(pool_padding=1, fc_in=20,
-                          name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=1, name="head")(x, apply_softmax and not train)
 
 
 class ErNET(nn.Module):
@@ -123,8 +120,7 @@ class ErNET(nn.Module):
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff5")(x, train)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff6")(x, train)
-        return _ErnetHead(pool_padding=0, fc_in=45,
-                          name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=0, name="head")(x, apply_softmax and not train)
 
 
 MODEL_REGISTRY = {

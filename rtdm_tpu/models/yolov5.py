@@ -23,7 +23,7 @@ module tree (m{i}/cv1/conv/kernel ...) making checkpoint import mechanical.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Parity notes vs the reference (torch, NCHW):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

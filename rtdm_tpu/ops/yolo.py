@@ -16,7 +16,7 @@ Channel layout: NHWC raw map with channels = na*(5+nc), anchor-major
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

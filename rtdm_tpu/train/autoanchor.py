@@ -15,7 +15,7 @@ Pure numpy — anchors are static metadata baked into the compiled graph.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

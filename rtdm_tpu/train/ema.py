@@ -7,7 +7,7 @@ decay(step) = base_decay * (1 - exp(-step / 2000)), applied to params and
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ training_utils/train_utils.py:16-177):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -23,7 +23,7 @@ duplicate-cell collisions (torch's last-write-wins is order-dependent).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

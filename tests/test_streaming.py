@@ -1,0 +1,127 @@
+"""Streaming runtime tests: frame sources, realtime CLI, cascade CLI,
+profiler, experiment logging."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import REFERENCE_ROOT, needs_reference
+
+IMAGES = REFERENCE_ROOT / \
+    "code/victim_localization/yolov3/data/custom/test/images"
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 255, (120, 160, 3),
+                                     dtype=np.uint8)).save(d / f"f{i}.jpg")
+    return str(d)
+
+
+def test_frame_source_dir(image_dir):
+    from rtdm_tpu.data.camera import FrameSource
+
+    src = FrameSource.open(image_dir).start()
+    frames = list(src)
+    assert len(frames) == 5
+    assert frames[0].shape == (120, 160, 3)
+    assert src.frames_read == 5
+
+
+def test_frame_source_single_image(image_dir):
+    from rtdm_tpu.data.camera import FrameSource
+
+    path = os.path.join(image_dir, "f0.jpg")
+    src = FrameSource.open(path).start()
+    assert len(list(src)) == 1
+
+
+def test_frame_source_rejects_unknown():
+    from rtdm_tpu.data.camera import FrameSource
+
+    with pytest.raises(ValueError, match="unrecognized source"):
+        FrameSource.open("definitely_not_a_source.xyz")
+
+
+def test_realtime_inference_cli(image_dir, tmp_path, capsys):
+    from rtdm_tpu.cli.realtime_inference import main
+    import jax
+
+    # random weights: save an npz so the CLI loads our own format
+    import jax.numpy as jnp
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.io import save_variables
+
+    model = create_model("squeeze-ernet")
+    v = model.init(jax.random.key(0), jnp.zeros((1, 140, 140, 3)))
+    wpath = str(tmp_path / "w.npz")
+    save_variables(wpath, jax.device_get(v))
+
+    n = main(["--source", image_dir, "--model", "squeeze-ernet",
+              "--weights", wpath, "--batch", "2", "--power",
+              "--save-dir", str(tmp_path / "out")])
+    out = capsys.readouterr().out
+    assert n == 5
+    assert "FPS avg" in out and "energy/frame" in out
+    assert os.path.exists(str(tmp_path / "out" / "frame_00004.jpg"))
+
+
+@needs_reference
+def test_cascade_stream_cli(tmp_path, capsys):
+    from rtdm_tpu.cli.cascade_stream import main
+    import jax
+    import jax.numpy as jnp
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.io import save_variables
+
+    model = create_model("squeeze-ernet")
+    v = model.init(jax.random.key(0), jnp.zeros((1, 140, 140, 3)))
+    wpath = str(tmp_path / "cls.npz")
+    save_variables(wpath, jax.device_get(v))
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    results = main(["--source", str(IMAGES), "--det-cfg", cfg,
+                    "--cls-model", "squeeze-ernet", "--cls-weights", wpath,
+                    "--img-size", "224", "--quant", "fp32",
+                    "--max-frames", "3"])
+    out = capsys.readouterr().out
+    assert len(results) == 3
+    assert "cascade" in out
+    scene, det = results[0]
+    assert isinstance(scene, str) and det.shape[1] == 6
+
+
+def test_profiler_energy_model():
+    from rtdm_tpu.utils.profiler import PowerMonitor
+
+    pm = PowerMonitor(chip_watts=100.0, idle_watts=10.0)
+    pm.start()
+    pm.record_busy(0.05)
+    pm.record_busy(0.05)
+    pm.stop()
+    # 0.1s busy at 100W -> 10 J over frames
+    np.testing.assert_allclose(pm.energy_per_frame(10), 1000.0, rtol=1e-6)
+    assert pm.get_total_energy() > 0
+
+
+def test_experiment_logger_jsonl(tmp_path):
+    from rtdm_tpu.utils.experiment_log import ExperimentLogger
+
+    log = ExperimentLogger(str(tmp_path), run_name="t",
+                           use_tensorboard=False, config={"lr": 0.1})
+    log.log_scalars(0, {"loss": 1.5})
+    log.log_scalars(1, {"loss": 1.0})
+    log.log_artifact(str(tmp_path / "model.npz"))
+    log.close()
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "t.jsonl").read().splitlines()]
+    events = [ln["event"] for ln in lines]
+    assert events == ["config", "scalars", "scalars", "artifact"]
+    assert lines[1]["loss"] == 1.5
