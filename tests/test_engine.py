@@ -92,3 +92,28 @@ def test_entropy_calibration():
     # both should clip the outliers: threshold well below 50
     assert s_pct * 127 < 10
     assert s_ent * 127 < 10
+
+
+def test_real_int8_forward_matches_fp32(variables, frames):
+    """True-int8 MXU path (quant/int8.py int8_classifier_forward) tracks
+    fp32 closely and is QDQ-level accurate."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.data.aider import normalize_batch
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.quant.calibrate import calibrate_classifier
+    from rtdm_tpu.quant.int8 import int8_classifier_forward
+
+    model = create_model("squeeze-ernet")
+    scales = calibrate_classifier(model, variables, frames[:8])
+    fwd8 = int8_classifier_forward(model, variables, scales)
+    f = jax.jit(lambda u8: fwd8(normalize_batch(u8)))
+    got = np.asarray(f(jnp.asarray(frames)))
+    # retrace at a different batch must not leak tracers
+    got2 = np.asarray(f(jnp.asarray(frames[:4])))
+    fp32 = np.asarray(model.apply(
+        variables, normalize_batch(jnp.asarray(frames)), train=False))
+    assert got.shape == (16, 5) and got2.shape == (4, 5)
+    assert np.mean(got.argmax(1) == fp32.argmax(1)) >= 0.9
+    np.testing.assert_allclose(got.sum(1), np.ones(16), rtol=1e-4)
