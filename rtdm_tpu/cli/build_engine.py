@@ -35,8 +35,14 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Build an rtdm_tpu engine")
     p.add_argument("--model", default="squeeze-ernet",
                    choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
+    p.add_argument("--cfg", help="build a DETECTOR engine from this "
+                   "darknet .cfg / v5 .yaml instead of a classifier")
+    p.add_argument("--img-size", type=int, default=416,
+                   help="detector input size")
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--weights", required=True,
-                   help="torch .pt state_dict to convert")
+                   help="weights to convert (.pt/.npz/.weights)")
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
     p.add_argument("--batch-size", type=int, default=256,
@@ -46,6 +52,21 @@ def main(argv=None):
                    choices=["percentile", "entropy"])
     p.add_argument("--output", required=True, help="engine output dir")
     args = p.parse_args(argv)
+
+    if args.cfg:  # detector engine (engines/*.trt analogue)
+        from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                              save_detector)
+        spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
+                            img_size=args.img_size,
+                            conf_thres=args.conf_thres,
+                            iou_thres=args.iou_thres, quant=args.quant)
+        t0 = time.time()
+        det = build_detector(args.cfg, args.weights, spec,
+                             batch_size=args.batch_size)
+        print(f"detector engine built in {time.time() - t0:.1f}s")
+        save_detector(det, args.output)
+        print(f"saved to {args.output} (spec.json + model.txt + params.npz)")
+        return
 
     from rtdm_tpu.export.engine import build_engine
     from rtdm_tpu.models import create_model

@@ -57,8 +57,9 @@ def draw_detections(img, dets, names):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="YOLO detection on TPU")
-    p.add_argument("--cfg", required=True,
-                   help="darknet .cfg or yolov5 .yaml")
+    p.add_argument("--cfg", help="darknet .cfg or yolov5 .yaml")
+    p.add_argument("--engine", help="saved detector engine dir "
+                   "(build with build_engine --cfg)")
     p.add_argument("--weights", help=".weights | torch .pt | .npz")
     p.add_argument("--source", required=True, help="image file or directory")
     p.add_argument("--output", default="runs/detect")
@@ -79,12 +80,20 @@ def main(argv=None):
     from rtdm_tpu.ops.nms import scale_coords
 
     names = load_names(args.names) if args.names else ["person", "vehicle"]
-    model, variables = load_weights_for_cfg(args.cfg, args.weights,
-                                            args.img_size)
-    spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
-                        img_size=args.img_size, conf_thres=args.conf_thres,
-                        iou_thres=args.iou_thres, quant=args.quant)
-    detector = Detector(model, variables, spec)
+    if args.engine:
+        from rtdm_tpu.export.detector import load_detector
+        detector = load_detector(args.engine)
+        args.img_size = detector.spec.img_size
+    elif args.cfg:
+        model, variables = load_weights_for_cfg(args.cfg, args.weights,
+                                                args.img_size)
+        spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
+                            img_size=args.img_size,
+                            conf_thres=args.conf_thres,
+                            iou_thres=args.iou_thres, quant=args.quant)
+        detector = Detector(model, variables, spec)
+    else:
+        raise SystemExit("provide --cfg or --engine")
 
     os.makedirs(args.output, exist_ok=True)
     from PIL import Image

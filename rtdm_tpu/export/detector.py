@@ -146,4 +146,63 @@ def build_detector(model_path: str, weights: Optional[str] = None,
     spec = spec or DetectorSpec(cfg_name=os.path.basename(model_path))
     model, variables, heads = load_detection_model(
         model_path, weights, spec.img_size, num_classes)
-    return Detector(model, variables, spec, batch_size, heads)
+    det = Detector(model, variables, spec, batch_size, heads)
+    det._variables = variables
+    det._model_source = model_path
+    return det
+
+
+def save_detector(det: Detector, directory: str) -> str:
+    """Serialize a detector engine (the engines/*.trt analogue): spec.json
+    + the model DSL text (cfg/yaml) + params npz. Rebuildable anywhere
+    with `load_detector`."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from rtdm_tpu.models.io import save_variables
+    from rtdm_tpu.models.yolov5 import YoloV5
+
+    os.makedirs(directory, exist_ok=True)
+    spec_d = dataclasses.asdict(det.spec)
+    if isinstance(det.model, YoloV5):
+        spec_d["family"] = "yolov5"
+        spec_d["num_classes"] = det.model.num_classes
+        model_text = det.model.yaml_text
+    else:
+        spec_d["family"] = "darknet"
+        model_text = det.model.cfg_text
+    spec_d["batch_size"] = det.batch_size
+    with open(os.path.join(directory, "spec.json"), "w") as f:
+        json.dump(spec_d, f, indent=2)
+    with open(os.path.join(directory, "model.txt"), "w") as f:
+        f.write(model_text)
+    save_variables(os.path.join(directory, "params.npz"),
+                   jax.device_get(det._variables))
+    return directory
+
+
+def load_detector(directory: str) -> Detector:
+    import json
+
+    from rtdm_tpu.models.darknet import Darknet
+    from rtdm_tpu.models.io import load_variables
+    from rtdm_tpu.models.yolov5 import YoloV5
+
+    with open(os.path.join(directory, "spec.json")) as f:
+        raw = json.load(f)
+    family = raw.pop("family", "darknet")
+    num_classes = raw.pop("num_classes", None)
+    batch_size = raw.pop("batch_size", 1)
+    spec = DetectorSpec(**{k: v for k, v in raw.items()
+                           if k in DetectorSpec.__dataclass_fields__})
+    with open(os.path.join(directory, "model.txt")) as f:
+        model_text = f.read()
+    model = (YoloV5(yaml_text=model_text, num_classes=num_classes)
+             if family == "yolov5" else Darknet(cfg_text=model_text))
+    variables = load_variables(os.path.join(directory, "params.npz"))
+    det = Detector(model, variables, spec, batch_size,
+                   model_heads(model, variables))
+    det._variables = variables
+    return det

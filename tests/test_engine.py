@@ -117,3 +117,28 @@ def test_real_int8_forward_matches_fp32(variables, frames):
     assert got.shape == (16, 5) and got2.shape == (4, 5)
     assert np.mean(got.argmax(1) == fp32.argmax(1)) >= 0.9
     np.testing.assert_allclose(got.sum(1), np.ones(16), rtol=1e-4)
+
+
+def test_detector_engine_save_load(tmp_path):
+    """Detection engine roundtrip (engines/*.trt analogue)."""
+    import jax
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                          load_detector, save_detector)
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    spec = DetectorSpec(cfg_name="tiny", img_size=224, conf_thres=0.3,
+                        quant="fp32")
+    det = build_detector(cfg, None, spec, batch_size=2)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, 224, 224, 3)).astype(np.uint8)
+    d1, c1 = det(frames)
+    save_detector(det, str(tmp_path / "deteng"))
+    det2 = load_detector(str(tmp_path / "deteng"))
+    d2, c2 = det2(frames)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+    assert det2.spec.conf_thres == 0.3 and det2.spec.img_size == 224
