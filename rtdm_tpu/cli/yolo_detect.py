@@ -69,6 +69,8 @@ def main(argv=None):
     p.add_argument("--names", help=".names file")
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--augment", action="store_true",
+                   help="test-time augmentation (multi-scale + flip)")
     p.add_argument("--save-txt", action="store_true",
                    help="write mAP-format detection txts")
     args = p.parse_args(argv)
@@ -90,7 +92,8 @@ def main(argv=None):
         spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
                             img_size=args.img_size,
                             conf_thres=args.conf_thres,
-                            iou_thres=args.iou_thres, quant=args.quant)
+                            iou_thres=args.iou_thres, quant=args.quant,
+                            tta=args.augment)
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")

@@ -162,15 +162,18 @@ def train(args):
     schedule = optax.join_schedules(
         [optax.linear_schedule(0.0, args.lr0, max(args.burn_in, 1)), cosine],
         [max(args.burn_in, 1)])
+    from rtdm_tpu.train.schedules import kernel_only_mask
     if args.optimizer == "sgd":
         tx = optax.chain(
             optax.clip_by_global_norm(10.0),
-            optax.add_decayed_weights(args.weight_decay),
+            optax.add_decayed_weights(args.weight_decay,
+                                      mask=kernel_only_mask),
             optax.sgd(schedule, momentum=args.momentum, nesterov=True))
     else:
         tx = optax.chain(optax.clip_by_global_norm(10.0),
                          optax.adamw(schedule,
-                                     weight_decay=args.weight_decay))
+                                     weight_decay=args.weight_decay,
+                                     mask=kernel_only_mask))
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

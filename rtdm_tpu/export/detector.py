@@ -28,6 +28,8 @@ class DetectorSpec:
     max_det: int = 300
     top_k: int = 512
     quant: str = "bf16"            # fp32 | bf16 | int8
+    tta: bool = False              # test-time augmentation (v5
+    #                                forward_augment, yolo.py:123-134)
     version: str = "1"
 
 
@@ -114,8 +116,35 @@ class Detector:
 
         def fwd(u8):
             x = (u8.astype(dtype) / 255.0)
-            raw = model.apply(vars_c, x, train=False)
-            pred = decode_all(raw, heads, spec.img_size)
+            if spec.tta:
+                # TTA (yolov5/models/yolo.py:123-134): scales 1/0.83/0.67,
+                # lr-flip on the middle scale; predictions descaled into
+                # the base frame and pooled before one NMS pass.
+                s0 = spec.img_size
+                preds = []
+                for scale, flip in ((1.0, False), (0.83, True),
+                                    (0.67, False)):
+                    si = max(int(round(s0 * scale / 32)) * 32, 32)
+                    xi = (x if si == s0 else jax.image.resize(
+                        x, (x.shape[0], si, si, x.shape[3]),
+                        method="bilinear"))
+                    if flip:
+                        xi = xi[:, :, ::-1]
+                    raw = model.apply(vars_c, xi, train=False)
+                    p = decode_all(raw, heads, si).astype(jnp.float32)
+                    g = s0 / si
+                    cx, cy = p[..., 0] * g, p[..., 1] * g
+                    if flip:
+                        cx = s0 - cx
+                    p = jnp.concatenate(
+                        [cx[..., None], cy[..., None],
+                         p[..., 2:3] * g, p[..., 3:4] * g, p[..., 4:]],
+                        axis=-1)
+                    preds.append(p)
+                pred = jnp.concatenate(preds, axis=1)
+            else:
+                raw = model.apply(vars_c, x, train=False)
+                pred = decode_all(raw, heads, spec.img_size)
             return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                                spec.max_det, spec.top_k)
 

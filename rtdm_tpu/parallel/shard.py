@@ -24,7 +24,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 import optax
@@ -60,11 +59,11 @@ def make_shard_map_train_step(model, tx, loss_fn, mesh: Mesh,
 
     repl = P()
     data = P(axis)
-    mapped = shard_map(
+    mapped = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(repl, repl, repl, data, data, repl),
         out_specs=(repl, repl, repl, repl),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(mapped, donate_argnums=(0, 1, 2))
 
 
@@ -95,11 +94,11 @@ def spatial_shard_conv(x_sharded: jax.Array, kernel: jax.Array,
         out = conv2d(padded, k, b, stride=1, padding=(0, halo))
         return out
 
-    mapped = shard_map(
+    mapped = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(None, axis, None, None), P(), P()),
         out_specs=P(None, axis, None, None),
-        check_rep=False)
+        check_vma=False)
     b = bias if bias is not None else jnp.zeros((kernel.shape[-1],),
                                                 kernel.dtype)
     return jax.jit(mapped)(x_sharded, kernel, b)

@@ -19,6 +19,22 @@ import optax
 ScheduleT = Union[float, Callable[[int], float]]
 
 
+def kernel_only_mask(params):
+    """Weight-decay mask: True only for conv/dense kernels — biases and
+    BatchNorm affine params are excluded, matching the reference's 3-group
+    optimizers (yolov5/train.py:114-131, yolov3/train.py:85-105,
+    pg1 = decayed weights, pg0/pg2 = undecayed bn/bias)."""
+    import jax
+
+    def is_kernel(path, leaf):
+        # path can be empty when optax probes the mask with a bare scalar
+        if not path or not hasattr(path[-1], "key"):
+            return False
+        return path[-1].key == "kernel"
+
+    return jax.tree_util.tree_map_with_path(is_kernel, params)
+
+
 def onecycle_schedule(peak_lr: float, total_steps: int,
                       pct_start: float = 0.1,
                       div_factor: float = 25.0,
@@ -61,24 +77,30 @@ def make_optimizer(name: str,
                    learning_rate: ScheduleT,
                    weight_decay: float = 0.01,
                    momentum: float = 0.9,
-                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+                   grad_clip: Optional[float] = 1.0,
+                   decay_kernels_only: bool = True
+                   ) -> optax.GradientTransformation:
+    """Optimizer factory. `decay_kernels_only` restricts weight decay to
+    conv/dense kernels (the reference's param-group split)."""
     name = name.lower()
+    mask = kernel_only_mask if decay_kernels_only else None
     if name == "adam":
         # torch Adam's weight_decay is classic L2 (added to grads), not
         # decoupled — keep that distinction.
         def adam_l2(learning_rate):
             return optax.chain(
-                optax.add_decayed_weights(weight_decay),
+                optax.add_decayed_weights(weight_decay, mask=mask),
                 optax.adam(learning_rate),
             )
         opt = optax.inject_hyperparams(adam_l2)(learning_rate=learning_rate)
     elif name == "adamw":
         opt = optax.inject_hyperparams(optax.adamw)(
-            learning_rate=learning_rate, weight_decay=weight_decay)
+            learning_rate=learning_rate, weight_decay=weight_decay,
+            mask=mask)
     elif name == "sgd":
         def sgd_wd(learning_rate):
             return optax.chain(
-                optax.add_decayed_weights(weight_decay),
+                optax.add_decayed_weights(weight_decay, mask=mask),
                 optax.sgd(learning_rate, momentum=momentum, nesterov=True),
             )
         opt = optax.inject_hyperparams(sgd_wd)(learning_rate=learning_rate)

@@ -6,7 +6,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rtdm_tpu.core.mesh import create_mesh
@@ -41,9 +40,9 @@ def test_comms_wrappers(mesh8):
         return summed, avg, gathered, bcast
 
     x = jnp.arange(8, dtype=jnp.float32)
-    mapped = shard_map(body, mesh=mesh8, in_specs=P("data"),
+    mapped = jax.shard_map(body, mesh=mesh8, in_specs=P("data"),
                        out_specs=(P("data"), P("data"), P("data"), P("data")),
-                       check_rep=False)
+                       check_vma=False)
     s, a, g, b = jax.jit(mapped)(x)
     np.testing.assert_allclose(np.asarray(s), np.full(8, 28.0))
     np.testing.assert_allclose(np.asarray(a), np.full(8, 3.5))
