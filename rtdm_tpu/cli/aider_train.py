@@ -51,6 +51,8 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=20)
     p.add_argument("--no-early-stopping", action="store_true")
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--mixup-alpha", type=float, default=0.2)
+    p.add_argument("--cutmix-alpha", type=float, default=0.1)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--checkpoint-dir", default="saves")
     p.add_argument("--log-dir", default="logs")
@@ -67,6 +69,7 @@ def parse_args(argv=None):
         grad_accum_steps=a.grad_accum_steps, warmup_ratio=a.warmup_ratio,
         precision=a.precision, patience=a.patience,
         early_stopping=not a.no_early_stopping, augment=not a.no_augment,
+        mixup_alpha=a.mixup_alpha, cutmix_alpha=a.cutmix_alpha,
         num_workers=a.num_workers, checkpoint_dir=a.checkpoint_dir,
         log_dir=a.log_dir, resume=a.resume, seed=a.seed)
 
@@ -137,7 +140,9 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     model = create_model(config.model)
     trainer = Trainer(model, tx, loss_fn, policy=policy,
                       grad_accum_steps=config.grad_accum_steps, mesh=mesh,
-                      num_classes=config.num_classes)
+                      num_classes=config.num_classes,
+                      mixup_alpha=config.mixup_alpha if config.augment else 0.0,
+                      cutmix_alpha=config.cutmix_alpha if config.augment else 0.0)
     state = trainer.init_state(jax.random.key(config.seed),
                                (1, size, size, 3))
 

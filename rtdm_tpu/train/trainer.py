@@ -59,18 +59,45 @@ def make_train_step(model: nn.Module,
                     policy: Policy = DEFAULT_POLICY,
                     grad_accum_steps: int = 1,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True):
-    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+                    donate: bool = True,
+                    mixup_alpha: float = 0.0,
+                    cutmix_alpha: float = 0.0):
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    mixup_alpha/cutmix_alpha > 0 enable device-side batch mixing
+    (train/batch_augment.py); when both are set, each microbatch picks one
+    with equal probability.
+    """
+    from rtdm_tpu.train.batch_augment import cutmix_batch, mixup_batch
+
+    def maybe_mix(rng, images):
+        """-> (images, perm, lam); identity when mixing is off."""
+        if mixup_alpha <= 0 and cutmix_alpha <= 0:
+            return images, jnp.arange(images.shape[0]), jnp.float32(1.0)
+        k_sel, k_mix = jax.random.split(rng)
+        if mixup_alpha > 0 and cutmix_alpha > 0:
+            return jax.lax.cond(
+                jax.random.bernoulli(k_sel),
+                lambda: mixup_batch(k_mix, images, mixup_alpha),
+                lambda: cutmix_batch(k_mix, images, cutmix_alpha))
+        if mixup_alpha > 0:
+            return mixup_batch(k_mix, images, mixup_alpha)
+        return cutmix_batch(k_mix, images, cutmix_alpha)
 
     def microbatch_grads(params, batch_stats, images, labels, rng):
+        rng_mix, rng_drop = jax.random.split(rng)
+        images, perm, lam = maybe_mix(rng_mix, images)
+
         def loss_of(params):
             variables = {"params": policy.cast_to_compute(params),
                          "batch_stats": batch_stats}
             logits, mutated = model.apply(
                 variables, policy.cast_to_compute(images),
                 train=True, apply_softmax=False,
-                mutable=["batch_stats"], rngs={"dropout": rng})
-            loss = loss_fn(logits.astype(jnp.float32), labels)
+                mutable=["batch_stats"], rngs={"dropout": rng_drop})
+            logits32 = logits.astype(jnp.float32)
+            loss = (lam * loss_fn(logits32, labels)
+                    + (1.0 - lam) * loss_fn(logits32, labels[perm]))
             return loss, (mutated["batch_stats"], logits)
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
@@ -182,12 +209,14 @@ class Trainer:
 
     def __init__(self, model, tx, loss_fn, policy=DEFAULT_POLICY,
                  grad_accum_steps=1, mesh=None, num_classes=5,
-                 eval_loss_fn=None):
+                 eval_loss_fn=None, mixup_alpha=0.0, cutmix_alpha=0.0):
         self.model = model
         self.tx = tx
         self.mesh = mesh
         self.train_step = make_train_step(model, tx, loss_fn, policy,
-                                          grad_accum_steps, mesh)
+                                          grad_accum_steps, mesh,
+                                          mixup_alpha=mixup_alpha,
+                                          cutmix_alpha=cutmix_alpha)
         self.eval_step = make_eval_step(model, policy,
                                         eval_loss_fn or loss_fn,
                                         num_classes, mesh)
