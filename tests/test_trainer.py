@@ -114,8 +114,9 @@ def test_data_parallel_matches_single_device():
         tx = make_optimizer("sgd", 0.01, grad_clip=None)
         tr = Trainer(model, tx, loss, policy=FP32_POLICY, mesh=mesh)
         state = tr.init_state(jax.random.key(0), (1, 140, 140, 3))
-        for _ in range(2):
-            state, m = tr.train_step(state, x, y, jax.random.key(1))
+        # ONE step: chaining steps lets BN amplify reduction-order float
+        # noise chaotically; a single update isolates the collective math
+        state, m = tr.train_step(state, x, y, jax.random.key(1))
         return float(m["loss"]), jax.device_get(state.params)
 
     mesh8 = create_mesh((8,), ("data",))
