@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--save-dir", help="write annotated frames here")
     p.add_argument("--power", action="store_true",
                    help="report modelled energy per frame")
+    p.add_argument("--power-plot", help="write the power trace PNG here "
+                   "(calculate-power-usage.py plot analogue)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -148,6 +150,8 @@ def main(argv=None):
             print(f"energy/frame (modelled): "
                   f"{power.energy_per_frame(n_out):.3f} mJ, "
                   f"total {power.get_total_energy():.1f} J")
+            if args.power_plot:
+                print(f"power trace: {power.plot(args.power_plot)}")
     return n_out
 
 

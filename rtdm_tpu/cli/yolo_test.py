@@ -20,7 +20,8 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              batch_size: int = 8, conf_thres: float = 0.001,
              iou_thres: float = 0.6, map_iou: float = 0.5,
              quant: str = "bf16", num_workers: int = 8,
-             full_map_range: bool = False, save_json: str = ""):
+             full_map_range: bool = False, save_json: str = "",
+             confusion: bool = False):
     import numpy as np
     import jax.numpy as jnp
 
@@ -53,6 +54,8 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
             else np.array([map_iou]))
     ev = DetectionEvaluator(nc, iouv)
+    from rtdm_tpu.eval.map import DetectionConfusionMatrix
+    cm = DetectionConfusionMatrix(nc) if confusion else None
     t_infer = 0.0
     n_images = 0
     json_records = []
@@ -67,6 +70,8 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             lab = batch["labels"][i][:nl]
             gt_boxes = np.asarray(xywh_to_xyxy(jnp.asarray(lab[:, 1:5])))
             ev.add_image(d, gt_boxes, lab[:, 0].astype(np.int32))
+            if cm is not None:
+                cm.process_batch(d, gt_boxes, lab[:, 0].astype(np.int32))
             if save_json:
                 # COCO-style detection records (yolov5/test.py --save-json)
                 img_id = int(batch["index"][i])
@@ -92,6 +97,12 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
           f"mAP@{map_iou:g} {res['map50']:.3f}"
           + (f"  mAP@0.5:0.95 {res['map']:.3f}" if full_map_range else "")
           + f"  {ms:.2f} ms/img ({1000 / max(ms, 1e-9):.1f} FPS)")
+    if cm is not None:
+        hdr = [*(names[:nc] if names else map(str, range(nc))), "background"]
+        print("confusion (rows=pred, cols=true):")
+        print("  " + " ".join(f"{h:>12}" for h in hdr))
+        for i, row in enumerate(cm.matrix):
+            print(f"  {hdr[i]:>12} " + " ".join(f"{v:>12d}" for v in row))
     pc = res.get("per_class")
     if pc is not None:
         for c in pc["classes"]:
@@ -115,6 +126,8 @@ def main(argv=None):
                    help="report mAP@0.5:0.95 (v5-style)")
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--confusion", action="store_true",
+                   help="print the IoU-matched confusion matrix")
     p.add_argument("--save-json", default="",
                    help="write COCO-format detection json here")
     p.add_argument("--task", default="test",
@@ -154,7 +167,7 @@ def main(argv=None):
                     args.batch_size, args.conf_thres, args.iou_thres,
                     args.map_iou, args.quant,
                     full_map_range=args.full_map_range,
-                    save_json=args.save_json)
+                    save_json=args.save_json, confusion=args.confusion)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--multi-scale", action="store_true",
                    help="resize batches to 67-150%% of --img-size on "
                         "device (one compiled step per size)")
+    p.add_argument("--image-weights", action="store_true",
+                   help="class-weighted image resampling per epoch "
+                        "(train.py:236-239 analogue)")
     p.add_argument("--ema", action="store_true",
                    help="keep an EMA of the weights (ModelEMA analogue)")
     p.add_argument("--train-list-override",
@@ -121,10 +124,18 @@ def train(args):
     val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
                               base_dir=base)
     nc = int(dcfg.get("classes", 2))
+    img_w = None
+    if args.image_weights:
+        counts = np.concatenate([lab[:, 0] for lab in train_ds.labels
+                                 if len(lab)] or [np.zeros(1)])
+        cls_w = np.bincount(counts.astype(int), minlength=nc).astype(float)
+        cls_w = (1.0 / np.maximum(cls_w, 1)) ** 0.5
+        img_w = train_ds.image_weights(cls_w)
     train_loader = DetectionBatchLoader(train_ds, bs, shuffle=True,
                                         drop_last=True,
                                         num_workers=args.num_workers,
-                                        seed=args.seed)
+                                        seed=args.seed,
+                                        image_weights=img_w)
     val_loader = DetectionBatchLoader(val_ds, bs,
                                       num_workers=args.num_workers)
 
