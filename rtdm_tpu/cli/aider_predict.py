@@ -63,6 +63,9 @@ def main(argv=None):
                    choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
     p.add_argument("--weights", help="weights: our .npz or torch .pt state_dict")
     p.add_argument("--engine", help="serialized rtdm_tpu engine dir")
+    p.add_argument("--compare-engine",
+                   help="ALSO run this engine and print both predictions "
+                        "side by side (aider-predict.py --trt comparison)")
     p.add_argument("--visualize", help="write annotated PNG here")
     args = p.parse_args(argv)
 
@@ -93,6 +96,17 @@ def main(argv=None):
           f"({dt * 1e3:.1f} ms incl. compile)")
     for i, name in enumerate(CLASS_NAMES):
         print(f"  {name:>20}: {probs[i]:.4f}")
+
+    if args.compare_engine:
+        import numpy as np
+        from rtdm_tpu.export.engine import Engine
+        eng = Engine.load(args.compare_engine)
+        eprobs = np.asarray(eng(image), np.float32)[0]
+        eidx = int(np.argmax(eprobs))
+        agree = "AGREE" if eidx == idx else "DISAGREE"
+        print(f"engine ({eng.spec.quant}): {CLASS_NAMES[eidx]} "
+              f"{eprobs[eidx]:.4f}  [{agree}]  "
+              f"max prob delta {np.abs(eprobs - probs).max():.4f}")
 
     if args.visualize:
         import matplotlib
