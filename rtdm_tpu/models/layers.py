@@ -124,8 +124,9 @@ class Dense(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (x.shape[-1], self.features), jnp.float32)
-        out = jnp.dot(x, kernel.astype(x.dtype),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+        # no preferred_element_type: see ops/convpool.conv2d — it breaks
+        # the transpose rule under grad with bf16 inputs
+        out = jnp.dot(x, kernel.astype(x.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

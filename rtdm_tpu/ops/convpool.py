@@ -40,10 +40,14 @@ def conv2d(x: jax.Array,
            padding: _PairT = 0,
            dilation: _PairT = 1,
            groups: int = 1,
-           accum_dtype=jnp.float32) -> jax.Array:
+           accum_dtype=None) -> jax.Array:
     """2-D convolution, NHWC x HWIO -> NHWC.
 
-    `accum_dtype` pins MXU accumulation to fp32 even when inputs are bf16.
+    For floating inputs no preferred_element_type is set: the TPU MXU
+    already accumulates bf16 inputs in fp32 internally, and requesting an
+    fp32 result explicitly breaks the transpose rule under grad (the f32
+    cotangent meets the bf16 kernel -> dtype error). Pass `accum_dtype`
+    only for integer convs (e.g. int8 -> int32).
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
@@ -57,7 +61,7 @@ def conv2d(x: jax.Array,
         feature_group_count=groups,
         preferred_element_type=accum_dtype,
     )
-    out = out.astype(x.dtype)
+    out = out.astype(x.dtype) if accum_dtype is None else out
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -158,3 +158,20 @@ def test_mixup_cutmix_training_step(rng):
     # cutmix pixels come from either source batch
     src = np.isin(np.asarray(cmix), np.asarray(img)).mean()
     assert src > 0.99
+
+
+def test_bf16_training_step(rng):
+    """bf16 policy must train (regression: preferred_element_type=f32 in
+    convs broke the transpose rule under grad with bf16 kernels)."""
+    from rtdm_tpu.core.precision import BF16_POLICY
+
+    model = create_model("squeeze-ernet")
+    tx = make_optimizer("adamw", 1e-3)
+    tr = Trainer(model, tx, make_classification_loss("label_smoothing"),
+                 policy=BF16_POLICY, mixup_alpha=0.2, cutmix_alpha=0.1)
+    state = tr.init_state(jax.random.key(0), (1, 140, 140, 3))
+    x = jnp.asarray(rng.normal(size=(4, 140, 140, 3)), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    state, m = tr.train_step(state, x, y, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert state.params["conv1"]["kernel"].dtype == jnp.float32  # fp32 master
