@@ -193,120 +193,77 @@ def train(args):
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, batch_stats, images, labels, nlab, rng):
-        x = images.astype(dtype) / 255.0
-        raw, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=True,
-            mutable=["batch_stats"], rngs={"dropout": rng})
-        loss, comps = loss_impl(raw, heads, labels, nlab, args.img_size, hyp)
-        return loss, (mutated["batch_stats"], comps)
+    def make_step(train_size: int):
+        """Jitted train step at a fixed (possibly rescaled) image size.
 
-    def step(params, batch_stats, opt_state, images, labels, nlab, rng):
-        mb_i = images.reshape((accumulate, -1) + images.shape[1:])
-        mb_l = labels.reshape((accumulate, -1) + labels.shape[1:])
-        mb_n = nlab.reshape((accumulate, -1))
+        Multi-scale training = one compiled step per size: the loader
+        always yields --img-size batches; sizes != base are resized on
+        device with labels scaled to match (yolov3/train.py:269-275)."""
+        ratio = train_size / args.img_size
 
-        def body(carry, mb):
-            stats, gsum, lsum, comp_sum, k = carry
-            im, lb, nl = mb
-            (loss, (stats, comps)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, stats, im, lb, nl,
-                                       jax.random.fold_in(rng, k))
-            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-            comp_vec = jnp.stack([comps["box"], comps["obj"], comps["cls"]])
-            return (stats, gsum, lsum + loss, comp_sum + comp_vec,
-                    k + 1), None
+        def loss_fn(params, batch_stats, images, labels, nlab, rng):
+            x = images.astype(dtype) / 255.0
+            raw, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+            loss, comps = loss_impl(raw, heads, labels, nlab, train_size,
+                                    hyp)
+            return loss, (mutated["batch_stats"], comps)
 
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
-            body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros((3,)),
-                   jnp.zeros((), jnp.int32)), (mb_i, mb_l, mb_n))
-        grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, batch_stats, opt_state, loss / accumulate, \
-            comps / accumulate
+        def step(params, batch_stats, opt_state, images, labels, nlab,
+                 rng):
+            if train_size != args.img_size:
+                images = jax.image.resize(
+                    images.astype(jnp.float32),
+                    (images.shape[0], train_size, train_size,
+                     images.shape[3]), method="bilinear")
+                labels = labels.at[..., 1:5].multiply(ratio)
+            mb_i = images.reshape((accumulate, -1) + images.shape[1:])
+            mb_l = labels.reshape((accumulate, -1) + labels.shape[1:])
+            mb_n = nlab.reshape((accumulate, -1))
 
-    base_step = jax.jit(
-        step, in_shardings=(repl, repl, repl, dsh, dsh, dsh, repl),
-        out_shardings=repl, donate_argnums=(0, 1, 2))
+            def body(carry, mb):
+                stats, gsum, lsum, comp_sum, k = carry
+                im, lb, nl = mb
+                (loss, (stats, comps)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, stats, im, lb, nl,
+                                           jax.random.fold_in(rng, k))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                comp_vec = jnp.stack([comps["box"], comps["obj"],
+                                      comps["cls"]])
+                return (stats, gsum, lsum + loss, comp_sum + comp_vec,
+                        k + 1), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
+                body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros((3,)),
+                       jnp.zeros((), jnp.int32)), (mb_i, mb_l, mb_n))
+            grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, batch_stats, opt_state, loss / accumulate, \
+                comps / accumulate
+
+        return jax.jit(
+            step, in_shardings=(repl, repl, repl, dsh, dsh, dsh, repl),
+            out_shardings=repl, donate_argnums=(0, 1, 2))
+
+    steps_by_size = {args.img_size: make_step(args.img_size)}
 
     if args.multi_scale:
         # 67-150% of img-size in stride-32 steps (yolov3/train.py:269-275)
         gs = 32
         sizes = sorted({max(round(args.img_size * s / gs) * gs, gs)
                         for s in (0.67, 0.83, 1.0, 1.17, 1.5)})
-        _scaled_steps = {}
-
-        def make_scaled(sz):
-            ratio = sz / args.img_size
-
-            def scaled(params, batch_stats, opt_state, images, labels,
-                       nlab, rng):
-                imgs = jax.image.resize(
-                    images.astype(jnp.float32),
-                    (images.shape[0], sz, sz, images.shape[3]),
-                    method="bilinear")
-                lab = labels.at[..., 1:5].multiply(ratio)
-                return step_at_size(params, batch_stats, opt_state, imgs,
-                                    lab, nlab, rng, sz)
-
-            def step_at_size(params, batch_stats, opt_state, images,
-                             labels, nlab, rng, sz):
-                # identical to `step` but with img_size = sz for the loss
-                mb_i = images.reshape((accumulate, -1) + images.shape[1:])
-                mb_l = labels.reshape((accumulate, -1) + labels.shape[1:])
-                mb_n = nlab.reshape((accumulate, -1))
-
-                def body(carry, mb):
-                    stats, gsum, lsum, comp_sum, k = carry
-                    im, lb, nl = mb
-                    def loss_sz(p, s, i2, l2, n2, r2):
-                        raw, mutated = model.apply(
-                            {"params": p, "batch_stats": s},
-                            (i2 / 255.0).astype(dtype), train=True,
-                            mutable=["batch_stats"], rngs={"dropout": r2})
-                        loss, comps = loss_impl(raw, heads, l2, n2, sz, hyp)
-                        return loss, (mutated["batch_stats"], comps)
-                    (loss, (stats, comps)), grads = jax.value_and_grad(
-                        loss_sz, has_aux=True)(params, stats, im, lb, nl,
-                                               jax.random.fold_in(rng, k))
-                    gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-                    comp_vec = jnp.stack([comps["box"], comps["obj"],
-                                          comps["cls"]])
-                    return (stats, gsum, lsum + loss, comp_sum + comp_vec,
-                            k + 1), None
-
-                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-                (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
-                    body, (batch_stats, zeros, jnp.zeros(()),
-                           jnp.zeros((3,)), jnp.zeros((), jnp.int32)),
-                    (mb_i, mb_l, mb_n))
-                grads = jax.tree_util.tree_map(lambda g: g / accumulate,
-                                               grads)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, batch_stats, opt_state, loss / accumulate, \
-                    comps / accumulate
-            return jax.jit(scaled,
-                           in_shardings=(repl, repl, repl, dsh, dsh, dsh,
-                                         repl),
-                           out_shardings=repl, donate_argnums=(0, 1, 2))
-
         size_rng = np.random.default_rng(args.seed + 7)
 
-        def train_step(params, batch_stats, opt_state, images, labels,
-                       nlab, rng):
+        def train_step(*step_args):
             sz = int(size_rng.choice(sizes))
-            if sz == args.img_size:
-                return base_step(params, batch_stats, opt_state, images,
-                                 labels, nlab, rng)
-            if sz not in _scaled_steps:
-                _scaled_steps[sz] = make_scaled(sz)
-            return _scaled_steps[sz](params, batch_stats, opt_state,
-                                     images, labels, nlab, rng)
+            if sz not in steps_by_size:
+                steps_by_size[sz] = make_step(sz)
+            return steps_by_size[sz](*step_args)
     else:
-        train_step = base_step
+        train_step = steps_by_size[args.img_size]
 
     @jax.jit
     def eval_step(params, batch_stats, images):
