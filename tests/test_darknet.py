@@ -192,3 +192,22 @@ def test_torch_checkpoint_import_smoke(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
                     jax.tree_util.tree_leaves(restored["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@needs_reference
+def test_all_reference_cfgs_build(rng):
+    """Every shipped cfg builds and runs at its design size."""
+    import glob
+
+    sizes = {"yolov4-tiny-3l-512x512.cfg": 512, "yolov3-acffx.cfg": 416}
+    for cfg in sorted(
+            glob.glob(str(CFG_DIR / "*.cfg"))):
+        name = cfg.split("/")[-1]
+        size = sizes.get(name, 256)
+        model = create_darknet(cfg)
+        variables = init_darknet(model, size)
+        raw = model.apply(variables, jnp.zeros((1, size, size, 3)))
+        bound = model.bind(variables)
+        assert len(raw) == len(bound.heads) >= 2, name
+        for p, h in zip(raw, bound.heads):
+            assert p.shape[-1] == h.na * h.no, name
