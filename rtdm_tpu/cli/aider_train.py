@@ -57,6 +57,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="saves")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--summary", action="store_true",
+                   help="print the model summary (params + FLOPs) and exit")
     p.add_argument("--seed", type=int, default=42)
     a = p.parse_args(argv)
     return TrainingConfig(
@@ -274,6 +276,14 @@ def _set_lr(opt_state, lr: float) -> None:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
+    import sys
+    if "--summary" in (argv or sys.argv):
+        from rtdm_tpu.utils.summary import summarize_classifier
+        args = argv or sys.argv[1:]
+        name = (args[args.index("--model") + 1]
+                if "--model" in args else "squeeze-ernet")
+        print(summarize_classifier(name))
+        return None
     config = parse_args(argv)
     config.save()
     train_model(config)

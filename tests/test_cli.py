@@ -126,3 +126,11 @@ def test_int8_engine_cli(trained, aider_dir, tmp_path):
     assert eng.act_scales is not None
     out = eng(np.zeros((2, 140, 140, 3), np.uint8))
     assert out.shape == (2, 5)
+
+
+def test_model_summary(capsys):
+    from rtdm_tpu.utils.summary import summarize_classifier
+
+    out = summarize_classifier("squeeze-ernet")
+    assert "169,241" in out  # exact reference param count
+    assert "mult-adds" in out
