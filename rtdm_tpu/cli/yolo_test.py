@@ -45,11 +45,19 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
 
     ds = DetectionDataset(list_file, img_size, base_dir=base)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
-    model, variables = load_weights_for_cfg(cfg, weights, img_size)
     spec = DetectorSpec(cfg_name=os.path.basename(cfg), img_size=img_size,
                         conf_thres=conf_thres, iou_thres=iou_thres,
                         quant=quant)
-    detector = Detector(model, variables, spec, batch_size=batch_size)
+    weight_list = (weights.split(",") if weights and "," in weights
+                   else [weights])
+    if len(weight_list) > 1:
+        # model ensemble (yolov5/models/experimental.py Ensemble /
+        # attempt_load): every member's decoded predictions are pooled
+        # before ONE NMS pass, all inside a single compiled program.
+        detector = _build_ensemble(cfg, weight_list, spec, batch_size)
+    else:
+        model, variables = load_weights_for_cfg(cfg, weights, img_size)
+        detector = Detector(model, variables, spec, batch_size=batch_size)
 
     iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
             else np.array([map_iou]))
@@ -112,11 +120,57 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     return res
 
 
+def _build_ensemble(cfg, weight_list, spec, batch_size):
+    """Fused multi-checkpoint detector: decode each member, concat, NMS."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtdm_tpu.export.detector import load_detection_model
+    from rtdm_tpu.ops.nms import batched_nms
+    from rtdm_tpu.ops.yolo import decode_all
+
+    members = [load_detection_model(cfg, w, spec.img_size)
+               for w in weight_list]
+    dtype = (jnp.bfloat16 if spec.quant in ("bf16", "fp16")
+             else jnp.float32)
+
+    def fwd(u8):
+        x = u8.astype(dtype) / 255.0
+        preds = []
+        for model, variables, heads in members:
+            raw = model.apply({"params": variables["params"],
+                               "batch_stats": variables.get("batch_stats",
+                                                            {})},
+                              x, train=False)
+            preds.append(decode_all(raw, heads, spec.img_size))
+        pred = jnp.concatenate(preds, axis=1)
+        return batched_nms(pred, spec.conf_thres, spec.iou_thres,
+                           spec.max_det, spec.top_k)
+
+    s_ = spec.img_size
+    compiled = (jax.jit(fwd)
+                .lower(jax.ShapeDtypeStruct((batch_size, s_, s_, 3),
+                                            jnp.uint8)).compile())
+
+    def call(images_u8):
+        n = images_u8.shape[0]
+        if n < batch_size:
+            pad = np.zeros((batch_size - n,) + images_u8.shape[1:],
+                           images_u8.dtype)
+            images_u8 = np.concatenate([images_u8, pad])
+        det, count = compiled(jnp.asarray(images_u8))
+        return np.asarray(det)[:n], np.asarray(count)[:n]
+
+    return call
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="YOLO mAP evaluation on TPU")
     p.add_argument("--cfg", required=True)
     p.add_argument("--data", required=True, help="darknet .data file")
-    p.add_argument("--weights")
+    p.add_argument("--weights",
+                   help="weights file, or comma-separated list for an\n                        ensemble (attempt_load analogue)")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--conf-thres", type=float, default=0.001)
