@@ -125,3 +125,14 @@ def test_experiment_logger_jsonl(tmp_path):
     events = [ln["event"] for ln in lines]
     assert events == ["config", "scalars", "scalars", "artifact"]
     assert lines[1]["loss"] == 1.5
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """jax.profiler trace context produces a trace directory."""
+    import jax.numpy as jnp
+    from rtdm_tpu.utils.profiler import trace
+
+    with trace(str(tmp_path / "tb")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import glob
+    assert glob.glob(str(tmp_path / "tb" / "**" / "*"), recursive=True)
