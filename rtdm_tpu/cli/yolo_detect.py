@@ -69,6 +69,9 @@ def main(argv=None):
     p.add_argument("--names", help=".names file")
     p.add_argument("--quant", default="bf16",
                    choices=["fp32", "bf16", "fp16", "int8"])
+    p.add_argument("--nms-method", default="greedy",
+                   choices=["greedy", "merge", "soft"],
+                   help="NMS variant (vision_batch/merge/soft analogues)")
     p.add_argument("--augment", action="store_true",
                    help="test-time augmentation (multi-scale + flip)")
     p.add_argument("--save-txt", action="store_true",
@@ -93,7 +96,7 @@ def main(argv=None):
                             img_size=args.img_size,
                             conf_thres=args.conf_thres,
                             iou_thres=args.iou_thres, quant=args.quant,
-                            tta=args.augment)
+                            tta=args.augment, nms_method=args.nms_method)
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")

@@ -193,13 +193,14 @@ def train(args):
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
 
-    def make_step(train_size: int):
+    def make_step(train_size: int, txx=None):
         """Jitted train step at a fixed (possibly rescaled) image size.
 
         Multi-scale training = one compiled step per size: the loader
         always yields --img-size batches; sizes != base are resized on
         device with labels scaled to match (yolov3/train.py:269-275)."""
         ratio = train_size / args.img_size
+        txx = txx if txx is not None else tx
 
         def loss_fn(params, batch_stats, images, labels, nlab, rng):
             x = images.astype(dtype) / 255.0
@@ -239,7 +240,7 @@ def train(args):
                 body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros((3,)),
                        jnp.zeros((), jnp.int32)), (mb_i, mb_l, mb_n))
             grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
-            updates, opt_state = tx.update(grads, opt_state, params)
+            updates, opt_state = txx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, batch_stats, opt_state, loss / accumulate, \
                 comps / accumulate

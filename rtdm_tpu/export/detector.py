@@ -30,6 +30,7 @@ class DetectorSpec:
     quant: str = "bf16"            # fp32 | bf16 | int8
     tta: bool = False              # test-time augmentation (v5
     #                                forward_augment, yolo.py:123-134)
+    nms_method: str = "greedy"     # greedy | merge | soft (utils.py:560+)
     version: str = "1"
 
 
@@ -146,7 +147,8 @@ class Detector:
                 raw = model.apply(vars_c, x, train=False)
                 pred = decode_all(raw, heads, spec.img_size)
             return batched_nms(pred, spec.conf_thres, spec.iou_thres,
-                               spec.max_det, spec.top_k)
+                               spec.max_det, spec.top_k,
+                               method=spec.nms_method)
 
         s = spec.img_size
         self._fn = (jax.jit(fwd)
