@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--multi-scale", action="store_true",
                    help="resize batches to 67-150%% of --img-size on "
                         "device (one compiled step per size)")
+    p.add_argument("--prebias", type=int, default=0, metavar="E",
+                   help="train only detection-head biases for the first E "
+                        "epochs (yolov3/train.py:221-233 analogue)")
     p.add_argument("--image-weights", action="store_true",
                    help="class-weighted image resampling per epoch "
                         "(train.py:236-239 analogue)")
@@ -193,6 +196,30 @@ def train(args):
     repl = NamedSharding(mesh, P())
     dsh = NamedSharding(mesh, P("data"))
 
+    def head_bias_mask(params):
+        """True only for the detection-output convs' biases."""
+        from rtdm_tpu.models.yolov5 import YoloV5
+
+        if isinstance(model, YoloV5):
+            head_names = {k for k in params
+                          if "_m" in k and k.split("_")[0][1:].isdigit()}
+        else:
+            from rtdm_tpu.models.darknet import parse_darknet_cfg
+            defs = parse_darknet_cfg(model.cfg_text)[1:]
+            head_names = {f"l{i - 1}_conv" for i, d in enumerate(defs)
+                          if d["type"] == "yolo"}
+
+        def walk(tree, top=None):
+            return {k: (walk(v, top if top is not None else k)
+                        if isinstance(v, dict)
+                        else (k == "bias" and (top or "") in head_names))
+                    for k, v in tree.items()}
+        return walk(params)
+
+    def inv_head_bias_mask(params):
+        return jax.tree_util.tree_map(lambda m: not m,
+                                      head_bias_mask(params))
+
     def make_step(train_size: int, txx=None):
         """Jitted train step at a fixed (possibly rescaled) image size.
 
@@ -251,6 +278,18 @@ def train(args):
 
     steps_by_size = {args.img_size: make_step(args.img_size)}
 
+    prebias_step = None
+    prebias_tx = None
+    if args.prebias > 0:
+        # NOTE: optax.masked passes unmasked grads through as raw updates
+        # (gradient ASCENT on everything else) — the complement must be
+        # explicitly zeroed with set_to_zero.
+        prebias_tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.masked(optax.sgd(0.01, momentum=0.9), head_bias_mask),
+            optax.masked(optax.set_to_zero(), inv_head_bias_mask))
+        prebias_step = make_step(args.img_size, txx=prebias_tx)
+
     if args.multi_scale:
         # 67-150% of img-size in stride-32 steps (yolov3/train.py:269-275)
         gs = 32
@@ -291,10 +330,22 @@ def train(args):
         t0 = time.time()
         ep_loss = np.zeros(3)
         nb = 0
+        in_prebias = prebias_step is not None and epoch < args.prebias
+        if in_prebias and epoch == 0:
+            prebias_opt_state = prebias_tx.init(params)
         for batch, valid in train_loader:
             images = jax.device_put(jnp.asarray(batch["image"]), dsh)
             labels = jax.device_put(jnp.asarray(batch["labels"]), dsh)
             nlab = jax.device_put(jnp.asarray(batch["num_labels"]), dsh)
+            if in_prebias:
+                params, batch_stats, prebias_opt_state, loss, comps = \
+                    prebias_step(params, batch_stats, prebias_opt_state,
+                                 images, labels, nlab,
+                                 jax.random.fold_in(rng, it))
+                ep_loss += np.asarray(jax.device_get(comps))
+                nb += 1
+                it += 1
+                continue
             params, batch_stats, opt_state, loss, comps = train_step(
                 params, batch_stats, opt_state, images, labels, nlab,
                 jax.random.fold_in(rng, it))

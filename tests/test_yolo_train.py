@@ -84,3 +84,39 @@ def test_tiny_train_list_cycles_to_full_batch():
     batch, valid = batches[0]
     assert batch["image"].shape[0] == 4
     assert valid == 4
+
+
+@needs_reference
+def test_prebias_freezes_non_head_params(tmp_path):
+    """During --prebias epochs only the detection-head conv biases move
+    (regression: optax.masked passes unmasked grads through as raw
+    updates unless the complement is zeroed)."""
+    import jax
+    import numpy as np
+
+    from rtdm_tpu.cli.yolo_train import main
+    from rtdm_tpu.models.io import load_variables
+
+    out = str(tmp_path / "pb")
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--prebias", "1", "--batch-size", "4",
+        "--img-size", "192", "--nominal-batch", "4", "--burn-in", "2",
+        "--num-workers", "2", "--output", out, "--eval-every", "1",
+        "--seed", "3",
+    ])
+    # reconstruct the init to compare: same cfg+seed-0 init inside the CLI
+    from rtdm_tpu.models.darknet import create_darknet, init_darknet
+    model = create_darknet(str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"))
+    init_vars = jax.device_get(init_darknet(model, 192))
+    trained = jax.device_get(result["params"])
+    # a backbone kernel must be untouched after a prebias-only run
+    np.testing.assert_array_equal(
+        np.asarray(init_vars["params"]["l0_conv"]["kernel"]),
+        np.asarray(trained["l0_conv"]["kernel"]))
+    # head conv biases must have moved
+    assert not np.allclose(
+        np.asarray(init_vars["params"]["l15_conv"]["bias"]),
+        np.asarray(trained["l15_conv"]["bias"]))
