@@ -69,14 +69,62 @@ def main() -> None:
         if fps > best["fps"]:
             best = {"fps": fps, "batch": batch, "ms": dt / iters * 1e3}
     baseline = 3430.17  # TRT fp16 FPS on GTX 1660 Ti
-    print(json.dumps({
+    record = {
         "metric": "squeeze_ernet_bf16_fps_per_chip",
         "value": round(best["fps"], 2),
         "unit": "frames/s",
         "vs_baseline": round(best["fps"] / baseline, 3),
         "batch": best["batch"],
         "ms_per_batch": round(best["ms"], 3),
-    }))
+    }
+    try:  # secondary headline: full detection pipeline (fwd+decode+NMS)
+        det_fps = _detector_fps()
+        if det_fps:
+            record["yolov4_tiny_pipeline_fps"] = round(det_fps, 1)
+            record["yolov4_tiny_vs_baseline"] = round(det_fps / 79.2, 2)
+    except Exception:
+        pass
+    print(json.dumps(record))
+
+
+def _detector_fps(batch: int = 256, iters: int = 20) -> float:
+    """v4-tiny 416 bf16 forward+decode+NMS on device (ref: 79.2 FPS)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.export.detector import load_detection_model
+    from rtdm_tpu.ops.nms import batched_nms
+    from rtdm_tpu.ops.yolo import decode_all
+
+    cfg = ("/root/reference/code/victim_localization/yolov3/cfg/"
+           "yolov4-tiny-aider-416.cfg")
+    if not os.path.exists(cfg):
+        return 0.0
+    model, variables, heads = load_detection_model(cfg, None, 416)
+    cast = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, variables["params"])
+    vars_c = {"params": cast, "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def full(u8):
+        raw = model.apply(vars_c, u8.astype(jnp.bfloat16) / 255.0,
+                          train=False)
+        return batched_nms(decode_all(raw, heads, 416), 0.25, 0.45, 100, 256)
+
+    rng = np.random.default_rng(0)
+    dev = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
+    d, c = full(dev)
+    np.asarray(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, c = full(dev)
+    np.asarray(d)
+    return batch * iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
