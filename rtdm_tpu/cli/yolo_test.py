@@ -45,9 +45,11 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
 
     ds = DetectionDataset(list_file, img_size, base_dir=base)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
+    # multi_label=True is the reference's test-time default whenever nc > 1
+    # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122)
     spec = DetectorSpec(cfg_name=os.path.basename(cfg), img_size=img_size,
                         conf_thres=conf_thres, iou_thres=iou_thres,
-                        quant=quant)
+                        quant=quant, multi_label=True)
     weight_list = (weights.split(",") if weights and "," in weights
                    else [weights])
     if len(weight_list) > 1:
@@ -146,7 +148,8 @@ def _build_ensemble(cfg, weight_list, spec, batch_size):
             preds.append(decode_all(raw, heads, spec.img_size))
         pred = jnp.concatenate(preds, axis=1)
         return batched_nms(pred, spec.conf_thres, spec.iou_thres,
-                           spec.max_det, spec.top_k)
+                           spec.max_det, spec.top_k,
+                           multi_label=spec.multi_label)
 
     s_ = spec.img_size
     compiled = (jax.jit(fwd)

@@ -311,7 +311,7 @@ def train(args):
         raw = model.apply({"params": params, "batch_stats": batch_stats},
                           x, train=False)
         pred = decode_all(raw, heads, args.img_size)
-        return batched_nms(pred, 0.001, 0.6, 300, 512)
+        return batched_nms(pred, 0.001, 0.6, 300, 512, multi_label=True)
 
     from rtdm_tpu.train.ema import ema_init, ema_update
     ema_vars = (ema_init({"params": params, "batch_stats": batch_stats})

@@ -30,7 +30,9 @@ class DetectorSpec:
     quant: str = "bf16"            # fp32 | bf16 | int8
     tta: bool = False              # test-time augmentation (v5
     #                                forward_augment, yolo.py:123-134)
-    nms_method: str = "greedy"     # greedy | merge | soft (utils.py:560+)
+    nms_method: str = "greedy"     # greedy|merge|soft|and (utils.py:560+)
+    multi_label: bool = False      # one det per (box, class) above conf
+    #                                (utils.py:527-529; test-time default)
     version: str = "1"
 
 
@@ -56,6 +58,11 @@ def load_detection_model(model_path: str, weights: Optional[str],
         model = create_yolov5(model_path, num_classes=num_classes)
         variables = model.init(jax.random.key(0),
                                jnp.zeros((1, img_size, img_size, 3)))
+        if not weights:
+            # from-scratch models get the focal-prior Detect bias init the
+            # reference applies at construction (yolo.py:96,176-184)
+            from rtdm_tpu.models.yolov5 import initialize_detect_biases
+            variables = initialize_detect_biases(model, variables, img_size)
         if weights:
             if weights.endswith((".pt", ".pth")):
                 variables = load_yolov5_torch_checkpoint(variables, weights)
@@ -148,6 +155,7 @@ class Detector:
                 pred = decode_all(raw, heads, spec.img_size)
             return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                                spec.max_det, spec.top_k,
+                               multi_label=spec.multi_label,
                                method=spec.nms_method)
 
         s = spec.img_size

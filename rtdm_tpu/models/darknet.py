@@ -177,9 +177,12 @@ class Darknet(nn.Module):
                                int(d.get("size", 3)), train)
             elif t == "maxpool":
                 k, s = int(d["size"]), int(d["stride"])
-                if k == 2 and s == 1:  # yolov3-tiny same-size pool
+                if k == 2 and s == 1:  # yolov3-tiny same-size pool:
+                    # reference pads ZEROS bottom/right (nn.ZeroPad2d
+                    # ((0,1,0,1)), models.py:62-63), so a post-leaky
+                    # negative border maxes against 0, not -inf
                     x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)),
-                                constant_values=-jnp.inf)
+                                constant_values=0.0)
                     x = max_pool2d(x, 2, 1)
                 else:
                     x = max_pool2d(x, k, s, (k - 1) // 2)

@@ -10,8 +10,10 @@ zoo) as NHWC flax modules:
   odd-y/odd-x channel order, common.py:169) + Conv
 - Bottleneck / C3 / BottleneckCSP / SPP / DWConv / CrossConv / GhostConv /
   GhostBottleneck / Contract / Expand / Concat / nn.Upsample
-- Detect = per-level 1x1 conv (WITH bias, initialized per the focal-prior
-  scheme, yolo.py:176-184); raw NHWC maps returned + YoloHead metadata
+- Detect = per-level 1x1 conv (WITH bias; zero at module init — fresh
+  models get the focal-prior scheme, yolo.py:176-184, via
+  `initialize_detect_biases`, applied by export.detector on from-scratch
+  builds); raw NHWC maps returned + YoloHead metadata
   with v5 decode (xy = (2sig-0.5+grid)*stride, wh = (2sig)^2*anchor —
   yolo.py:58-62; ops/yolo.py `v5=True`).
 
@@ -412,7 +414,8 @@ class YoloV5(nn.Module):
             f = e["f"]
             for src in ([f] if isinstance(f, int) else f):
                 if src != -1:
-                    needed.add(src % len(plan))
+                    # negative refs are layer-relative (yolo.py parse_model)
+                    needed.add(src if src >= 0 else e["i"] + src)
         raw_heads: List[jax.Array] = []
 
         for e in plan:
@@ -485,6 +488,49 @@ def create_yolov5(yaml_path: str, num_classes: Optional[int] = None,
                   **kwargs) -> YoloV5:
     with open(yaml_path) as f:
         return YoloV5(yaml_text=f.read(), num_classes=num_classes, **kwargs)
+
+
+def initialize_detect_biases(model: YoloV5, variables: Dict[str, Any],
+                             img_size: int = 640,
+                             cf: Optional[np.ndarray] = None
+                             ) -> Dict[str, Any]:
+    """Focal-prior Detect bias init (yolov5/models/yolo.py:176-184, RetinaNet
+    §3.3): per level with stride s, obj bias += log(8/(640/s)^2) and cls
+    bias += log(0.6/(nc-0.99)) (or log(cf/cf.sum()) given class counts cf).
+    Applied to fresh inits only — imported checkpoints carry trained biases.
+    """
+    d = parse_v5_yaml(model.yaml_text, model.num_classes)
+    nc = int(d["nc"])
+    anchors = np.array(d["anchors"], np.float32).reshape(
+        len(d["anchors"]), -1, 2)
+    na = anchors.shape[1]
+
+    shapes = jax.eval_shape(
+        lambda v, x: model.apply(v, x, train=False), variables,
+        jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32))
+
+    def level_of(name: str) -> int:
+        return int(name.rsplit("_m", 1)[1])
+
+    params = {k: dict(v) if isinstance(v, dict) else v
+              for k, v in variables["params"].items()}
+    head_names = sorted(
+        (k for k in params
+         if "_m" in k and k.rsplit("_m", 1)[1].isdigit()
+         and "bias" in params[k]),
+        key=level_of)
+    for name in head_names:
+        li = level_of(name)
+        stride = img_size / shapes[li].shape[1]
+        b = np.array(params[name]["bias"], np.float32).reshape(na, 5 + nc)
+        b[:, 4] += math.log(8.0 / (640.0 / stride) ** 2)
+        if cf is None:
+            b[:, 5:] += math.log(0.6 / (nc - 0.99))
+        else:
+            b[:, 5:] += np.log(np.asarray(cf, np.float64)
+                               / np.sum(cf)).astype(np.float32)
+        params[name]["bias"] = jnp.asarray(b.reshape(-1))
+    return dict(variables, params=params)
 
 
 def yolov5_heads(model: YoloV5) -> List[YoloHead]:

@@ -61,8 +61,32 @@ def _greedy_keep(iou: jax.Array, valid: jax.Array,
     return jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
 
 
+def _and_keep(iou: jax.Array, valid: jax.Array, same_cls: jax.Array,
+              iou_thres: float) -> jax.Array:
+    """'and'-NMS (utils.py:591-597): a head box is kept only if it overlaps
+    (IoU > 0.5) another still-alive box of its class; the head suppresses
+    later boxes (IoU >= iou_thres) whether or not it was kept. Classes with
+    a single candidate skip NMS entirely (utils.py:570-572)."""
+    k = iou.shape[0]
+    pos = jnp.arange(k)
+
+    def body(i, carry):
+        alive, keep = carry
+        later_alive = alive & (pos > i) & same_cls[i]
+        overlap = jnp.max(jnp.where(later_alive, iou[i], 0.0))
+        keep_i = alive[i] & valid[i] & (overlap > 0.5)
+        suppress = alive[i] & valid[i] & later_alive & (iou[i] >= iou_thres)
+        return alive & ~suppress, keep.at[i].set(keep_i)
+
+    _, keep = jax.lax.fori_loop(
+        0, k, body, (valid, jnp.zeros((k,), bool)))
+    cls_count = jnp.sum(same_cls & valid[None, :], axis=1)
+    return keep | (valid & (cls_count == 1))
+
+
 @partial(jax.jit,
-         static_argnames=("max_det", "top_k", "class_agnostic", "method"))
+         static_argnames=("max_det", "top_k", "multi_label",
+                          "class_agnostic", "method"))
 def batched_nms(pred: jax.Array,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.6,
@@ -71,6 +95,7 @@ def batched_nms(pred: jax.Array,
                 multi_label: bool = False,
                 class_agnostic: bool = False,
                 max_wh: float = 4096.0,
+                min_wh: float = 2.0,
                 method: str = "greedy"
                 ) -> Tuple[jax.Array, jax.Array]:
     """NMS over decoded predictions.
@@ -78,23 +103,47 @@ def batched_nms(pred: jax.Array,
     pred: (B, N, 5+nc) — cx,cy,w,h,obj,cls_probs (all sigmoided).
     Returns (det, count): det (B, max_det, 6) = x1,y1,x2,y2,conf,cls
     (zero-padded), count (B,) valid rows. Scores are obj*cls (utils.py:510).
+
+    Matches the reference filter chain (utils.py:488-533): obj > conf_thres
+    first, then the (min_wh, max_wh)-pixel width/height constraint, then
+    either best-class rows or — with multi_label (the reference default
+    whenever nc > 1) — one row per (box, class) with obj*cls > conf_thres.
+    methods: greedy ('vision_batch'/'or'), merge, soft, and.
     """
+    nc = pred.shape[-1] - 5
+    multi = multi_label and nc > 1
+
     def single(p):
         boxes = xywh_to_xyxy(p[:, :4])
         obj = p[:, 4]
+        base_ok = ((obj > conf_thres)
+                   & jnp.all((p[:, 2:4] > min_wh) & (p[:, 2:4] < max_wh),
+                             axis=-1))
         cls_probs = p[:, 5:] * obj[:, None]
-        # best-class-only mode (the reference's default path when
-        # multi_label is off, utils.py:527-533)
-        best_cls = jnp.argmax(cls_probs, axis=-1)
-        score = jnp.max(cls_probs, axis=-1)
-        ok = score > conf_thres
-        score = jnp.where(ok, score, 0.0)
 
-        k = min(top_k, score.shape[0])
-        top_scores, idx = jax.lax.top_k(score, k)
-        top_boxes = boxes[idx]
-        top_cls = best_cls[idx]
-        valid = top_scores > conf_thres
+        if multi:
+            # one candidate per (box, class) above conf (utils.py:527-529)
+            n = cls_probs.shape[0]
+            flat = cls_probs.reshape(-1)
+            flat_box = jnp.repeat(jnp.arange(n), nc)
+            flat_cls = jnp.tile(jnp.arange(nc), n)
+            ok = base_ok[flat_box] & (flat > conf_thres)
+            key = jnp.where(ok, flat, -1.0)
+            k = min(top_k, key.shape[0])
+            top_scores, idx = jax.lax.top_k(key, k)
+            top_boxes = boxes[flat_box[idx]]
+            top_cls = flat_cls[idx]
+        else:
+            # best class only (utils.py:531-533): note the reference
+            # thresholds only obj here, not obj*cls
+            best_cls = jnp.argmax(cls_probs, axis=-1)
+            score = jnp.max(cls_probs, axis=-1)
+            key = jnp.where(base_ok, score, -1.0)
+            k = min(top_k, key.shape[0])
+            top_scores, idx = jax.lax.top_k(key, k)
+            top_boxes = boxes[idx]
+            top_cls = best_cls[idx]
+        valid = top_scores > -0.5  # -1.0 marks masked candidates
 
         if class_agnostic:
             nms_boxes = top_boxes
@@ -113,7 +162,10 @@ def batched_nms(pred: jax.Array,
             soft_scores = top_scores * decay
             keep = valid & (soft_scores > conf_thres)
             top_scores = jnp.where(keep, soft_scores, 0.0)
-        else:
+        elif method == "and":
+            keep = _and_keep(iou, valid,
+                             top_cls[:, None] == top_cls[None, :], iou_thres)
+        else:  # greedy == the reference's 'vision_batch' and 'or' methods
             keep = _greedy_keep(iou, valid, iou_thres)
             if method == "merge":
                 # merge-NMS (utils.py:604-610 / general.py:520-523):

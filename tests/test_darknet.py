@@ -132,7 +132,9 @@ def test_tiny_forward_parity_vs_torch(rng):
         elif ty == "maxpool":
             k, s = int(d["size"]), int(d["stride"])
             if k == 2 and s == 1:
-                t = F.max_pool2d(F.pad(t, (0, 1, 0, 1), value=-1e38), 2, 1)
+                # the reference zero-pads here (nn.ZeroPad2d((0,1,0,1)),
+                # models.py:62-63) — NOT -inf
+                t = F.max_pool2d(F.pad(t, (0, 1, 0, 1), value=0.0), 2, 1)
             else:
                 t = F.max_pool2d(t, k, s, padding=(k - 1) // 2)
         elif ty == "upsample":

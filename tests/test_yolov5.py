@@ -253,3 +253,63 @@ def test_v5_loss_matches_torch_oracle(rng):
         [float(comps["box"]), float(comps["obj"]), float(comps["cls"])],
         [want_box, want_obj, want_cls], rtol=5e-4, atol=1e-6)
     np.testing.assert_allclose(float(loss), want_total, rtol=5e-4)
+
+
+RELREF_YAML = """
+nc: 2
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+backbone:
+  [[-1, 1, Conv, [16, 3, 2]],
+   [-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, Conv, [32, 1, 1]],
+   [[-1, -2], 1, Concat, [1]],
+  ]
+head:
+  [[-1, 1, Conv, [32, 1, 1]],
+   [[-1], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+def test_negative_relative_from_refs(rng):
+    """FPN-style yamls use layer-relative refs beyond -1 (e.g. -2); the
+    needed-set must resolve them per layer, not modulo len(plan)."""
+    model = YoloV5(yaml_text=RELREF_YAML)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    (out,) = model.apply(variables, x, train=False)
+    assert out.shape == (1, 8, 8, 3 * 7)
+
+
+def test_detect_bias_initialization():
+    """Focal-prior bias init (yolov5/models/yolo.py:176-184): obj bias
+    log(8/(640/s)^2) per stride, cls bias log(0.6/(nc-0.99))."""
+    import math
+
+    from rtdm_tpu.models.yolov5 import initialize_detect_biases
+
+    model = YoloV5(yaml_text=MINI_YAML)
+    img = 64
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, img, img, 3), jnp.float32))
+    variables = initialize_detect_biases(model, variables, img_size=img)
+    nc = 2
+    want_cls = math.log(0.6 / (nc - 0.99))
+    # two heads: strides 4 (li=0 after Focus+1 downsample... grid img/4)
+    # and 8; read them back from the param tree
+    head_names = sorted(k for k in variables["params"]
+                        if "_m" in k and k.rsplit("_m", 1)[1].isdigit())
+    shapes = jax.eval_shape(
+        lambda v, a: model.apply(v, a, train=False), variables,
+        jax.ShapeDtypeStruct((1, img, img, 3), jnp.float32))
+    for name in head_names:
+        li = int(name.rsplit("_m", 1)[1])
+        stride = img / shapes[li].shape[1]
+        b = np.asarray(variables["params"][name]["bias"]).reshape(3, 7)
+        np.testing.assert_allclose(b[:, 4],
+                                   math.log(8 / (640 / stride) ** 2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(b[:, 5:], want_cls, atol=1e-6)
