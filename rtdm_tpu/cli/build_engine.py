@@ -31,6 +31,23 @@ def load_calib_images(calib_dir: str, image_size: int, limit: int = 256):
         [preprocess(load_image_rgb(p), image_size) for p in paths], axis=0)
 
 
+def load_detector_calib_images(calib_dir: str, img_size: int,
+                               limit: int = 256):
+    """Letterboxed uint8 calibration frames for detector int8 engines
+    (the calib_images/ flow of calibrator.py:125-142)."""
+    import numpy as np
+    from rtdm_tpu.cli.aider_predict import load_image_rgb
+    from rtdm_tpu.data.odder import letterbox_image
+
+    paths = sorted(
+        p for pat in ("*.jpg", "*.jpeg", "*.png")
+        for p in glob.glob(os.path.join(calib_dir, pat)))[:limit]
+    if not paths:
+        raise FileNotFoundError(f"no calibration images in {calib_dir}")
+    return np.stack([letterbox_image(load_image_rgb(p), img_size)[0]
+                     for p in paths])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Build an rtdm_tpu engine")
     p.add_argument("--model", default="squeeze-ernet",
@@ -59,13 +76,22 @@ def main(argv=None):
         spec = DetectorSpec(cfg_name=os.path.basename(args.cfg),
                             img_size=args.img_size,
                             conf_thres=args.conf_thres,
-                            iou_thres=args.iou_thres, quant=args.quant)
+                            iou_thres=args.iou_thres, quant=args.quant,
+                            calib_method=args.calib_method)
+        calib = None
+        if args.quant == "int8":
+            if not args.calib_dir:
+                raise SystemExit("--calib-dir is required for int8 engines")
+            calib = load_detector_calib_images(args.calib_dir, args.img_size)
+            print(f"calibrating activations on {calib.shape[0]} images "
+                  f"({args.calib_method})...")
         t0 = time.time()
         det = build_detector(args.cfg, args.weights, spec,
-                             batch_size=args.batch_size)
+                             batch_size=args.batch_size, calib_images=calib)
         print(f"detector engine built in {time.time() - t0:.1f}s")
         save_detector(det, args.output)
-        print(f"saved to {args.output} (spec.json + model.txt + params.npz)")
+        print(f"saved to {args.output} (spec.json + model.txt + params.npz"
+              f"{' + act_scales.npz' if args.quant == 'int8' else ''})")
         return
 
     from rtdm_tpu.export.engine import build_engine
@@ -85,7 +111,8 @@ def main(argv=None):
 
     t0 = time.time()
     engine = build_engine(args.model, variables, quant=args.quant,
-                          batch_size=args.batch_size, calib_images=calib)
+                          batch_size=args.batch_size, calib_images=calib,
+                          calib_method=args.calib_method)
     print(f"engine built + verified in {time.time() - t0:.1f}s")
     engine.save(args.output)
     print(f"saved to {args.output} "

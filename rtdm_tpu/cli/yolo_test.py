@@ -59,7 +59,19 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
         detector = _build_ensemble(cfg, weight_list, spec, batch_size)
     else:
         model, variables = load_weights_for_cfg(cfg, weights, img_size)
-        detector = Detector(model, variables, spec, batch_size=batch_size)
+        act_scales = None
+        if quant == "int8":
+            # activation calibration over the eval split's first frames —
+            # the YOLOEntropyCalibrator flow (calibrator.py:125-142), so
+            # `--quant int8` measures an honestly-calibrated int8 engine
+            from rtdm_tpu.quant.calibrate import calibrate_detector
+            n_cal = min(32, len(ds))
+            calib = np.stack([ds.load(i)["image"] for i in range(n_cal)])
+            act_scales = calibrate_detector(model, variables, calib)
+            print(f"int8: {len(act_scales)} activation scales calibrated "
+                  f"on {n_cal} images")
+        detector = Detector(model, variables, spec, batch_size=batch_size,
+                            act_scales=act_scales)
 
     iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
             else np.array([map_iou]))

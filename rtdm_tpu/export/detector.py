@@ -28,6 +28,7 @@ class DetectorSpec:
     max_det: int = 300
     top_k: int = 512
     quant: str = "bf16"            # fp32 | bf16 | int8
+    calib_method: str = "percentile"  # percentile | entropy (int8 act cal)
     tta: bool = False              # test-time augmentation (v5
     #                                forward_augment, yolo.py:123-134)
     nms_method: str = "greedy"     # greedy|merge|soft|and (utils.py:560+)
@@ -97,16 +98,21 @@ class Detector:
     """Callable over uint8 letterboxed NHWC batches -> (det, count)."""
 
     def __init__(self, model, variables: Dict[str, Any], spec: DetectorSpec,
-                 batch_size: int = 1, heads=None):
+                 batch_size: int = 1, heads=None,
+                 act_scales: Optional[Dict[str, float]] = None):
         import jax
         import jax.numpy as jnp
+        from flax import linen as nn
 
+        from rtdm_tpu.models.layers import Conv, Dense, DepthwiseConv
         from rtdm_tpu.ops.nms import batched_nms
         from rtdm_tpu.ops.yolo import decode_all
 
         self.spec = spec
         self.model = model
         self.batch_size = batch_size
+        self.act_scales = ({k: float(v) for k, v in act_scales.items()}
+                           if act_scales else None)
         heads = heads if heads is not None else model_heads(model, variables)
         quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
@@ -121,6 +127,27 @@ class Detector:
             else x, params)
         vars_c = {"params": cast,
                   "batch_stats": variables.get("batch_stats", {})}
+
+        def qdq_interceptor(next_fun, args, kwargs, context):
+            """Fake-quant every Conv/DWConv/Dense input with its calibrated
+            scale (the detector analogue of TRT's entropy-calibrated int8
+            engines, onnx_to_tensorrt.py:97-103 + calibrator.py:125-142).
+            QDQ runs in fp32 so rounding matches a true-int8 engine."""
+            if (isinstance(context.module, (Conv, DepthwiseConv, Dense))
+                    and context.method_name == "__call__"):
+                s = self.act_scales.get("/".join(context.module.path))
+                if s is not None:
+                    x0 = args[0]
+                    q = jnp.clip(jnp.round(x0.astype(jnp.float32) / s),
+                                 -127, 127)
+                    args = ((q * s).astype(x0.dtype),) + args[1:]
+            return next_fun(*args, **kwargs)
+
+        def apply_model(x, train=False):
+            if quant == "int8" and self.act_scales:
+                with nn.intercept_methods(qdq_interceptor):
+                    return model.apply(vars_c, x, train=train)
+            return model.apply(vars_c, x, train=train)
 
         def fwd(u8):
             x = (u8.astype(dtype) / 255.0)
@@ -138,7 +165,7 @@ class Detector:
                         method="bilinear"))
                     if flip:
                         xi = xi[:, :, ::-1]
-                    raw = model.apply(vars_c, xi, train=False)
+                    raw = apply_model(xi)
                     p = decode_all(raw, heads, si).astype(jnp.float32)
                     g = s0 / si
                     cx, cy = p[..., 0] * g, p[..., 1] * g
@@ -151,7 +178,7 @@ class Detector:
                     preds.append(p)
                 pred = jnp.concatenate(preds, axis=1)
             else:
-                raw = model.apply(vars_c, x, train=False)
+                raw = apply_model(x)
                 pred = decode_all(raw, heads, spec.img_size)
             return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                                spec.max_det, spec.top_k,
@@ -181,11 +208,24 @@ class Detector:
 def build_detector(model_path: str, weights: Optional[str] = None,
                    spec: Optional[DetectorSpec] = None,
                    batch_size: int = 1,
-                   num_classes: Optional[int] = None):
+                   num_classes: Optional[int] = None,
+                   calib_images: Optional[np.ndarray] = None):
+    """Build a detector engine. For int8, `calib_images` (letterboxed uint8
+    NHWC) feed activation-range calibration with spec.calib_method — the
+    YOLOEntropyCalibrator flow (onnx_to_tensorrt.py:97-103)."""
     spec = spec or DetectorSpec(cfg_name=os.path.basename(model_path))
     model, variables, heads = load_detection_model(
         model_path, weights, spec.img_size, num_classes)
-    det = Detector(model, variables, spec, batch_size, heads)
+    act_scales = None
+    if spec.quant == "int8":
+        if calib_images is None:
+            raise ValueError("int8 detector engines need calib_images for "
+                             "activation calibration")
+        from rtdm_tpu.quant.calibrate import calibrate_detector
+        act_scales = calibrate_detector(model, variables, calib_images,
+                                        method=spec.calib_method)
+    det = Detector(model, variables, spec, batch_size, heads,
+                   act_scales=act_scales)
     det._variables = variables
     det._model_source = model_path
     return det
@@ -219,6 +259,10 @@ def save_detector(det: Detector, directory: str) -> str:
         f.write(model_text)
     save_variables(os.path.join(directory, "params.npz"),
                    jax.device_get(det._variables))
+    if det.act_scales:
+        # the calibration cache (calib_cache/*.bin analogue)
+        np.savez(os.path.join(directory, "act_scales.npz"),
+                 **{k: np.float32(v) for k, v in det.act_scales.items()})
     return directory
 
 
@@ -241,7 +285,12 @@ def load_detector(directory: str) -> Detector:
     model = (YoloV5(yaml_text=model_text, num_classes=num_classes)
              if family == "yolov5" else Darknet(cfg_text=model_text))
     variables = load_variables(os.path.join(directory, "params.npz"))
+    act_scales = None
+    scales_path = os.path.join(directory, "act_scales.npz")
+    if os.path.exists(scales_path):
+        with np.load(scales_path) as z:
+            act_scales = {k: float(z[k]) for k in z.files}
     det = Detector(model, variables, spec, batch_size,
-                   model_heads(model, variables))
+                   model_heads(model, variables), act_scales=act_scales)
     det._variables = variables
     return det

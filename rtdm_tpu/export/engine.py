@@ -36,6 +36,7 @@ class EngineSpec:
     image_size: int = 140
     num_classes: int = 5
     with_softmax: bool = True
+    calib_method: str = "percentile"  # percentile | entropy (int8 act cal)
     version: str = "1"
 
     def normalized_quant(self) -> str:
@@ -145,6 +146,7 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 def build_engine(model_name: str, variables: Dict[str, Any],
                  quant: str = "bf16", batch_size: int = 256,
                  calib_images: Optional[np.ndarray] = None,
+                 calib_method: str = "percentile",
                  verify: bool = True) -> Engine:
     """Build (and optionally verify) an engine.
 
@@ -157,13 +159,15 @@ def build_engine(model_name: str, variables: Dict[str, Any],
 
     model = create_model(model_name)
     spec = EngineSpec(model=model_name, quant=quant, batch_size=batch_size,
-                      image_size=model.image_size)
+                      image_size=model.image_size,
+                      calib_method=calib_method)
     act_scales = None
     if spec.normalized_quant() == "int8":
         from rtdm_tpu.quant.calibrate import calibrate_classifier
         if calib_images is None:
             raise ValueError("int8 engines need calib_images")
-        act_scales = calibrate_classifier(model, variables, calib_images)
+        act_scales = calibrate_classifier(model, variables, calib_images,
+                                          method=calib_method)
     engine = Engine(spec, variables, act_scales)
     if verify:
         test = np.zeros((1, spec.image_size, spec.image_size, 3), np.uint8)

@@ -66,17 +66,18 @@ def _entropy_threshold(absv: np.ndarray, amax: float, bins: int) -> float:
     return best_t
 
 
-def calibrate_classifier(model, variables: Dict[str, Any],
-                         calib_images_u8: np.ndarray,
-                         method: str = "percentile",
-                         batch_size: int = 64,
-                         sample_cap: int = 1 << 20) -> Dict[str, np.ndarray]:
-    """Run calibration batches, return {module_path: scale} for all
-    Conv/DepthwiseConv/Dense inputs."""
+def calibrate_model(model, variables: Dict[str, Any],
+                    calib_images_u8: np.ndarray,
+                    preprocess,
+                    method: str = "percentile",
+                    batch_size: int = 64,
+                    sample_cap: int = 1 << 20) -> Dict[str, np.ndarray]:
+    """Run calibration batches through `preprocess` + the model, return
+    {module_path: scale} for all Conv/DepthwiseConv/Dense inputs. Serves
+    classifiers (normalize_batch) and detectors (u8/255) alike."""
     import jax.numpy as jnp
     from flax import linen as nn
 
-    from rtdm_tpu.data.aider import normalize_batch
     from rtdm_tpu.models.layers import Conv, Dense, DepthwiseConv
 
     samples: Dict[str, list] = {}
@@ -94,7 +95,7 @@ def calibrate_classifier(model, variables: Dict[str, Any],
     n = calib_images_u8.shape[0]
     for start in range(0, n, batch_size):
         batch = jnp.asarray(calib_images_u8[start:start + batch_size])
-        x = normalize_batch(batch)
+        x = preprocess(batch)
         with nn.intercept_methods(interceptor):
             model.apply({"params": variables["params"],
                          "batch_stats": variables.get("batch_stats", {})},
@@ -102,3 +103,30 @@ def calibrate_classifier(model, variables: Dict[str, Any],
 
     return {path: np.float32(compute_scale(np.concatenate(vals), method))
             for path, vals in samples.items()}
+
+
+def calibrate_classifier(model, variables: Dict[str, Any],
+                         calib_images_u8: np.ndarray,
+                         method: str = "percentile",
+                         batch_size: int = 64,
+                         sample_cap: int = 1 << 20) -> Dict[str, np.ndarray]:
+    """Classifier calibration: uint8 frames through the AIDER normalize."""
+    from rtdm_tpu.data.aider import normalize_batch
+
+    return calibrate_model(model, variables, calib_images_u8,
+                           normalize_batch, method, batch_size, sample_cap)
+
+
+def calibrate_detector(model, variables: Dict[str, Any],
+                       calib_images_u8: np.ndarray,
+                       method: str = "percentile",
+                       batch_size: int = 16,
+                       sample_cap: int = 1 << 20) -> Dict[str, np.ndarray]:
+    """Detector calibration: letterboxed uint8 frames through the /255
+    preprocessing (the YOLOEntropyCalibrator's _preprocess_yolo analogue,
+    calibrator.py:67-84)."""
+    import jax.numpy as jnp
+
+    return calibrate_model(model, variables, calib_images_u8,
+                           lambda u8: u8.astype(jnp.float32) / 255.0,
+                           method, batch_size, sample_cap)

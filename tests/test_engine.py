@@ -142,3 +142,62 @@ def test_detector_engine_save_load(tmp_path):
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
     assert det2.spec.conf_thres == 0.3 and det2.spec.img_size == 224
+
+
+def test_int8_detector_calibrated_engine(tmp_path):
+    """int8 detector engines carry calibrated activation scales
+    (onnx_to_tensorrt.py:97-103 + calibrator.py analogue): calibration
+    runs, scales persist through save/load, and the QDQ forward stays
+    close to the bf16 one on the calibration distribution."""
+    import jax
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                          load_detector, save_detector)
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 224, 224, 3)).astype(np.uint8)
+
+    spec8 = DetectorSpec(cfg_name="tiny", img_size=224, conf_thres=0.3,
+                         quant="int8")
+    with pytest.raises(ValueError):
+        build_detector(cfg, None, spec8, batch_size=2)  # needs calib
+    det8 = build_detector(cfg, None, spec8, batch_size=2,
+                          calib_images=frames)
+    assert det8.act_scales and all(v > 0 for v in det8.act_scales.values())
+    # every conv input in the tiny graph got a scale
+    assert len(det8.act_scales) >= 10
+
+    d8, c8 = det8(frames[:2])
+    save_detector(det8, str(tmp_path / "int8eng"))
+    assert (tmp_path / "int8eng" / "act_scales.npz").exists()
+    det8b = load_detector(str(tmp_path / "int8eng"))
+    assert det8b.act_scales == det8.act_scales
+    d8b, c8b = det8b(frames[:2])
+    np.testing.assert_array_equal(c8, c8b)
+    np.testing.assert_allclose(d8, d8b, rtol=1e-5, atol=1e-5)
+
+    # act-QDQ must actually change the numerics vs weight-only QDQ
+    det8_noact = build_detector(
+        cfg, None, DetectorSpec(cfg_name="tiny", img_size=224,
+                                conf_thres=0.3, quant="bf16"),
+        batch_size=2)
+    db, _ = det8_noact(frames[:2])
+    assert not np.allclose(np.asarray(d8), np.asarray(db))
+
+
+def test_entropy_calibration_reachable():
+    """--calib-method entropy must thread through to compute_scale."""
+    from rtdm_tpu.quant.calibrate import compute_scale
+
+    rng = np.random.default_rng(1)
+    vals = np.concatenate([rng.normal(0, 1, 100_000),
+                           rng.normal(0, 8, 50)])  # outlier tail
+    s_pct = compute_scale(vals, "percentile")
+    s_ent = compute_scale(vals, "entropy")
+    assert s_pct > 0 and s_ent > 0 and s_pct != s_ent
+    # both should clip the outlier tail well below absmax/127
+    assert s_ent < np.abs(vals).max() / 127.0
