@@ -30,12 +30,13 @@ def list_images(source: str):
 
 
 def load_weights_for_cfg(cfg_path: str, weights: str, img_size: int,
-                         num_classes=None):
+                         num_classes=None, intersect=False):
     """Model+weights for a darknet .cfg or v5 .yaml (shared CLI loader)."""
     from rtdm_tpu.export.detector import load_detection_model
 
     model, variables, _ = load_detection_model(cfg_path, weights, img_size,
-                                               num_classes)
+                                               num_classes,
+                                               intersect=intersect)
     return model, variables
 
 

@@ -77,6 +77,18 @@ def parse_args(argv=None):
     p.add_argument("--train-list-override",
                    help="use this image-list txt for training instead of "
                         "the .data file's train entry")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <output>/last_state (full state: "
+                        "params, opt_state, EMA, epoch, best_fitness — "
+                        "yolov3/train.py:352-369,427 analogue)")
+    p.add_argument("--no-strip", action="store_true",
+                   help="keep the optimizer-state checkpoint after a "
+                        "completed run (skip the strip_optimizer finalize, "
+                        "yolov5/utils/general.py:587)")
+    p.add_argument("--bn-burn-in", type=int, default=None, metavar="N",
+                   help="freeze BN running stats for the first N batches "
+                        "(yolov3/train.py:250-255; default 200 darknet, "
+                        "0 for v5 yamls)")
     return p.parse_args(argv)
 
 
@@ -143,9 +155,13 @@ def train(args):
                                       num_workers=args.num_workers)
 
     is_v5 = args.cfg.endswith((".yaml", ".yml"))
+    # intersect: shape-tolerant pretrained load, so e.g. a COCO v5s.pt
+    # seeds an nc=2 model's backbone (yolov5/train.py:82-92)
     model, variables = load_weights_for_cfg(args.cfg, args.weights,
                                             args.img_size,
-                                            num_classes=nc if is_v5 else None)
+                                            num_classes=nc if is_v5 else None,
+                                            intersect=is_v5
+                                            and bool(args.weights))
     from rtdm_tpu.export.detector import model_heads
     heads = model_heads(model, variables)
     if is_v5:
@@ -170,24 +186,82 @@ def train(args):
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * args.epochs
-    cosine = optax.cosine_decay_schedule(
-        args.lr0, max(total_steps - args.burn_in, 1),
-        alpha=10.0 ** args.lrf)
-    schedule = optax.join_schedules(
-        [optax.linear_schedule(0.0, args.lr0, max(args.burn_in, 1)), cosine],
-        [max(args.burn_in, 1)])
     from rtdm_tpu.train.schedules import kernel_only_mask
-    if args.optimizer == "sgd":
+    if is_v5:
+        # per-batch warmup interpolation (yolov5/train.py:281-290): over the
+        # first nw batches bias lr FALLS from warmup_bias_lr to the cosine
+        # value while every other lr RISES from 0, and SGD momentum ramps
+        # warmup_momentum -> momentum. (The reference also ramps the
+        # accumulate count; ours is baked into the compiled step, so the
+        # effective-batch ramp is intentionally omitted.)
+        nw = int(max(round(hyp_file.get("warmup_epochs", 3.0)
+                           * steps_per_epoch), 1000))
+        nw = max(min(nw, total_steps // 2), 1)
+        base_sched = optax.cosine_decay_schedule(
+            args.lr0, total_steps, alpha=10.0 ** args.lrf)
+        warm_bias_lr = float(hyp_file.get("warmup_bias_lr", 0.1))
+        warm_mom = float(hyp_file.get("warmup_momentum", 0.8))
+
+        def _warm(step, y0, y1_fn):
+            w = jnp.clip(step / nw, 0.0, 1.0)
+            return (1.0 - w) * y0 + w * y1_fn(step)
+
+        def bias_lr(step):
+            return _warm(step, warm_bias_lr, base_sched)
+
+        def rest_lr(step):
+            return _warm(step, 0.0, base_sched)
+
+        def momentum_sched(step):
+            return _warm(step, warm_mom, lambda _: args.momentum)
+
+        def bias_mask(params):
+            def walk(tree):
+                return {k: (walk(v) if isinstance(v, dict) else k == "bias")
+                        for k, v in tree.items()}
+            return walk(params)
+
+        def rest_mask(params):
+            return jax.tree_util.tree_map(lambda m: not m,
+                                          bias_mask(params))
+
+        if args.optimizer == "sgd":
+            sgd_inj = optax.inject_hyperparams(
+                optax.sgd, static_args=("nesterov",))
+            inner_bias = sgd_inj(learning_rate=bias_lr,
+                                 momentum=momentum_sched, nesterov=True)
+            inner_rest = sgd_inj(learning_rate=rest_lr,
+                                 momentum=momentum_sched, nesterov=True)
+        else:
+            inner_bias = optax.adam(bias_lr)
+            inner_rest = optax.adam(rest_lr)
+        # two complementary masked chains: each leaf is transformed exactly
+        # once; the other mask passes the already-transformed update through
         tx = optax.chain(
             optax.clip_by_global_norm(10.0),
             optax.add_decayed_weights(args.weight_decay,
                                       mask=kernel_only_mask),
-            optax.sgd(schedule, momentum=args.momentum, nesterov=True))
+            optax.masked(inner_bias, bias_mask),
+            optax.masked(inner_rest, rest_mask))
     else:
-        tx = optax.chain(optax.clip_by_global_norm(10.0),
-                         optax.adamw(schedule,
-                                     weight_decay=args.weight_decay,
-                                     mask=kernel_only_mask))
+        cosine = optax.cosine_decay_schedule(
+            args.lr0, max(total_steps - args.burn_in, 1),
+            alpha=10.0 ** args.lrf)
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, args.lr0, max(args.burn_in, 1)),
+             cosine],
+            [max(args.burn_in, 1)])
+        if args.optimizer == "sgd":
+            tx = optax.chain(
+                optax.clip_by_global_norm(10.0),
+                optax.add_decayed_weights(args.weight_decay,
+                                          mask=kernel_only_mask),
+                optax.sgd(schedule, momentum=args.momentum, nesterov=True))
+        else:
+            tx = optax.chain(optax.clip_by_global_norm(10.0),
+                             optax.adamw(schedule,
+                                         weight_decay=args.weight_decay,
+                                         mask=kernel_only_mask))
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -220,12 +294,21 @@ def train(args):
         return jax.tree_util.tree_map(lambda m: not m,
                                       head_bias_mask(params))
 
-    def make_step(train_size: int, txx=None):
+    from rtdm_tpu.train.ema import ema_init, ema_update
+
+    def make_step(train_size: int, txx=None, update_bn: bool = True):
         """Jitted train step at a fixed (possibly rescaled) image size.
 
         Multi-scale training = one compiled step per size: the loader
         always yields --img-size batches; sizes != base are resized on
-        device with labels scaled to match (yolov3/train.py:269-275)."""
+        device with labels scaled to match (yolov3/train.py:269-275).
+
+        update_bn=False freezes the BN running stats (the 200-batch BN
+        burn-in, yolov3/train.py:250-255: track_running_stats off until
+        ni == n_burn; batch statistics still normalize the forward).
+
+        The EMA update (ModelEMA, torch_utils.py:276-306) is folded INTO
+        the jitted program when --ema is on — no per-step host dispatch."""
         ratio = train_size / args.img_size
         txx = txx if txx is not None else tx
 
@@ -238,8 +321,8 @@ def train(args):
                                     hyp)
             return loss, (mutated["batch_stats"], comps)
 
-        def step(params, batch_stats, opt_state, images, labels, nlab,
-                 rng):
+        def step(params, batch_stats, opt_state, ema, images, labels, nlab,
+                 rng, step_i):
             if train_size != args.img_size:
                 images = jax.image.resize(
                     images.astype(jnp.float32),
@@ -263,20 +346,31 @@ def train(args):
                         k + 1), None
 
             zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (batch_stats, grads, loss, comps, _), _ = jax.lax.scan(
+            (new_stats, grads, loss, comps, _), _ = jax.lax.scan(
                 body, (batch_stats, zeros, jnp.zeros(()), jnp.zeros((3,)),
                        jnp.zeros((), jnp.int32)), (mb_i, mb_l, mb_n))
             grads = jax.tree_util.tree_map(lambda g: g / accumulate, grads)
             updates, opt_state = txx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, batch_stats, opt_state, loss / accumulate, \
+            new_stats = new_stats if update_bn else batch_stats
+            if args.ema:
+                ema = ema_update(ema, {"params": params,
+                                       "batch_stats": new_stats}, step_i)
+            return params, new_stats, opt_state, ema, loss / accumulate, \
                 comps / accumulate
 
         return jax.jit(
-            step, in_shardings=(repl, repl, repl, dsh, dsh, dsh, repl),
-            out_shardings=repl, donate_argnums=(0, 1, 2))
+            step,
+            in_shardings=(repl, repl, repl, repl, dsh, dsh, dsh, repl,
+                          repl),
+            out_shardings=repl, donate_argnums=(0, 1, 2, 3))
 
     steps_by_size = {args.img_size: make_step(args.img_size)}
+
+    n_burn = (args.bn_burn_in if args.bn_burn_in is not None
+              else (0 if is_v5 else 200))
+    burn_step = (make_step(args.img_size, update_bn=False)
+                 if n_burn > 0 else None)
 
     prebias_step = None
     prebias_tx = None
@@ -313,49 +407,79 @@ def train(args):
         pred = decode_all(raw, heads, args.img_size)
         return batched_nms(pred, 0.001, 0.6, 300, 512, multi_label=True)
 
-    from rtdm_tpu.train.ema import ema_init, ema_update
+    # EMA rides inside the jitted step; {} is the leafless placeholder tree
     ema_vars = (ema_init({"params": params, "batch_stats": batch_stats})
-                if args.ema else None)
+                if args.ema else {})
 
     os.makedirs(args.output, exist_ok=True)
+    from rtdm_tpu.train.checkpoint import CheckpointManager
     from rtdm_tpu.utils.experiment_log import ExperimentLogger
     explog = ExperimentLogger(args.output, run_name="yolo",
                               config=vars(args))
     results_path = os.path.join(args.output, "results.txt")
     rng = jax.random.key(args.seed)
+    ckpt_mgr = CheckpointManager(args.output)
     best_fitness = -1.0
+    start_epoch = 0
     it = 0
     history = []
-    for epoch in range(args.epochs):
+    prebias_opt_state = None
+    if args.resume:
+        # full-state resume (yolov3/train.py:352-356,427: {epoch,
+        # best_fitness, model, optimizer}; v5 adds EMA, train.py:148-171)
+        if not ckpt_mgr.exists("last_state"):
+            raise SystemExit(f"--resume: no checkpoint at "
+                             f"{os.path.join(args.output, 'last_state')}")
+        template = {"params": params, "batch_stats": batch_stats,
+                    "opt_state": opt_state, "ema": ema_vars}
+        state, meta = ckpt_mgr.restore("last_state", template)
+        params, batch_stats = state["params"], state["batch_stats"]
+        opt_state, ema_vars = state["opt_state"], state["ema"]
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        it = int(meta.get("it", 0))
+        best_fitness = float(meta.get("best_fitness", -1.0))
+        history = list(meta.get("history", []))
+        logger.info("resumed at epoch %d (it %d, best_fitness %.4f)",
+                    start_epoch, it, best_fitness)
+
+    aborted = False
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         ep_loss = np.zeros(3)
         nb = 0
         in_prebias = prebias_step is not None and epoch < args.prebias
-        if in_prebias and epoch == 0:
+        if in_prebias and prebias_opt_state is None:
             prebias_opt_state = prebias_tx.init(params)
         for batch, valid in train_loader:
             images = jax.device_put(jnp.asarray(batch["image"]), dsh)
             labels = jax.device_put(jnp.asarray(batch["labels"]), dsh)
             nlab = jax.device_put(jnp.asarray(batch["num_labels"]), dsh)
+            step_i = jnp.asarray(it, jnp.int32)
+            step_rng = jax.random.fold_in(rng, it)
             if in_prebias:
-                params, batch_stats, prebias_opt_state, loss, comps = \
-                    prebias_step(params, batch_stats, prebias_opt_state,
-                                 images, labels, nlab,
-                                 jax.random.fold_in(rng, it))
-                ep_loss += np.asarray(jax.device_get(comps))
-                nb += 1
-                it += 1
-                continue
-            params, batch_stats, opt_state, loss, comps = train_step(
-                params, batch_stats, opt_state, images, labels, nlab,
-                jax.random.fold_in(rng, it))
-            if ema_vars is not None:
-                ema_vars = ema_update(
-                    ema_vars, {"params": params, "batch_stats": batch_stats},
-                    jnp.asarray(it))
-            ep_loss += np.asarray(jax.device_get(comps))
+                params, batch_stats, prebias_opt_state, ema_vars, loss, \
+                    comps = prebias_step(
+                        params, batch_stats, prebias_opt_state, ema_vars,
+                        images, labels, nlab, step_rng, step_i)
+            else:
+                fn = (burn_step if burn_step is not None and it < n_burn
+                      else train_step)
+                params, batch_stats, opt_state, ema_vars, loss, comps = fn(
+                    params, batch_stats, opt_state, ema_vars,
+                    images, labels, nlab, step_rng, step_i)
+            comps_np = np.asarray(jax.device_get(comps))
+            if not np.isfinite(comps_np).all():
+                # non-finite loss abort (yolov3/train.py:284-286)
+                logger.error(
+                    "WARNING: non-finite loss %s at step %d — ending "
+                    "training", comps_np.tolist(), it)
+                aborted = True
+                break
+            ep_loss += comps_np
             nb += 1
             it += 1
+        if aborted:
+            break
         ep_loss /= max(nb, 1)
 
         line = (f"epoch {epoch + 1}/{args.epochs} "
@@ -363,10 +487,15 @@ def train(args):
                 f"cls {ep_loss[2]:.4f} {time.time() - t0:.1f}s")
         res = None
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            # evaluate with the EMA weights when enabled — how ModelEMA is
+            # consumed at test time (yolov5/train.py:346+)
+            ev_params, ev_stats = ((ema_vars["params"],
+                                    ema_vars["batch_stats"])
+                                   if args.ema else (params, batch_stats))
             ev = DetectionEvaluator(nc, np.array([0.5]))
             for batch, valid in val_loader:
                 det, count = jax.device_get(eval_step(
-                    params, batch_stats, jnp.asarray(batch["image"])))
+                    ev_params, ev_stats, jnp.asarray(batch["image"])))
                 for i in range(valid):
                     n = int(count[i])
                     nl = int(batch["num_labels"][i])
@@ -380,7 +509,7 @@ def train(args):
                                    [res["mp"], res["mr"], res["map50"], f1]))
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP@0.5 {res['map50']:.3f}")
-            var_now = (jax.device_get(ema_vars) if ema_vars is not None
+            var_now = (jax.device_get(ema_vars) if args.ema
                        else {"params": jax.device_get(params),
                              "batch_stats": jax.device_get(batch_stats)})
             save_variables(os.path.join(args.output, "last.npz"), var_now)
@@ -399,6 +528,25 @@ def train(args):
             f.write(line + "\n")
         history.append({"loss": ep_loss.tolist(),
                         "map50": None if res is None else res["map50"]})
+        # full-state checkpoint for --resume ({epoch, best_fitness, model,
+        # optimizer(+EMA)}, yolov3/train.py:352-356 / yolov5:148-171)
+        ckpt_mgr.save("last_state",
+                      {"params": params, "batch_stats": batch_stats,
+                       "opt_state": opt_state, "ema": ema_vars},
+                      metadata={"epoch": epoch, "it": it,
+                                "best_fitness": best_fitness,
+                                "history": history})
+    if not aborted and not args.no_strip and ckpt_mgr.exists("last_state"):
+        # strip_optimizer finalize (yolov5/utils/general.py:587): a
+        # completed run keeps only the deployable weight npz artifacts
+        import shutil
+        shutil.rmtree(os.path.join(args.output, "last_state"),
+                      ignore_errors=True)
+        meta_f = os.path.join(args.output, "last_state.meta.json")
+        if os.path.exists(meta_f):
+            os.remove(meta_f)
+        logger.info("optimizer state stripped; best.npz/last.npz keep the "
+                    "deployable weights")
     return {"params": params, "batch_stats": batch_stats,
             "history": history, "best_fitness": best_fitness}
 

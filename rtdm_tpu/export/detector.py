@@ -47,9 +47,12 @@ def model_heads(model, variables) -> Any:
 
 
 def load_detection_model(model_path: str, weights: Optional[str],
-                         img_size: int, num_classes: Optional[int] = None):
+                         img_size: int, num_classes: Optional[int] = None,
+                         intersect: bool = False):
     """Build (model, variables, heads) from a darknet .cfg or a v5 .yaml,
-    optionally loading weights (.weights | torch .pt | .npz)."""
+    optionally loading weights (.weights | torch .pt | .npz). `intersect`
+    tolerates shape-mismatched v5 checkpoint tensors (partial pretrained
+    load, yolov5/train.py:82-92)."""
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +69,8 @@ def load_detection_model(model_path: str, weights: Optional[str],
             variables = initialize_detect_biases(model, variables, img_size)
         if weights:
             if weights.endswith((".pt", ".pth")):
-                variables = load_yolov5_torch_checkpoint(variables, weights)
+                variables = load_yolov5_torch_checkpoint(
+                    variables, weights, intersect=intersect)
             elif weights.endswith(".npz"):
                 from rtdm_tpu.models.io import load_variables
                 variables = load_variables(weights)

@@ -20,11 +20,45 @@ from typing import Any, Dict, Mapping, Tuple
 import numpy as np
 
 
+def _install_stub_module(name: str) -> None:
+    """Register a stub module whose attribute lookups synthesize empty
+    nn.Module subclasses. Full-module pickles (the legacy checkpoints the
+    reference loads at aider-predict.py:36-41) reference training-repo
+    classes like `model.ernet.ErNET`; unpickling only needs the class
+    object to exist — state is restored straight into __dict__ — so a stub
+    lets us read them without importing the reference's code."""
+    import sys
+    import types
+
+    import torch.nn as nn
+
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # mark as package so submodule imports raise
+    #                    ModuleNotFoundError (and get stubbed in turn)
+
+    def _getattr(cls_name: str):
+        if cls_name.startswith("__"):
+            raise AttributeError(cls_name)
+        cls = type(cls_name, (nn.Module,), {})
+        setattr(mod, cls_name, cls)
+        return cls
+
+    mod.__getattr__ = _getattr
+    sys.modules[name] = mod
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pt file into {key: float32 ndarray} without needing CUDA."""
     import torch  # CPU torch, used only as a pickle reader at import time
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for _ in range(16):  # one retry per missing pickled module path
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            break
+        except ModuleNotFoundError as e:
+            _install_stub_module(e.name)
+    else:
+        raise ValueError(f"could not unpickle {path}")
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     if isinstance(obj, dict) and "model" in obj and not hasattr(obj, "detach"):
@@ -91,6 +125,20 @@ def classifier_variables_from_torch(state_dict: Mapping[str, np.ndarray]
         else:
             raise ValueError(f"unhandled key {key}")
     return {"params": params, "batch_stats": stats}
+
+
+def infer_classifier_arch(state_dict: Mapping[str, np.ndarray]) -> str:
+    """Architecture from checkpoint keys: conv_red* -> squeeze-redconv,
+    acff5/6 -> ernet, else squeeze-ernet. Lets the legacy full-module
+    pickles (Squeeze97.pt, ernet.pt, ...) self-identify."""
+    keys = set()
+    for k in state_dict:
+        keys.add(k.split(".")[0])
+    if any(k.startswith("conv_red") for k in keys):
+        return "squeeze-redconv"
+    if "acff5" in keys or "acff6" in keys:
+        return "ernet"
+    return "squeeze-ernet"
 
 
 def load_classifier_checkpoint(path: str) -> Dict[str, Any]:

@@ -547,13 +547,19 @@ def yolov5_heads(model: YoloV5) -> List[YoloHead]:
 
 def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
                                  path: str,
-                                 prefer_ema: bool = True) -> Dict[str, Any]:
+                                 prefer_ema: bool = True,
+                                 intersect: bool = False) -> Dict[str, Any]:
     """Import an ultralytics-v5-era checkpoint ({'model': module, 'ema': ...},
     yolov5/train.py:148-171) into our parameter tree.
 
     Key mapping: 'model.{i}.<sub>.conv.weight' -> params['m{i}']...['conv']
     ['kernel'] (OIHW->HWIO), '.bn.*' -> BatchNorm scale/bias + batch_stats,
     'model.{24}.m.{j}.weight|bias' -> Detect convs 'm24_m{j}'.
+
+    With `intersect=True`, shape-mismatched tensors are skipped instead of
+    raising — the intersect_dicts partial-pretrained-load semantics
+    (yolov5/train.py:82-92, torch_utils.py intersect_dicts), so e.g. a
+    COCO-nc=80 v5s checkpoint seeds an nc=2 model's backbone.
     """
     import copy
 
@@ -578,6 +584,8 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
     stats = variables.setdefault("batch_stats", {})
 
     unmatched = []
+    skipped = []  # shape-mismatched (only tolerated with intersect=True)
+    transferred = 0
     for key, val in sd.items():
         if not key.startswith("model."):
             continue
@@ -590,11 +598,14 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
             name = f"m{i}_m{rest[1]}"
             if name in params:
                 tgt = params[name]
-                if rest[-1] == "weight":
-                    tgt["kernel"] = np.transpose(val, (2, 3, 1, 0)) \
-                        .astype(np.float32)
+                arr = (np.transpose(val, (2, 3, 1, 0))
+                       if rest[-1] == "weight" else np.asarray(val))
+                slot = "kernel" if rest[-1] == "weight" else "bias"
+                if tuple(np.shape(tgt[slot])) != arr.shape:
+                    skipped.append(key)
                 else:
-                    tgt["bias"] = val.astype(np.float32)
+                    tgt[slot] = arr.astype(np.float32)
+                    transferred += 1
                 continue
         # generic module path: rename m.{j} -> m{j}
         mapped = [f"m{i}"]
@@ -628,11 +639,26 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
             ok = True  # static metadata, read from yaml
         else:
             ok = False
-        if not ok:
+        if ok == "shape":
+            skipped.append(key)
+        elif not ok:
             unmatched.append(key)
-    if unmatched:
+        elif ok is True and leaf != "num_batches_tracked":
+            transferred += 1
+    if unmatched and not intersect:
         raise ValueError(f"unmatched v5 checkpoint keys: {unmatched[:8]}"
                          f" (+{max(len(unmatched) - 8, 0)} more)")
+    if skipped and not intersect:
+        raise ValueError(
+            f"shape-mismatched v5 checkpoint keys: {skipped[:8]} "
+            f"(+{max(len(skipped) - 8, 0)} more) — pass intersect=True for "
+            f"partial pretrained load (yolov5/train.py:82-92)")
+    if intersect and (skipped or unmatched):
+        import logging
+        logging.getLogger("rtdm_tpu.yolov5").info(
+            "transferred %d items from %s (%d shape-mismatched, %d "
+            "unmatched skipped)", transferred, path, len(skipped),
+            len(unmatched))
     return variables
 
 
@@ -645,5 +671,7 @@ def _set_nested(tree, path_parts, leaf, value, create=False):
             else:
                 return False
         node = node[p]
+    if leaf in node and tuple(np.shape(node[leaf])) != np.shape(value):
+        return "shape"
     node[leaf] = value.astype(np.float32)
     return True

@@ -1,7 +1,8 @@
-"""Oracle tests: batched_nms vs an independent torch/torchvision
-re-implementation of the reference's non_max_suppression filter chain
-(yolov3/utils/utils.py:488-557 semantics: obj threshold, wh constraint,
-multi-label rows, class-offset batched NMS)."""
+"""Oracle tests: batched_nms vs an independent numpy re-implementation of
+the reference's non_max_suppression filter chain (yolov3/utils/utils.py:
+488-557 semantics: obj threshold, wh constraint, multi-label rows,
+class-offset greedy NMS — torchvision.ops.nms's documented algorithm,
+reimplemented here since torchvision is not installed)."""
 
 import numpy as np
 import pytest
@@ -10,12 +11,30 @@ import jax.numpy as jnp
 
 from rtdm_tpu.ops.nms import batched_nms
 
-torch = pytest.importorskip("torch")
-torchvision = pytest.importorskip("torchvision")
+
+def _greedy_nms_indices(boxes, scores, iou_thres):
+    """torchvision.ops.nms semantics: descending-score greedy suppression
+    of boxes with IoU > iou_thres against any kept box."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    areas = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * \
+        np.clip(boxes[:, 3] - boxes[:, 1], 0, None)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        lt = np.maximum(boxes[i, :2], boxes[:, :2])
+        rb = np.minimum(boxes[i, 2:4], boxes[:, 2:4])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-9)
+        suppressed |= iou > iou_thres
+    return np.array(keep, int)
 
 
 def _xywh2xyxy(b):
-    out = b.clone()
+    out = b.copy()
     out[:, 0] = b[:, 0] - b[:, 2] / 2
     out[:, 1] = b[:, 1] - b[:, 3] / 2
     out[:, 2] = b[:, 0] + b[:, 2] / 2
@@ -24,8 +43,8 @@ def _xywh2xyxy(b):
 
 
 def torch_oracle(pred, conf_thres, iou_thres, multi_label):
-    """Functional torch oracle for one image: (N, 5+nc) -> (M, 6) xyxy."""
-    t = torch.from_numpy(np.array(pred, np.float32))
+    """Functional oracle for one image: (N, 5+nc) -> (M, 6) xyxy."""
+    t = np.array(pred, np.float32)
     t = t[t[:, 4] > conf_thres]
     t = t[((t[:, 2:4] > 2) & (t[:, 2:4] < 4096)).all(1)]
     if not t.shape[0]:
@@ -34,17 +53,19 @@ def torch_oracle(pred, conf_thres, iou_thres, multi_label):
     t[:, 5:] = t[:, 5:] * t[:, 4:5]
     box = _xywh2xyxy(t[:, :4])
     if multi_label and nc > 1:
-        i, j = (t[:, 5:] > conf_thres).nonzero(as_tuple=True)
-        rows = torch.cat(
-            [box[i], t[i, j + 5].unsqueeze(1), j.float().unsqueeze(1)], 1)
+        i, j = (t[:, 5:] > conf_thres).nonzero()
+        rows = np.concatenate(
+            [box[i], t[i, j + 5][:, None], j[:, None].astype(np.float32)], 1)
     else:
-        conf, j = t[:, 5:].max(1)
-        rows = torch.cat([box, conf.unsqueeze(1), j.float().unsqueeze(1)], 1)
+        j = t[:, 5:].argmax(1)
+        conf = t[np.arange(len(t)), j + 5]
+        rows = np.concatenate(
+            [box, conf[:, None], j[:, None].astype(np.float32)], 1)
     if not rows.shape[0]:
         return np.zeros((0, 6), np.float32)
     offset_boxes = rows[:, :4] + rows[:, 5:6] * 4096.0
-    keep = torchvision.ops.nms(offset_boxes, rows[:, 4], iou_thres)
-    return rows[keep].numpy()
+    keep = _greedy_nms_indices(offset_boxes, rows[:, 4], iou_thres)
+    return rows[keep]
 
 
 def _random_pred(rng, n=200, nc=3, img=416):

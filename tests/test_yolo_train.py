@@ -120,3 +120,99 @@ def test_prebias_freezes_non_head_params(tmp_path):
     assert not np.allclose(
         np.asarray(init_vars["params"]["l15_conv"]["bias"]),
         np.asarray(trained["l15_conv"]["bias"]))
+
+
+@needs_reference
+def test_yolo_train_resume(tmp_path):
+    """Killed-and-resumed runs continue from the checkpointed epoch with
+    optimizer+EMA state (yolov3/train.py:352-369,427): a 2-epoch run
+    resumed to 4 has the same epoch count as an uninterrupted 4-epoch run,
+    and its first two history rows are the restored ones."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    def run(out, epochs, extra=()):
+        return main([
+            "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+            "--data", str(YOLO_DIR / "data/aider-min.data"),
+            "--train-list-override",
+            str(YOLO_DIR / "data/custom/test-min.txt"),
+            "--epochs", str(epochs), "--batch-size", "4",
+            "--img-size", "192", "--nominal-batch", "4", "--burn-in", "2",
+            "--lr0", "0.002", "--num-workers", "2", "--output", out,
+            "--eval-every", "1", *extra,
+        ])
+
+    out_b = str(tmp_path / "resumed")
+    part = run(out_b, 2, ["--no-strip"])  # simulates an interrupted run
+    assert os.path.isdir(os.path.join(out_b, "last_state"))
+    resumed = run(out_b, 4, ["--resume"])
+    assert len(part["history"]) == 2
+    assert len(resumed["history"]) == 4
+    np.testing.assert_allclose(
+        [h["loss"] for h in resumed["history"][:2]],
+        [h["loss"] for h in part["history"]], rtol=1e-6)
+    # completed run strips the optimizer state (general.py:587 analogue)
+    assert not os.path.isdir(os.path.join(out_b, "last_state"))
+    losses = np.array([h["loss"] for h in resumed["history"]])
+    assert np.all(np.isfinite(losses))
+
+
+@needs_reference
+def test_yolo_train_nonfinite_abort(tmp_path):
+    """A diverging run (absurd lr) must abort on the first non-finite loss
+    instead of burning the epoch budget (yolov3/train.py:284-286)."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "50", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--burn-in", "1", "--lr0", "1e30",
+        "--optimizer", "sgd", "--num-workers", "2",
+        "--output", str(tmp_path / "nan"), "--eval-every", "50",
+    ])
+    assert len(result["history"]) < 50, "run must abort, not finish"
+
+
+V5_MINI_YAML = """
+nc: 2
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+  - [30,61, 62,45, 59,119]
+backbone:
+  [[-1, 1, Focus, [16, 3]],
+   [-1, 1, Conv, [32, 3, 2]],
+   [-1, 1, C3, [32]],
+   [-1, 1, Conv, [64, 3, 2]],
+   [-1, 1, SPP, [64, [3, 5]]],
+  ]
+head:
+  [[-1, 1, Conv, [32, 1, 1]],
+   [[4, 5], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+@needs_reference
+def test_yolo_train_v5_warmup_ema(tmp_path):
+    """v5 training path: warmup lr/momentum interpolation (train.py:281-290)
+    + EMA folded into the jitted step must run and stay finite."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    yml = tmp_path / "mini.yaml"
+    yml.write_text(V5_MINI_YAML)
+    result = main([
+        "--cfg", str(yml),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "2", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
+        "--ema", "--num-workers", "2",
+        "--output", str(tmp_path / "v5run"), "--eval-every", "1",
+    ])
+    losses = np.array([h["loss"] for h in result["history"]])
+    assert losses.shape[0] == 2 and np.all(np.isfinite(losses))
+    assert result["history"][-1]["map50"] is not None

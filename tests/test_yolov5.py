@@ -313,3 +313,33 @@ def test_detect_bias_initialization():
                                    math.log(8 / (640 / stride) ** 2),
                                    atol=1e-6)
         np.testing.assert_allclose(b[:, 5:], want_cls, atol=1e-6)
+
+
+def test_intersect_checkpoint_load(tmp_path, rng):
+    """Shape-tolerant pretrained load (intersect_dicts, train.py:82-92):
+    a checkpoint with a different nc seeds the backbone; the mismatched
+    Detect convs stay at their init instead of raising."""
+    import torch as _torch
+
+    model = YoloV5(yaml_text=MINI_YAML)  # nc=2 -> Detect out = 21
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    variables = jax.device_get(model.init(jax.random.key(0), x))
+
+    tm = TorchMini(nc=3)  # Detect out = 24 (mismatch)
+    ck = tmp_path / "nc3.pt"
+    _torch.save({"model": tm}, ck)
+
+    with pytest.raises(ValueError):
+        load_yolov5_torch_checkpoint(variables, str(ck))
+
+    loaded = load_yolov5_torch_checkpoint(variables, str(ck),
+                                          intersect=True)
+    # backbone transferred
+    want = tm.model[1].conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["m1"]["conv"]["kernel"]), want,
+        rtol=1e-6)
+    # mismatched Detect conv untouched (keeps the jax init)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["m10_m0"]["kernel"]),
+        np.asarray(variables["params"]["m10_m0"]["kernel"]))
