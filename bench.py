@@ -34,15 +34,21 @@ def main() -> None:
     policy = BF16_POLICY
 
     # Prefer the reference's shipped weights so the benchmarked program is
-    # the real deployed model; fall back to random init.
+    # the real deployed model; fall back to random init — and SAY which
+    # path ran (a benchmark must not silently change what it measures).
+    weights_src = ("/root/reference/code/disaster_detection/weights/"
+                   "squeeze-ernet-state_dict.pt")
     try:
         from rtdm_tpu.models.torch_import import load_classifier_checkpoint
-        variables = load_classifier_checkpoint(
-            "/root/reference/code/disaster_detection/weights/"
-            "squeeze-ernet-state_dict.pt")
-    except Exception:
+        variables = load_classifier_checkpoint(weights_src)
+        weights_used = "reference-checkpoint"
+    except Exception as e:
+        import sys
+        print(f"bench: reference weights unavailable ({e!r}); "
+              f"falling back to random init", file=sys.stderr)
         variables = model.init(jax.random.key(0),
                                jnp.zeros((1, size, size, 3), jnp.float32))
+        weights_used = "random-init"
     cast = {"params": policy.cast_to_compute(variables["params"]),
             "batch_stats": variables["batch_stats"]}
 
@@ -69,6 +75,9 @@ def main() -> None:
         if fps > best["fps"]:
             best = {"fps": fps, "batch": batch, "ms": dt / iters * 1e3}
     baseline = 3430.17  # TRT fp16 FPS on GTX 1660 Ti
+    # MFU: 45.64 M MACs/frame @140^2 (model_summary/squeeze_ernet.txt) =
+    # 91.28 MFLOPs, against the chip's bf16 peak.
+    peak_flops = _chip_peak_bf16_flops()
     record = {
         "metric": "squeeze_ernet_bf16_fps_per_chip",
         "value": round(best["fps"], 2),
@@ -76,15 +85,73 @@ def main() -> None:
         "vs_baseline": round(best["fps"] / baseline, 3),
         "batch": best["batch"],
         "ms_per_batch": round(best["ms"], 3),
+        "weights": weights_used,
+        "mfu": round(best["fps"] * 45.64e6 * 2 / peak_flops, 4),
     }
     try:  # secondary headline: full detection pipeline (fwd+decode+NMS)
         det_fps = _detector_fps()
         if det_fps:
             record["yolov4_tiny_pipeline_fps"] = round(det_fps, 1)
             record["yolov4_tiny_vs_baseline"] = round(det_fps / 79.2, 2)
+            # ~3.45 G MACs = 6.9 GFLOPs/frame @416^2 (yolov4-tiny, 2 cls)
+            record["yolov4_tiny_mfu"] = round(
+                det_fps * 6.9e9 / peak_flops, 4)
+    except Exception:
+        pass
+    try:  # third headline: yolov5s full pipeline (ref: 70.49 FPS, 1660 Ti)
+        v5_fps = _yolov5s_fps()
+        if v5_fps:
+            record["yolov5s_pipeline_fps"] = round(v5_fps, 1)
+            record["yolov5s_vs_baseline"] = round(v5_fps / 70.49, 2)
     except Exception:
         pass
     print(json.dumps(record))
+
+
+def _chip_peak_bf16_flops() -> float:
+    """Best-effort bf16 peak for the attached chip (v5e default)."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peaks = {"v4": 275e12, "v5 lite": 197e12, "v5e": 197e12,
+             "v5p": 459e12, "v6": 918e12, "v6e": 918e12}
+    for key, val in peaks.items():
+        if key in kind:
+            return val
+    return 197e12
+
+
+def _yolov5s_fps(batch: int = 128, iters: int = 20) -> float:
+    """yolov5s 416 bf16 forward+decode+NMS on device (ref: 70.49 FPS,
+    yolov5/README.md:25). Random init — identical compute graph to a
+    trained model, so FPS is unaffected."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.export.detector import Detector, DetectorSpec, \
+        load_detection_model
+
+    yml = ("/root/reference/code/victim_localization/yolov5/models/"
+           "yolov5s.yaml")
+    if not os.path.exists(yml):
+        return 0.0
+    model, variables, heads = load_detection_model(yml, None, 416,
+                                                   num_classes=2)
+    det = Detector(model, variables,
+                   DetectorSpec(cfg_name="yolov5s", img_size=416,
+                                conf_thres=0.25, iou_thres=0.45,
+                                quant="bf16"),
+                   batch_size=batch, heads=heads)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, 416, 416, 3)).astype(np.uint8)
+    det(frames)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, c = det(frames)
+    np.asarray(d)
+    return batch * iters / (time.perf_counter() - t0)
 
 
 def _detector_fps(batch: int = 256, iters: int = 20) -> float:

@@ -50,12 +50,18 @@ def main(argv=None):
     from rtdm_tpu.utils.profiler import FpsMeter, PowerMonitor, StepTimer
 
     # --- build the compiled classifier ---
+    # dispatch() enqueues a batch WITHOUT materializing; JAX dispatch is
+    # async, so batch k+1 can be in flight while batch k's result is read
+    # back — depth-2 double buffering that hides H2D/D2H behind compute
+    # (replaces the reference's strictly serial hot loop,
+    # real-time-inference.py:179-208).
     if args.engine:
         from rtdm_tpu.export.engine import Engine
         engine = Engine.load(args.engine)
         size = engine.spec.image_size
-        def infer(u8_batch):
-            return engine(u8_batch)
+
+        def dispatch(u8_batch):
+            return engine.dispatch(u8_batch)
     else:
         import jax
         import jax.numpy as jnp
@@ -77,8 +83,8 @@ def main(argv=None):
             x = normalize_batch(u8).astype(policy.compute_dtype)
             return model.apply(v, x, train=False)
 
-        def infer(u8_batch):
-            return np.asarray(_fwd(cast, jnp.asarray(u8_batch)))
+        def dispatch(u8_batch):
+            return _fwd(cast, jnp.asarray(u8_batch))
 
     def resize_frame(frame):
         import cv2
@@ -98,42 +104,57 @@ def main(argv=None):
     inst_fps = []
     batch_frames, batch_raw = [], []
     n_out = 0
+    in_flight = []  # [(device_probs, raw_frames, submit_time)] depth <= 2
+    last_drain = [time.perf_counter()]
 
-    def flush():
+    def drain_one():
         nonlocal n_out
-        if not batch_frames:
-            return
-        arr = np.stack(batch_frames)
+        dev, raws, t_submit = in_flight.pop(0)
         timer.start()
-        probs = infer(arr)
-        dt = timer.stop(probs)
+        probs = np.asarray(dev)[: len(raws)]  # blocks until ready
+        timer.stop()
         if power:
-            power.record_busy(dt)
-        for i in range(len(batch_frames)):
+            # device-busy estimate: dispatch->ready latency, capped at the
+            # wall time since the previous drain (batches overlap)
+            now = time.perf_counter()
+            power.record_busy(min(now - t_submit, now - last_drain[0]))
+            last_drain[0] = now
+        for i, raw in enumerate(raws):
             idx = int(np.argmax(probs[i]))
             conf = float(probs[i][idx])
             cur = fps.tick()
             inst_fps.append(cur)
             label = f"{CLASS_NAMES[idx]} {conf:.2f} | {cur:.1f} FPS"
             if args.save_dir:
-                _annotate_and_save(batch_raw[i], label,
+                _annotate_and_save(raw, label,
                                    os.path.join(args.save_dir,
                                                 f"frame_{n_out:05d}.jpg"))
             if n_out % 25 == 0:
                 print(f"frame {n_out}: {label}")
             n_out += 1
+
+    def submit():
+        if not batch_frames:
+            return
+        in_flight.append((dispatch(np.stack(batch_frames)),
+                          list(batch_raw), time.perf_counter()))
         batch_frames.clear()
         batch_raw.clear()
+        if len(in_flight) > 1:  # keep exactly one batch hidden in flight
+            drain_one()
 
     try:
         for frame in src:
             batch_frames.append(resize_frame(frame))
             batch_raw.append(frame)
             if len(batch_frames) >= args.batch:
-                flush()
-            if args.max_frames and n_out >= args.max_frames:
+                submit()
+            if args.max_frames and n_out + sum(
+                    len(f[1]) for f in in_flight) >= args.max_frames:
                 break
-        flush()
+        submit()
+        while in_flight:
+            drain_one()
     except KeyboardInterrupt:  # graceful exit (real-time-inference.py:210)
         pass
     finally:

@@ -34,6 +34,8 @@ class DetectorSpec:
     nms_method: str = "greedy"     # greedy|merge|soft|and (utils.py:560+)
     multi_label: bool = False      # one det per (box, class) above conf
     #                                (utils.py:527-529; test-time default)
+    fuse: bool = True              # fold conv+BN at compile time
+    #                                (Darknet.fuse(), models.py:397-412)
     version: str = "1"
 
 
@@ -113,13 +115,26 @@ class Detector:
         from rtdm_tpu.ops.yolo import decode_all
 
         self.spec = spec
-        self.model = model
+        self.model = model  # unfused — engine serialization stays canonical
         self.batch_size = batch_size
         self.act_scales = ({k: float(v) for k, v in act_scales.items()}
                            if act_scales else None)
         heads = heads if heads is not None else model_heads(model, variables)
         quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
+
+        # fold conv+BN into the compiled graph (Darknet.fuse(),
+        # models.py:397-412): fold in fp32 on host, then build the BN-free
+        # module tree. Activation-calibration scales stay valid — folding
+        # preserves every conv INPUT exactly and module names are unchanged.
+        from rtdm_tpu.models.darknet import Darknet
+        if (spec.fuse and isinstance(model, Darknet)
+                and variables.get("batch_stats")):
+            from rtdm_tpu.ops.fuse import (fuse_darknet_variables,
+                                           strip_bn_from_cfg)
+            variables = fuse_darknet_variables(variables, model.cfg_text)
+            model = Darknet(cfg_text=strip_bn_from_cfg(model.cfg_text))
+
         params = variables["params"]
         if quant == "int8":
             from rtdm_tpu.quant.int8 import quantize_params

@@ -85,7 +85,11 @@ class Engine:
                                                       jnp.uint8))
                           .compile())
 
-    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+    def dispatch(self, images_u8: np.ndarray):
+        """Enqueue a batch WITHOUT materializing: returns the device output
+        (padded to spec.batch_size). Slice [:n] after np.asarray. Lets a
+        streaming caller double-buffer — dispatch batch k+1 while batch k
+        is still computing."""
         import jax.numpy as jnp
         b = self.spec.batch_size
         n = images_u8.shape[0]
@@ -94,8 +98,11 @@ class Engine:
         if n < b:
             pad = np.zeros((b - n,) + images_u8.shape[1:], images_u8.dtype)
             images_u8 = np.concatenate([images_u8, pad], axis=0)
-        out = self._compiled(jnp.asarray(images_u8))
-        return np.asarray(out)[:n]
+        return self._compiled(jnp.asarray(images_u8))
+
+    def __call__(self, images_u8: np.ndarray) -> np.ndarray:
+        n = images_u8.shape[0]
+        return np.asarray(self.dispatch(images_u8))[:n]
 
     # ------------------------------------------------------------------
     def save(self, directory: str) -> str:

@@ -101,6 +101,22 @@ def _activation(name: str):
     raise ValueError(f"unsupported activation '{name}'")
 
 
+# parametric activations (yolov5/utils/activations.py FReLU/AconC/
+# MetaAconC) — these carry parameters, so they are linen modules
+# instantiated inside the conv block rather than pure functions
+PARAMETRIC_ACTIVATIONS = ("frelu", "aconc", "meta_aconc")
+
+
+def _parametric_activation(name: str, layer_name: str, bn_axis):
+    from rtdm_tpu.models.layers import AconC, FReLU, MetaAconC
+
+    if name == "frelu":
+        return FReLU(bn_axis=bn_axis, name=layer_name)
+    if name == "aconc":
+        return AconC(name=layer_name)
+    return MetaAconC(name=layer_name)
+
+
 # ---------------------------------------------------------------------------
 # the model
 
@@ -171,7 +187,12 @@ class Darknet(nn.Module):
                     x = BatchNorm(momentum=0.003, epsilon=1e-4,
                                   axis_name=self.bn_axis,
                                   name=f"l{i}_bn")(x, train)
-                x = _activation(d.get("activation", "linear"))(x)
+                act = d.get("activation", "linear")
+                if act in PARAMETRIC_ACTIVATIONS:
+                    x = _parametric_activation(
+                        act, f"l{i}_act", self.bn_axis)(x, train)
+                else:
+                    x = _activation(act)(x)
             elif t == "acff":
                 x = self._acff(i, x, int(d["filters"]),
                                int(d.get("size", 3)), train)

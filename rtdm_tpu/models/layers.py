@@ -132,3 +132,57 @@ class Dense(nn.Module):
                               (self.features,), jnp.float32)
             out = out + bias.astype(out.dtype)
         return out
+
+
+class FReLU(nn.Module):
+    """Funnel activation max(x, BN(dwconv_kxk(x)))
+    (yolov5/utils/activations.py:47-55)."""
+    k: int = 3
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        y = DepthwiseConv(self.k, 1, padding=self.k // 2, use_bias=False,
+                          name="conv")(x)
+        y = BatchNorm(axis_name=self.bn_axis, name="bn")(y, train)
+        return jnp.maximum(x, y)
+
+
+class AconC(nn.Module):
+    """ACON-C: (p1-p2)*x * sigmoid(beta*(p1-p2)*x) + p2*x with learnable
+    per-channel p1/p2/beta (yolov5/utils/activations.py:58-73)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ch = x.shape[-1]
+        p1 = self.param("p1", nn.initializers.normal(1.0), (ch,),
+                        jnp.float32)
+        p2 = self.param("p2", nn.initializers.normal(1.0), (ch,),
+                        jnp.float32)
+        beta = self.param("beta", nn.initializers.ones, (ch,), jnp.float32)
+        dpx = ((p1 - p2) * x.astype(jnp.float32))
+        out = dpx * jax.nn.sigmoid(beta * dpx) + p2 * x.astype(jnp.float32)
+        return out.astype(x.dtype)
+
+
+class MetaAconC(nn.Module):
+    """ACON-C with beta generated by a squeeze-excite-style 1x1 bottleneck
+    over the spatially-pooled input (yolov5/utils/activations.py:76-98,
+    BN-free per the upstream batch-size-1 bug patch)."""
+    r: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ch = x.shape[-1]
+        hidden = max(self.r, ch // self.r)
+        p1 = self.param("p1", nn.initializers.normal(1.0), (ch,),
+                        jnp.float32)
+        p2 = self.param("p2", nn.initializers.normal(1.0), (ch,),
+                        jnp.float32)
+        y = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        y = Conv(hidden, 1, name="fc1")(y)
+        y = Conv(ch, 1, name="fc2")(y)
+        beta = jax.nn.sigmoid(y)
+        dpx = (p1 - p2) * x.astype(jnp.float32)
+        out = dpx * jax.nn.sigmoid(beta * dpx) + p2 * x.astype(jnp.float32)
+        return out.astype(x.dtype)

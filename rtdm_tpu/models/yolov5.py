@@ -334,6 +334,54 @@ def expand(x, gain=2):
 
 
 # ---------------------------------------------------------------------------
+class Sum(nn.Module):
+    """(Weighted) sum of 2+ inputs (experimental.py:24-42, BiFPN-style):
+    y = x0 + sum_i x[i+1] * (sigmoid(w_i) * 2) when weighted."""
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs: List[jax.Array],
+                 train: bool = False) -> jax.Array:
+        y = xs[0]
+        if self.weight:
+            w_init = -np.arange(1.0, self.n) / 2.0
+            w = self.param("w", lambda *_: jnp.asarray(w_init, jnp.float32),
+                           (self.n - 1,), jnp.float32)
+            w = jax.nn.sigmoid(w.astype(y.dtype)) * 2.0
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel conv (experimental.py:73-94): parallel convs with
+    kernel sizes `k` splitting c2 equally, concat -> BN -> LeakyReLU(0.1),
+    residual added to the input."""
+    c2: int
+    k: Tuple[int, ...] = (1, 3)
+    s: int = 1
+    bn_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        groups = len(self.k)
+        # equal_ch split (experimental.py:78-80)
+        idx = np.floor(np.linspace(0, groups - 1e-6, self.c2)).astype(int)
+        c_ = [int(np.sum(idx == g)) for g in range(groups)]
+        outs = [RawConv(c_[g], self.k[g], self.s, self.k[g] // 2,
+                        use_bias=False, name=f"m{g}")(x)
+                for g in range(groups)]
+        y = jnp.concatenate(outs, axis=-1)
+        y = BatchNorm(axis_name=self.bn_axis, name="bn")(y, train)
+        y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1)
+        return x + y
+
+
+# ---------------------------------------------------------------------------
 # plan + model
 
 
@@ -360,8 +408,8 @@ def build_plan(d: Dict[str, Any]) -> List[Dict[str, Any]]:
         n_rep = max(round(n * gd), 1) if n > 1 else n
         entry = {"i": i, "f": f, "module": m, "n": n_rep, "args": args}
         if m in ("Conv", "GhostConv", "Bottleneck", "GhostBottleneck",
-                 "SPP", "DWConv", "Focus", "CrossConv", "BottleneckCSP",
-                 "C3", "C3TR"):
+                 "SPP", "DWConv", "MixConv2d", "Focus", "CrossConv",
+                 "BottleneckCSP", "C3", "C3TR"):
             c2 = args[0]
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
@@ -463,6 +511,14 @@ class YoloV5(nn.Module):
             elif m == "GhostBottleneck":
                 x = GhostBottleneck(args[0], *args[1:], bn_axis=ax,
                                     name=name)(src, train)
+            elif m == "MixConv2d":
+                ks = tuple(args[1]) if len(args) > 1 else (1, 3)
+                s_ = int(args[2]) if len(args) > 2 else 1
+                x = MixConv2d(args[0], ks, s_, bn_axis=ax,
+                              name=name)(src, train)
+            elif m == "Sum":
+                x = Sum(len(src), bool(args[0]) if args else False,
+                        name=name)(src, train)
             elif m == "nn.Upsample":
                 scale = int(args[1])
                 x = jnp.repeat(jnp.repeat(src, scale, axis=1), scale, axis=2)

@@ -26,6 +26,16 @@ def fuse_conv_bn(kernel: np.ndarray, bias, bn_scale, bn_bias, bn_mean,
     return fused_kernel.astype(np.float32), fused_bias.astype(np.float32)
 
 
+def strip_bn_from_cfg(cfg_text: str) -> str:
+    """cfg text for the fused graph: drop every batch_normalize line so
+    convs are built WITH bias and WITHOUT BatchNorm modules — the module
+    tree `fuse_darknet_variables` produces."""
+    import re
+
+    return "\n".join(ln for ln in cfg_text.splitlines()
+                     if not re.match(r"\s*batch_normalize\s*=", ln))
+
+
 def fuse_darknet_variables(variables: Dict[str, Any], cfg_text: str
                            ) -> Dict[str, Any]:
     """Darknet.fuse() analogue: returns variables where every

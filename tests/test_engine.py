@@ -201,3 +201,26 @@ def test_entropy_calibration_reachable():
     assert s_pct > 0 and s_ent > 0 and s_pct != s_ent
     # both should clip the outlier tail well below absmax/127
     assert s_ent < np.abs(vals).max() / 127.0
+
+
+def test_detector_fuse_parity():
+    """BN folding at engine-compile time (Darknet.fuse(), models.py:397-412)
+    must preserve the detector's outputs."""
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import DetectorSpec, build_detector
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 224, 224, 3)).astype(np.uint8)
+    base = dict(cfg_name="tiny", img_size=224, conf_thres=0.3, quant="fp32")
+    det_f = build_detector(cfg, None, DetectorSpec(**base, fuse=True),
+                           batch_size=2)
+    det_u = build_detector(cfg, None, DetectorSpec(**base, fuse=False),
+                           batch_size=2)
+    df, cf = det_f(frames)
+    du, cu = det_u(frames)
+    np.testing.assert_array_equal(cf, cu)
+    np.testing.assert_allclose(df, du, rtol=1e-3, atol=1e-3)
