@@ -85,6 +85,10 @@ def parse_args(argv=None):
                    help="keep the optimizer-state checkpoint after a "
                         "completed run (skip the strip_optimizer finalize, "
                         "yolov5/utils/general.py:587)")
+    p.add_argument("--ckpt-every", type=int, default=1, metavar="E",
+                   help="write the resumable full-state checkpoint every E "
+                        "epochs (the reference saves every epoch; raise for "
+                        "many-tiny-epoch runs)")
     p.add_argument("--bn-burn-in", type=int, default=None, metavar="N",
                    help="freeze BN running stats for the first N batches "
                         "(yolov3/train.py:250-255; default 200 darknet, "
@@ -530,12 +534,14 @@ def train(args):
                         "map50": None if res is None else res["map50"]})
         # full-state checkpoint for --resume ({epoch, best_fitness, model,
         # optimizer(+EMA)}, yolov3/train.py:352-356 / yolov5:148-171)
-        ckpt_mgr.save("last_state",
-                      {"params": params, "batch_stats": batch_stats,
-                       "opt_state": opt_state, "ema": ema_vars},
-                      metadata={"epoch": epoch, "it": it,
-                                "best_fitness": best_fitness,
-                                "history": history})
+        if (epoch + 1) % max(args.ckpt_every, 1) == 0 \
+                or epoch == args.epochs - 1:
+            ckpt_mgr.save("last_state",
+                          {"params": params, "batch_stats": batch_stats,
+                           "opt_state": opt_state, "ema": ema_vars},
+                          metadata={"epoch": epoch, "it": it,
+                                    "best_fitness": best_fitness,
+                                    "history": history})
     if not aborted and not args.no_strip and ckpt_mgr.exists("last_state"):
         # strip_optimizer finalize (yolov5/utils/general.py:587): a
         # completed run keeps only the deployable weight npz artifacts

@@ -145,14 +145,139 @@ class AiderDataset:
                 arr = arr[::-1]
             else:
                 arr = np.rot90(arr, rng.integers(1, 4))
-        # brightness/contrast jitter (one-of color ops, p=0.3 — aider.py:294-298)
+        # blur one-of (p=0.2 — aider.py:289-293: motion 0.2 / median 0.1 /
+        # box 0.1, normalized to 0.5/0.25/0.25 selection weights)
+        if rng.random() < 0.2:
+            arr = _random_blur(arr, rng)
+        # color one-of (p=0.3 — aider.py:294-298: CLAHE 0.2 / brightness-
+        # contrast 0.3 / HSV 0.3 -> weights 0.25/0.375/0.375)
         if rng.random() < 0.3:
-            f = np.float32(arr)
-            b = rng.uniform(-0.2, 0.2) * 255
-            c = 1.0 + rng.uniform(-0.2, 0.2)
-            f = (f - 127.5) * c + 127.5 + b
-            arr = np.clip(f, 0, 255).astype(np.uint8)
+            u = rng.random()
+            if u < 0.25:
+                arr = _clahe(arr)
+            elif u < 0.625:
+                f = np.float32(arr)
+                b = rng.uniform(-0.2, 0.2) * 255
+                c = 1.0 + rng.uniform(-0.2, 0.2)
+                f = (f - 127.5) * c + 127.5 + b
+                arr = np.clip(f, 0, 255).astype(np.uint8)
+            else:
+                arr = _hsv_jitter(arr, rng)
+        # distortion one-of (p=0.2 — aider.py:299-303: optical 0.3 /
+        # grid 0.1 / elastic 0.2 -> weights 0.5/0.167/0.333)
+        if rng.random() < 0.2:
+            u = rng.random()
+            if u < 0.5:
+                arr = _optical_distortion(arr, rng)
+            elif u < 2.0 / 3.0:
+                arr = _grid_distortion(arr, rng)
+            else:
+                arr = _elastic_transform(arr, rng)
         return np.ascontiguousarray(arr)
+
+
+# --- heavy train augs (the albumentations subset, aider.py:289-303) ---
+# cv2-based; each cites the reference op it mirrors. Geometry ops use
+# BORDER_REFLECT_101 (the albumentations default).
+
+
+def _random_blur(arr, rng):
+    """MotionBlur(3) | MedianBlur(3) | Blur(3). Motion blur uses an
+    axis-aligned 3px line kernel (albumentations picks a random line; at
+    blur_limit=3 the visible difference is negligible)."""
+    import cv2
+
+    u = rng.random()
+    if u < 0.5:
+        kern = np.zeros((3, 3), np.float32)
+        if rng.random() < 0.5:
+            kern[1, :] = 1.0 / 3.0
+        else:
+            kern[:, 1] = 1.0 / 3.0
+        return cv2.filter2D(arr, -1, kern)
+    if u < 0.75:
+        return cv2.medianBlur(arr, 3)
+    return cv2.blur(arr, (3, 3))
+
+
+def _clahe(arr):
+    """CLAHE(clip_limit=2.0) on the LAB lightness channel."""
+    import cv2
+
+    lab = cv2.cvtColor(arr, cv2.COLOR_RGB2LAB)
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    lab[..., 0] = clahe.apply(lab[..., 0])
+    return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+
+
+def _hsv_jitter(arr, rng):
+    """HueSaturationValue(20, 30, 20)."""
+    import cv2
+
+    dh = int(rng.integers(-20, 21))
+    ds = int(rng.integers(-30, 31))
+    dv = int(rng.integers(-20, 21))
+    hsv = cv2.cvtColor(arr, cv2.COLOR_RGB2HSV).astype(np.int16)
+    hsv[..., 0] = (hsv[..., 0] + dh) % 180
+    hsv[..., 1] = np.clip(hsv[..., 1] + ds, 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] + dv, 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def _optical_distortion(arr, rng, limit: float = 0.05):
+    """OpticalDistortion(distort_limit=0.05): radial barrel/pincushion
+    remap r' = r(1 + k r^2) in normalized coordinates."""
+    import cv2
+
+    h, w = arr.shape[:2]
+    k = rng.uniform(-limit, limit)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    xn = (xs - w / 2) / (w / 2)
+    yn = (ys - h / 2) / (h / 2)
+    f = 1.0 + k * (xn * xn + yn * yn)
+    mapx = xn * f * (w / 2) + w / 2
+    mapy = yn * f * (h / 2) + h / 2
+    return cv2.remap(arr, mapx, mapy, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_REFLECT_101)
+
+
+def _grid_distortion(arr, rng, steps: int = 5, limit: float = 0.3):
+    """GridDistortion(num_steps=5, distort_limit=0.3): per-cell random
+    stretch along each axis via piecewise-linear source maps."""
+    import cv2
+
+    h, w = arr.shape[:2]
+
+    def axis_map(n):
+        widths = (n / steps) * (1.0 + rng.uniform(-limit, limit, steps))
+        src = np.concatenate([[0.0], np.cumsum(widths)])
+        src *= n / src[-1]
+        tgt = np.linspace(0, n, steps + 1)
+        return np.interp(np.arange(n, dtype=np.float32), tgt,
+                         src).astype(np.float32)
+
+    mapx = np.broadcast_to(axis_map(w)[None, :], (h, w)).copy()
+    mapy = np.broadcast_to(axis_map(h)[:, None], (h, w)).copy()
+    return cv2.remap(arr, mapx, mapy, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_REFLECT_101)
+
+
+def _elastic_transform(arr, rng, alpha: float = 1.0, sigma: float = 50.0):
+    """ElasticTransform(alpha=1, sigma=50): gaussian-smoothed random
+    pixel displacement (the affine component of the albumentations op is
+    covered by RandomResizedCrop upstream)."""
+    import cv2
+
+    h, w = arr.shape[:2]
+    dx = cv2.GaussianBlur(rng.uniform(-1, 1, (h, w)).astype(np.float32),
+                          (0, 0), sigma) * alpha
+    dy = cv2.GaussianBlur(rng.uniform(-1, 1, (h, w)).astype(np.float32),
+                          (0, 0), sigma) * alpha
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    return cv2.remap(arr, xs + dx, ys + dy, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_REFLECT_101)
 
 
 class BatchLoader:

@@ -1,0 +1,59 @@
+"""Heavy AIDER train augs (the albumentations subset, aider.py:289-303):
+shape/dtype preservation, actual effect, and determinism per rng seed."""
+
+import numpy as np
+import pytest
+
+from rtdm_tpu.data.aider import (_clahe, _elastic_transform,
+                                 _grid_distortion, _hsv_jitter,
+                                 _optical_distortion, _random_blur)
+
+
+def _img(rng):
+    base = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    # add structure so blur/CLAHE visibly change values
+    base[16:48, 16:48] = 230
+    base[24:40, 24:40] = 20
+    return base
+
+
+@pytest.mark.parametrize("fn,needs_rng", [
+    (_random_blur, True),
+    (_clahe, False),
+    (_hsv_jitter, True),
+    (_optical_distortion, True),
+    (_grid_distortion, True),
+    (_elastic_transform, True),
+])
+def test_aug_shape_dtype_effect(fn, needs_rng):
+    rng = np.random.default_rng(0)
+    img = _img(rng)
+    out = fn(img, np.random.default_rng(1)) if needs_rng else fn(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img), f"{fn.__name__} was a no-op"
+
+
+def test_augs_deterministic_per_seed():
+    rng = np.random.default_rng(0)
+    img = _img(rng)
+    for fn in (_random_blur, _hsv_jitter, _optical_distortion,
+               _grid_distortion, _elastic_transform):
+        a = fn(img, np.random.default_rng(7))
+        b = fn(img, np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_transform_pipeline_runs():
+    """The full train transform (crop+flip+blur+color+distortion) yields
+    fixed-shape uint8 regardless of which branches fire."""
+    from PIL import Image
+
+    from rtdm_tpu.data.aider import AiderDataset
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (181, 223, 3), np.uint8))
+    ds = AiderDataset.__new__(AiderDataset)  # no csv needed for transform
+    ds.image_size = 140
+    for seed in range(12):  # hit every one-of branch combination
+        out = ds._train_transform(img, np.random.default_rng(seed))
+        assert out.shape == (140, 140, 3) and out.dtype == np.uint8
