@@ -31,7 +31,8 @@ FITNESS_W = (0.0, 0.01, 0.99, 0.0)
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train YOLO detectors on TPU")
     p.add_argument("--cfg", required=True)
-    p.add_argument("--data", required=True)
+    p.add_argument("--data", help="dataset .data file (required unless "
+                   "--summary)")
     p.add_argument("--weights", help="initial weights (.weights/.pt/.npz)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
@@ -89,6 +90,9 @@ def parse_args(argv=None):
                    help="write the resumable full-state checkpoint every E "
                         "epochs (the reference saves every epoch; raise for "
                         "many-tiny-epoch runs)")
+    p.add_argument("--summary", action="store_true",
+                   help="print the per-layer model summary (model_info/"
+                   "profile=True analogue) and exit")
     p.add_argument("--bn-burn-in", type=int, default=None, metavar="N",
                    help="freeze BN running stats for the first N batches "
                         "(yolov3/train.py:250-255; default 200 darknet, "
@@ -617,6 +621,12 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     args = parse_args(argv)
+    if args.summary:
+        from rtdm_tpu.utils.summary import summarize_detector
+        print(summarize_detector(args.cfg, args.img_size))
+        return None
+    if not args.data:
+        raise SystemExit("--data is required (unless --summary)")
     if args.evolve:
         return evolve(args)
     return train(args)

@@ -82,13 +82,3 @@ def verify_export(blob: bytes, example_args: Sequence[Any],
         for a, b in zip(flat, wflat):
             np.testing.assert_allclose(a, b, atol=atol, rtol=1e-4)
     return True
-
-
-def export_onnx_if_available(fn, example_args, path: str) -> Optional[str]:
-    """ONNX export, gated on the onnx package (not in this image)."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError:
-        return None
-    raise NotImplementedError(
-        "onnx present but jax->onnx bridge not wired; use StableHLO export")

@@ -381,6 +381,24 @@ class MixConv2d(nn.Module):
         return x + y
 
 
+class Classify(nn.Module):
+    """Classification head (common.py:385-395): global average-pool each
+    input to (b,1,1,c), channel-concat when given a list, 1x1 conv to c2,
+    flatten to (b, c2). Turns any backbone tap into a classifier."""
+    c2: int
+    k: int = 1
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jax.Array:
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        z = jnp.concatenate(
+            [jnp.mean(y, axis=(1, 2), keepdims=True) for y in xs], axis=-1)
+        z = RawConv(self.c2, self.k, self.s, autopad(self.k),
+                    use_bias=True, name="conv")(z)
+        return z.reshape(z.shape[0], self.c2)
+
+
 # ---------------------------------------------------------------------------
 # plan + model
 
@@ -416,6 +434,8 @@ def build_plan(d: Dict[str, Any]) -> List[Dict[str, Any]]:
             entry["args"] = [c2] + args[1:]
         elif m == "Concat":
             c2 = sum(ch[x] for x in f)
+        elif m == "Classify":
+            c2 = args[0]
         elif m == "Detect":
             entry["ch_in"] = [ch[x] for x in f]
             c2 = no
@@ -519,6 +539,8 @@ class YoloV5(nn.Module):
             elif m == "Sum":
                 x = Sum(len(src), bool(args[0]) if args else False,
                         name=name)(src, train)
+            elif m == "Classify":
+                x = Classify(args[0], *args[1:], name=name)(src, train)
             elif m == "nn.Upsample":
                 scale = int(args[1])
                 x = jnp.repeat(jnp.repeat(src, scale, axis=1), scale, axis=2)
@@ -537,7 +559,9 @@ class YoloV5(nn.Module):
             else:
                 raise ValueError(f"unsupported v5 module '{m}'")
             outputs.append(x if i in needed else None)
-        return raw_heads
+        # detection yamls return the raw head maps; a Classify-headed yaml
+        # (hub second-stage classifier conversion) returns its logits
+        return raw_heads if raw_heads else x
 
 
 def create_yolov5(yaml_path: str, num_classes: Optional[int] = None,

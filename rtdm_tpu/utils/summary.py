@@ -68,3 +68,66 @@ def summarize_classifier(name: str, batch: int = 1) -> str:
                      f"{flops / 1e6:.2f} M  "
                      f"(~{flops / 2e6:.2f} M mult-adds)")
     return "\n".join(lines)
+
+
+def summarize_detector(model_path: str, img_size: int = 416,
+                       batch: int = 1) -> str:
+    """Per-layer detector summary — the analogue of yolov5's
+    `model_info()` + `forward_once(profile=True)` (torch_utils.py:203-215,
+    yolo.py:142-150): one row per top-level module with its output shape
+    and parameter count, plus whole-graph FLOPs from XLA cost analysis.
+    Per-layer *timing* is deliberately absent: under XLA the layers fuse
+    into one program, so layer walls don't exist at runtime — the honest
+    per-layer numbers are shapes/params/FLOPs, and the honest timing is
+    the compiled program's (bench.py / utils/profiler.py).
+    """
+    import re
+
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.export.detector import load_detection_model
+
+    model, variables, _ = load_detection_model(model_path, None, img_size)
+    x = jnp.zeros((batch, img_size, img_size, 3), jnp.float32)
+    _, st = model.apply(variables, x, train=False,
+                        capture_intermediates=True,
+                        mutable=["intermediates"])
+    inter = flax.traverse_util.flatten_dict(st["intermediates"])
+    # one row per top-level module, in construction order
+    shapes: Dict[str, Tuple[int, ...]] = {}
+    for key, val in inter.items():
+        top = key[0]
+        if key[-1] != "__call__" or len(key) != 2:
+            continue
+        out = val[0]
+        leaves = [o for o in jax.tree_util.tree_leaves(out)
+                  if hasattr(o, "shape")]
+        if leaves:
+            shapes[top] = tuple(leaves[-1].shape)
+    pcounts: Dict[str, int] = {}
+    import numpy as np
+    for key, leaf in flax.traverse_util.flatten_dict(
+            variables.get("params", {})).items():
+        pcounts[key[0]] = pcounts.get(key[0], 0) + int(np.prod(leaf.shape))
+
+    def order(name: str) -> Tuple[int, str]:
+        m = re.search(r"(\d+)", name)
+        return (int(m.group(1)) if m else 10 ** 9, name)
+
+    names = sorted(set(shapes) | set(pcounts), key=order)
+    lines = [f"model: {model_path}  "
+             f"input: {batch}x{img_size}x{img_size}x3 (NHWC)"]
+    lines.append(f"{'layer':<28} {'output shape':<26} {'params':>12}")
+    for n in names:
+        lines.append(f"{n:<28} {str(shapes.get(n, '-')):<26} "
+                     f"{pcounts.get(n, 0):>12,}")
+    total = sum(pcounts.values())
+    lines.append(f"{'total params':<28} {'':<26} {total:>12,}")
+    flops = flops_of(
+        lambda v, xi: model.apply(v, xi, train=False), variables, x)
+    if flops:
+        lines.append(f"forward FLOPs (XLA cost analysis, batch {batch}): "
+                     f"{flops / 1e9:.3f} G")
+    return "\n".join(lines)

@@ -1,5 +1,7 @@
 """Engine build / save / load / quantization tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -224,3 +226,68 @@ def test_detector_fuse_parity():
     du, cu = det_u(frames)
     np.testing.assert_array_equal(cf, cu)
     np.testing.assert_allclose(df, du, rtol=1e-3, atol=1e-3)
+
+
+def test_batch_int8_engine_builder(tmp_path):
+    """build_int8_engines.sh analogue: one invocation builds calibrated
+    int8 engine dirs named <stem>-int8-<size> for every cfg."""
+    from PIL import Image
+    from rtdm_tpu.cli.build_int8_engines import main as batch_main
+    from rtdm_tpu.export.detector import load_detector
+
+    tiny_cfg = """
+[net]
+width=96
+height=96
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=21
+activation=linear
+[yolo]
+mask = 0,1,2
+anchors = 10,13,  16,30,  33,23
+classes=2
+num=3
+"""
+    cfg_a = tmp_path / "modela.cfg"
+    cfg_b = tmp_path / "modelb.cfg"
+    cfg_a.write_text(tiny_cfg)
+    cfg_b.write_text(tiny_cfg)
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (64, 80, 3)).astype(
+            np.uint8)).save(calib / f"c{i}.jpg")
+
+    # up-front existence check aborts before building anything
+    with pytest.raises(SystemExit, match="cannot find cfg"):
+        batch_main(["--cfgs", str(tmp_path / "nope.cfg"),
+                    "--calib-dir", str(calib), "--allow-random",
+                    "--output", str(tmp_path / "engines")])
+    # missing weights without --allow-random aborts
+    with pytest.raises(SystemExit, match="no weights"):
+        batch_main(["--cfgs", str(cfg_a), "--weights-dir", str(tmp_path),
+                    "--calib-dir", str(calib),
+                    "--output", str(tmp_path / "engines")])
+
+    out = batch_main(["--cfgs", str(cfg_a), str(cfg_b),
+                      "--img-size", "96", "--batch-size", "2",
+                      "--calib-dir", str(calib), "--calib-method",
+                      "entropy", "--allow-random",
+                      "--output", str(tmp_path / "engines")])
+    assert [os.path.basename(o) for o in out] == [
+        "modela-int8-96", "modelb-int8-96"]
+    det = load_detector(out[0])
+    assert det.spec.quant == "int8" and det.act_scales
+    d, c = det(rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8))
+    assert d.shape[0] == 2
