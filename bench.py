@@ -59,7 +59,9 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     best = {"fps": 0.0, "batch": 0, "ms": 0.0}
-    for batch in (2048, 4096, 8192):
+    # two batch points bracket the plateau (2048..8192 all land ~95k FPS);
+    # the middle point only added ~500MB of H2D over the dev tunnel
+    for batch in (2048, 8192):
         bufs = [jax.device_put(jnp.asarray(
             rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
             for _ in range(2)]

@@ -138,3 +138,35 @@ def test_and_nms_requires_overlap():
     assert set(d[:, 5].astype(int)) == {0, 1}
     np.testing.assert_allclose(sorted(d[:, 4]),
                                sorted([0.9 * 0.95, 0.6 * 0.95]), atol=1e-6)
+
+
+def test_greedy_fixpoint_equals_sequential_on_chains():
+    """The fixpoint formulation of _greedy_keep must equal the sequential
+    greedy recurrence on adversarial suppression CHAINS (a suppresses b,
+    so b can't suppress c, so c is kept and suppresses d, ...) where lazy
+    approximations ('suppressed by any higher-scored box') diverge."""
+    import jax.numpy as jnp
+    from rtdm_tpu.ops.nms import _greedy_keep, box_iou_matrix
+
+    rng = np.random.default_rng(7)
+    for k, n_chains in ((32, 1), (64, 4), (128, 8)):
+        # build chains: box i overlaps box i+1 heavily (iou > thr) but
+        # overlaps i+2 barely (iou < thr) -> greedy keeps even positions
+        boxes = []
+        for c in range(n_chains):
+            x0 = c * 1000.0
+            for i in range(k // n_chains):
+                boxes.append([x0 + 6.0 * i, 0.0, x0 + 6.0 * i + 10.0, 10.0])
+        boxes = jnp.asarray(boxes, jnp.float32)
+        iou = box_iou_matrix(boxes, boxes)
+        valid = jnp.asarray(rng.random(k) > 0.2)
+
+        got = np.asarray(_greedy_keep(iou, valid, 0.3))
+
+        # independent sequential reference
+        s = np.asarray(iou) > 0.3
+        v = np.asarray(valid)
+        want = np.zeros(k, bool)
+        for i in range(k):
+            want[i] = v[i] and not any(want[j] and s[j, i] for j in range(i))
+        np.testing.assert_array_equal(got, want)
