@@ -67,6 +67,10 @@ def main(argv=None):
     p.add_argument("--calib-dir", help="calibration image dir (int8)")
     p.add_argument("--calib-method", default="percentile",
                    choices=["percentile", "entropy"])
+    p.add_argument("--sealed", action="store_true",
+                   help="int8 detector engines: store int8 weight codes + "
+                   "scales with BN folded (a precision-sealed artifact "
+                   "like a .trt file, ~4x smaller; fp32 masters not kept)")
     p.add_argument("--output", required=True, help="engine output dir")
     args = p.parse_args(argv)
 
@@ -89,8 +93,9 @@ def main(argv=None):
         det = build_detector(args.cfg, args.weights, spec,
                              batch_size=args.batch_size, calib_images=calib)
         print(f"detector engine built in {time.time() - t0:.1f}s")
-        save_detector(det, args.output)
-        print(f"saved to {args.output} (spec.json + model.txt + params.npz"
+        save_detector(det, args.output, sealed=args.sealed)
+        print(f"saved to {args.output} (spec.json + model.txt + "
+              f"{'SEALED int8 ' if args.sealed else ''}params.npz"
               f"{' + act_scales.npz' if args.quant == 'int8' else ''})")
         return
 

@@ -250,20 +250,29 @@ def build_detector(model_path: str, weights: Optional[str] = None,
     return det
 
 
-def save_detector(det: Detector, directory: str) -> str:
+def save_detector(det: Detector, directory: str,
+                  sealed: bool = False) -> str:
     """Serialize a detector engine (the engines/*.trt analogue): spec.json
     + the model DSL text (cfg/yaml) + params npz. Rebuildable anywhere
-    with `load_detector`."""
+    with `load_detector`.
+
+    `sealed=True` (int8 engines only) writes a precision-sealed artifact
+    the way a real TRT int8 engine file does: conv+BN folded (darknet) and
+    every kernel stored as int8 codes + per-channel scales (~4x smaller).
+    Loading a sealed engine reproduces the live int8 engine's numerics
+    exactly — weight QDQ is idempotent (quant/int8.py seal_kernel) — but
+    the canonical fp32 master weights are not recoverable from it."""
     import dataclasses
     import json
 
     import jax
 
-    from rtdm_tpu.models.io import save_variables
+    from rtdm_tpu.models.io import flatten_tree, save_variables
     from rtdm_tpu.models.yolov5 import YoloV5
 
     os.makedirs(directory, exist_ok=True)
     spec_d = dataclasses.asdict(det.spec)
+    variables = jax.device_get(det._variables)
     if isinstance(det.model, YoloV5):
         spec_d["family"] = "yolov5"
         spec_d["num_classes"] = det.model.num_classes
@@ -271,13 +280,37 @@ def save_detector(det: Detector, directory: str) -> str:
     else:
         spec_d["family"] = "darknet"
         model_text = det.model.cfg_text
+    if sealed:
+        if det.spec.quant != "int8":
+            raise ValueError("sealed save is for int8 engines; other "
+                             "precisions keep canonical fp32 masters")
+        from rtdm_tpu.models.darknet import Darknet
+        from rtdm_tpu.quant.int8 import seal_kernel
+        if (det.spec.fuse and isinstance(det.model, Darknet)
+                and variables.get("batch_stats")):
+            from rtdm_tpu.ops.fuse import (fuse_darknet_variables,
+                                           strip_bn_from_cfg)
+            variables = fuse_darknet_variables(variables,
+                                               det.model.cfg_text)
+            model_text = strip_bn_from_cfg(det.model.cfg_text)
+        spec_d["sealed"] = True
     spec_d["batch_size"] = det.batch_size
     with open(os.path.join(directory, "spec.json"), "w") as f:
         json.dump(spec_d, f, indent=2)
     with open(os.path.join(directory, "model.txt"), "w") as f:
         f.write(model_text)
-    save_variables(os.path.join(directory, "params.npz"),
-                   jax.device_get(det._variables))
+    if sealed:
+        flat = flatten_tree(variables)
+        out = {}
+        for key, val in flat.items():
+            if key.endswith("/kernel"):
+                q, s = seal_kernel(val)
+                out[key + ".q"], out[key + ".s"] = q, s
+            else:
+                out[key] = val
+        np.savez(os.path.join(directory, "params.npz"), **out)
+    else:
+        save_variables(os.path.join(directory, "params.npz"), variables)
     if det.act_scales:
         # the calibration cache (calib_cache/*.bin analogue)
         np.savez(os.path.join(directory, "act_scales.npz"),

@@ -48,6 +48,13 @@ def load_variables(path: str) -> Dict[str, Any]:
         from rtdm_tpu.models.torch_import import load_classifier_checkpoint
         return load_classifier_checkpoint(path)
     flat = dict(np.load(path))
+    # sealed archives store int8 weight codes + per-channel scales
+    # ('<leaf>.q' int8 / '<leaf>.s' fp32, export/detector.py save_detector
+    # sealed=True); dequantize transparently — q*s IS the QDQ'd kernel.
+    for key in [k for k in flat if k.endswith(".q")]:
+        base = key[:-2]
+        scale = flat.pop(base + ".s")
+        flat[base] = flat.pop(key).astype(np.float32) * scale
     tree = unflatten_tree(flat)
     tree.setdefault("batch_stats", {})
     return tree

@@ -38,6 +38,20 @@ def quantize_kernel_per_channel(kernel: np.ndarray) -> np.ndarray:
     return (q * scale).astype(np.float32)
 
 
+def seal_kernel(kernel: np.ndarray):
+    """fp32 kernel -> (int8 codes, fp32 per-output-channel scale) for
+    SEALED engine storage (the engine file carries int8 weights, like a
+    real serialized TRT int8 engine). Dequantizing `codes * scale`
+    reproduces `quantize_kernel_per_channel(kernel)` bit-exactly, and
+    re-quantizing the dequantized kernel is a fixed point (the absmax
+    element always maps to ±127, so the recovered scale is identical)."""
+    k = np.asarray(kernel, np.float32)
+    absmax = np.max(np.abs(k), axis=tuple(range(k.ndim - 1)), keepdims=True)
+    scale = (np.maximum(absmax, 1e-12) / 127.0).astype(np.float32)
+    q = np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def quantize_params(params: Dict[str, Any]) -> Dict[str, Any]:
     def walk(node):
         if isinstance(node, dict):

@@ -191,6 +191,52 @@ def test_int8_detector_calibrated_engine(tmp_path):
     assert not np.allclose(np.asarray(d8), np.asarray(db))
 
 
+def test_sealed_int8_detector_engine(tmp_path):
+    """Sealed int8 engines (int8 weight codes + scales, BN folded — the
+    .trt-file analogue) must reload to the live engine's exact numerics
+    (weight QDQ is idempotent) at ~4x smaller params.npz."""
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                          load_detector, save_detector)
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 224, 224, 3)).astype(np.uint8)
+    det8 = build_detector(
+        cfg, None, DetectorSpec(cfg_name="tiny", img_size=224,
+                                conf_thres=0.3, quant="int8"),
+        batch_size=2, calib_images=frames)
+    d0, c0 = det8(frames[:2])
+
+    save_detector(det8, str(tmp_path / "plain"))
+    save_detector(det8, str(tmp_path / "sealed"), sealed=True)
+    plain_sz = (tmp_path / "plain" / "params.npz").stat().st_size
+    sealed_sz = (tmp_path / "sealed" / "params.npz").stat().st_size
+    assert sealed_sz < plain_sz / 2.5
+    # the sealed archive actually stores int8 codes
+    with np.load(tmp_path / "sealed" / "params.npz") as z:
+        qkeys = [k for k in z.files if k.endswith("kernel.q")]
+        assert qkeys and all(z[k].dtype == np.int8 for k in qkeys)
+        # BN folded: no bn leaves remain
+        assert not any("_bn/" in k for k in z.files)
+
+    det_s = load_detector(str(tmp_path / "sealed"))
+    ds, cs = det_s(frames[:2])
+    np.testing.assert_array_equal(c0, cs)
+    np.testing.assert_allclose(d0, ds, rtol=1e-5, atol=1e-5)
+
+    # sealing a non-int8 engine must refuse
+    det_b = build_detector(
+        cfg, None, DetectorSpec(cfg_name="tiny", img_size=224,
+                                conf_thres=0.3, quant="bf16"),
+        batch_size=2)
+    with pytest.raises(ValueError, match="sealed"):
+        save_detector(det_b, str(tmp_path / "nope"), sealed=True)
+
+
 def test_entropy_calibration_reachable():
     """--calib-method entropy must thread through to compute_scale."""
     from rtdm_tpu.quant.calibrate import compute_scale
