@@ -95,9 +95,10 @@ def main() -> None:
         if det_fps:
             record["yolov4_tiny_pipeline_fps"] = round(det_fps, 1)
             record["yolov4_tiny_vs_baseline"] = round(det_fps / 79.2, 2)
-            # ~3.45 G MACs = 6.9 GFLOPs/frame @416^2 (yolov4-tiny, 2 cls)
+            # 6.77 GFLOPs/frame @416^2 (XLA cost analysis of the forward,
+            # utils/summary.flops_of; decode+NMS add a negligible tail)
             record["yolov4_tiny_mfu"] = round(
-                det_fps * 6.9e9 / peak_flops, 4)
+                det_fps * 6.77e9 / peak_flops, 4)
     except Exception:
         pass
     try:  # third headline: yolov5s full pipeline (ref: 70.49 FPS, 1660 Ti)
@@ -105,6 +106,17 @@ def main() -> None:
         if v5_fps:
             record["yolov5s_pipeline_fps"] = round(v5_fps, 1)
             record["yolov5s_vs_baseline"] = round(v5_fps / 70.49, 2)
+            # 6.80 GFLOPs/frame @416^2 (XLA cost analysis, as above)
+            record["yolov5s_mfu"] = round(v5_fps * 6.8e9 / peak_flops, 4)
+    except Exception:
+        pass
+    try:  # fourth headline: the fused two-stage cascade (one program:
+        # detector fwd+decode+NMS AND classifier resize+normalize+fwd per
+        # frame — the deployment config the reference runs as two engines
+        # with host glue, trt_yolo.py + real-time-inference.py)
+        cas_fps = _cascade_fps()
+        if cas_fps:
+            record["cascade_fps"] = round(cas_fps, 1)
     except Exception:
         pass
     print(json.dumps(record))
@@ -157,6 +169,37 @@ def _yolov5s_fps(batch: int = 128, iters: int = 20) -> float:
     for _ in range(iters):
         d, c = det._fn(dev)
     np.asarray(d)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _cascade_fps(batch: int = 256, iters: int = 20) -> float:
+    """Fused two-stage cascade FPS (cli/cascade_stream.build_cascade):
+    v4-tiny detector + Squeeze_ErNET scene classifier in ONE XLA program,
+    one uint8 upload per frame batch."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.cli.cascade_stream import build_cascade
+
+    cfg = ("/root/reference/code/victim_localization/yolov3/cfg/"
+           "yolov4-tiny-aider-416.cfg")
+    cls_w = ("/root/reference/code/disaster_detection/weights/"
+             "squeeze-ernet-state_dict.pt")
+    if not (os.path.exists(cfg) and os.path.exists(cls_w)):
+        return 0.0
+    fn = build_cascade(cfg, None, "squeeze-ernet", cls_w, 416,
+                       conf=0.25, iou=0.45, batch=batch)
+    rng = np.random.default_rng(0)
+    dev = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
+    probs, d, c = fn(dev)
+    np.asarray(probs)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        probs, d, c = fn(dev)
+    np.asarray(probs)
     return batch * iters / (time.perf_counter() - t0)
 
 

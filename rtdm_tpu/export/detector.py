@@ -105,7 +105,14 @@ class Detector:
 
     def __init__(self, model, variables: Dict[str, Any], spec: DetectorSpec,
                  batch_size: int = 1, heads=None,
-                 act_scales: Optional[Dict[str, float]] = None):
+                 act_scales: Optional[Dict[str, float]] = None,
+                 mesh=None):
+        """`mesh` (a jax.sharding.Mesh with a 'data' axis) compiles a
+        MULTI-CHIP serving engine: the frame batch is sharded over the
+        axis, every stage (normalize, backbone, decode, NMS) runs
+        shard-locally with no cross-device traffic, and GSPMD handles the
+        placement — data-parallel inference the reference cannot express
+        (one TRT engine binds one GPU)."""
         import jax
         import jax.numpy as jnp
         from flax import linen as nn
@@ -205,7 +212,15 @@ class Detector:
                                method=spec.nms_method)
 
         s = spec.img_size
-        self._fn = (jax.jit(fwd)
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if batch_size % mesh.devices.size:
+                raise ValueError(f"detector batch {batch_size} must divide "
+                                 f"over {mesh.devices.size} mesh devices")
+            sh = NamedSharding(mesh, P("data"))
+            jit_kwargs = {"in_shardings": sh, "out_shardings": (sh, sh)}
+        self._fn = (jax.jit(fwd, **jit_kwargs)
                     .lower(jax.ShapeDtypeStruct((batch_size, s, s, 3),
                                                 jnp.uint8))
                     .compile())
@@ -318,7 +333,7 @@ def save_detector(det: Detector, directory: str,
     return directory
 
 
-def load_detector(directory: str) -> Detector:
+def load_detector(directory: str, mesh=None) -> Detector:
     import json
 
     from rtdm_tpu.models.darknet import Darknet
@@ -343,6 +358,7 @@ def load_detector(directory: str) -> Detector:
         with np.load(scales_path) as z:
             act_scales = {k: float(z[k]) for k in z.files}
     det = Detector(model, variables, spec, batch_size,
-                   model_heads(model, variables), act_scales=act_scales)
+                   model_heads(model, variables), act_scales=act_scales,
+                   mesh=mesh)
     det._variables = variables
     return det

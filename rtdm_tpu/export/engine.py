@@ -48,7 +48,15 @@ class Engine:
     """A compiled classifier engine over uint8 NHWC frames."""
 
     def __init__(self, spec: EngineSpec, variables: Dict[str, Any],
-                 act_scales: Optional[Dict[str, np.ndarray]] = None):
+                 act_scales: Optional[Dict[str, np.ndarray]] = None,
+                 mesh=None):
+        """`mesh` (a jax.sharding.Mesh with a 'data' axis) makes this a
+        MULTI-CHIP serving engine: the batch is sharded over the axis and
+        GSPMD runs each shard on its own device — the inference-side
+        counterpart of the data-parallel trainer (the reference has no
+        analogue; TRT engines are single-GPU). The engine file format is
+        unchanged — mesh is a load/build-time choice, like the chip the
+        engine is compiled for."""
         import jax
         import jax.numpy as jnp
 
@@ -80,7 +88,17 @@ class Engine:
                                    ).astype(jnp.float32)
 
         b, s = spec.batch_size, spec.image_size
-        self._compiled = (jax.jit(apply_fn)
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            if b % mesh.devices.size:
+                raise ValueError(f"engine batch {b} must divide over "
+                                 f"{mesh.devices.size} mesh devices")
+            jit_kwargs = {
+                "in_shardings": NamedSharding(mesh, P("data")),
+                "out_shardings": NamedSharding(mesh, P("data")),
+            }
+        self._compiled = (jax.jit(apply_fn, **jit_kwargs)
                           .lower(jax.ShapeDtypeStruct((b, s, s, 3),
                                                       jnp.uint8))
                           .compile())
@@ -118,7 +136,7 @@ class Engine:
         return directory
 
     @classmethod
-    def load(cls, directory: str) -> "Engine":
+    def load(cls, directory: str, mesh=None) -> "Engine":
         with open(os.path.join(directory, "spec.json")) as f:
             spec = EngineSpec(**json.load(f))
         flat = dict(np.load(os.path.join(directory, "params.npz")))
@@ -126,7 +144,7 @@ class Engine:
         scales_path = os.path.join(directory, "act_scales.npz")
         act_scales = (dict(np.load(scales_path))
                       if os.path.exists(scales_path) else None)
-        return cls(spec, variables, act_scales)
+        return cls(spec, variables, act_scales, mesh=mesh)
 
 
 def _flatten(prefix: str, tree: Any) -> Dict[str, np.ndarray]:

@@ -114,3 +114,53 @@ def test_spatial_shard_conv_parity(mesh8):
     got = spatial_shard_conv(xs, k, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_data_parallel_engine_matches_single_device(mesh8):
+    """A mesh-compiled classifier engine (batch sharded over 8 devices,
+    GSPMD placement) must produce the single-device engine's outputs —
+    multi-chip serving with zero numerics drift."""
+    from rtdm_tpu.export.engine import Engine, EngineSpec
+
+    model = create_model("squeeze-ernet")
+    size = model.image_size
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, size, size, 3), jnp.float32))
+    spec = EngineSpec(model="squeeze-ernet", quant="fp32", batch_size=16,
+                      image_size=size)
+    frames = np.random.default_rng(0).integers(
+        0, 255, (16, size, size, 3)).astype(np.uint8)
+    single = Engine(spec, variables)(frames)
+    sharded = Engine(spec, variables, mesh=mesh8)(frames)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        Engine(EngineSpec(model="squeeze-ernet", quant="fp32",
+                          batch_size=12, image_size=size),
+               variables, mesh=mesh8)
+
+
+def test_data_parallel_detector_matches_single_device(mesh8):
+    """Mesh-compiled detector engine == single-device engine, including
+    the NMS stage (each shard suppresses its own frames locally)."""
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, Detector,
+                                          load_detection_model)
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    model, variables, heads = load_detection_model(cfg, None, 224)
+    spec = DetectorSpec(cfg_name="tiny", img_size=224, conf_thres=0.3,
+                        quant="fp32")
+    frames = np.random.default_rng(1).integers(
+        0, 255, (8, 224, 224, 3)).astype(np.uint8)
+    d1, c1 = Detector(model, variables, spec, batch_size=8, heads=heads)(
+        frames)
+    d2, c2 = Detector(model, variables, spec, batch_size=8, heads=heads,
+                      mesh=mesh8)(frames)
+    np.testing.assert_array_equal(c1, c2)
+    # the two programs tile convs differently -> ~1e-6 relative fp32
+    # rounding on raw logits; same boxes, sub-0.01px coordinates
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-2)
