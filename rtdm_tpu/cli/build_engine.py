@@ -74,6 +74,16 @@ def main(argv=None):
     p.add_argument("--output", required=True, help="engine output dir")
     args = p.parse_args(argv)
 
+    if args.sealed:
+        # fail fast: sealing is int8-detector-only, and building first
+        # would waste a full TPU compile before the save refuses
+        if not args.cfg:
+            raise SystemExit("--sealed applies to detector engines "
+                             "(--cfg); classifier engines keep fp32 "
+                             "masters")
+        if args.quant != "int8":
+            raise SystemExit("--sealed requires --quant int8")
+
     if args.cfg:  # detector engine (engines/*.trt analogue)
         from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
                                               save_detector)

@@ -215,9 +215,10 @@ class Detector:
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            if batch_size % mesh.devices.size:
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
                 raise ValueError(f"detector batch {batch_size} must divide "
-                                 f"over {mesh.devices.size} mesh devices")
+                                 f"over the {n_data}-way 'data' mesh axis")
             sh = NamedSharding(mesh, P("data"))
             jit_kwargs = {"in_shardings": sh, "out_shardings": (sh, sh)}
         self._fn = (jax.jit(fwd, **jit_kwargs)

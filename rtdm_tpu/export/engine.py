@@ -91,9 +91,10 @@ class Engine:
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            if b % mesh.devices.size:
-                raise ValueError(f"engine batch {b} must divide over "
-                                 f"{mesh.devices.size} mesh devices")
+            n_data = mesh.shape["data"]
+            if b % n_data:
+                raise ValueError(f"engine batch {b} must divide over the "
+                                 f"{n_data}-way 'data' mesh axis")
             jit_kwargs = {
                 "in_shardings": NamedSharding(mesh, P("data")),
                 "out_shardings": NamedSharding(mesh, P("data")),
