@@ -25,10 +25,12 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <csetjmp>
 #include <cstdio>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -160,6 +162,73 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   *pad_w = static_cast<float>(pw);
   *pad_h = static_cast<float>(ph);
   return 0;
+}
+
+// Decode + letterbox a BATCH of JPEG files into one contiguous NHWC u8
+// buffer using an internal std::thread pool — the data-loader hot path as
+// ONE ctypes call (file read, decode, resize, letterbox all native; no
+// Python-thread scheduling per image). Per-image status in rcs (0 = ok;
+// nonzero slots are left pad_value-filled so the caller can fall back).
+// nthreads <= 0 means hardware concurrency. Returns the failure count.
+int rtdm_decode_batch(const char** paths, int n, int size, int letterbox,
+                      uint8_t pad_value, uint8_t* out, float* gains,
+                      float* pads_wh, int* orig_hw, int* rcs,
+                      int nthreads) {
+  if (n <= 0) return 0;
+  int workers = nthreads > 0
+                    ? nthreads
+                    : static_cast<int>(std::thread::hardware_concurrency());
+  workers = std::max(1, std::min(workers, n));
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t frame = static_cast<size_t>(size) * size * 3;
+
+  auto work = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      uint8_t* dst = out + static_cast<size_t>(i) * frame;
+      rcs[i] = 10;  // file error until proven otherwise
+      gains[i] = 0.f;
+      pads_wh[2 * i] = pads_wh[2 * i + 1] = 0.f;
+      orig_hw[2 * i] = orig_hw[2 * i + 1] = 0;
+      FILE* f = std::fopen(paths[i], "rb");
+      if (!f) {
+        std::memset(dst, pad_value, frame);
+        failures.fetch_add(1);
+        continue;
+      }
+      std::fseek(f, 0, SEEK_END);
+      const long len = std::ftell(f);
+      std::fseek(f, 0, SEEK_SET);
+      std::vector<uint8_t> buf(static_cast<size_t>(std::max(len, 0L)));
+      const bool ok =
+          len > 0 && std::fread(buf.data(), 1, static_cast<size_t>(len),
+                                f) == static_cast<size_t>(len);
+      std::fclose(f);
+      if (!ok) {
+        std::memset(dst, pad_value, frame);
+        failures.fetch_add(1);
+        continue;
+      }
+      rcs[i] = rtdm_decode_jpeg_letterbox(
+          buf.data(), len, size, letterbox, pad_value, dst, &gains[i],
+          &pads_wh[2 * i], &pads_wh[2 * i + 1], &orig_hw[2 * i],
+          &orig_hw[2 * i + 1]);
+      if (rcs[i] != 0) {
+        std::memset(dst, pad_value, frame);
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  if (workers == 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return failures.load();
 }
 
 // Resize+letterbox an already-decoded RGB u8 frame (for camera streams).

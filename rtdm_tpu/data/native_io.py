@@ -56,6 +56,11 @@ def _load():
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
         u8p, f32p, f32p, f32p]
     lib.rtdm_letterbox_rgb.restype = ctypes.c_int
+    lib.rtdm_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint8, u8p, f32p, f32p, i32p, i32p,
+        ctypes.c_int]
+    lib.rtdm_decode_batch.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -90,6 +95,36 @@ def decode_jpeg_letterbox(data: bytes, size: int, pad_value: int = 114
         return None
     return out, float(gain.value), (float(pw.value), float(ph.value)), \
         (int(oh.value), int(ow.value))
+
+
+def decode_batch(paths, size: int, letterbox: bool = True,
+                 pad_value: int = 114, nthreads: int = 0):
+    """Decode+letterbox a batch of JPEG files into ONE (N,size,size,3) u8
+    buffer via the native thread pool — the whole loader hot path (file
+    read, decode, resize, pad) is a single ctypes call. Returns
+    (batch, gains (N,), pads (N,2), orig_hw (N,2), ok (N,) bool) or None
+    when native IO is unavailable. Failed slots are pad-filled with
+    ok=False; callers keep their PIL fallback per failed image."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, size, size, 3), np.uint8)
+    gains = np.empty((n,), np.float32)
+    pads = np.empty((n, 2), np.float32)
+    orig = np.empty((n, 2), np.int32)
+    rcs = np.empty((n,), np.int32)
+    if n == 0:
+        return out, gains, pads, orig, np.zeros((0,), bool)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.rtdm_decode_batch(
+        arr, n, size, int(letterbox), pad_value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pads.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), nthreads)
+    return out, gains, pads, orig, rcs == 0
 
 
 def letterbox_rgb(frame: np.ndarray, size: int, pad_value: int = 114

@@ -64,3 +64,53 @@ def test_letterbox_rgb_matches_cv2(rng):
 
 def test_corrupt_jpeg_returns_none():
     assert native_io.decode_jpeg_letterbox(b"not a jpeg", 64) is None
+
+
+def test_decode_batch_matches_per_image():
+    """The pooled batch decoder must produce byte-identical frames and
+    metadata to N per-image decode_jpeg_letterbox calls."""
+    import glob
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available() or not native_io.available():
+        import pytest
+        pytest.skip("reference or native IO unavailable")
+    paths = sorted(glob.glob(str(
+        REFERENCE_ROOT / "code/victim_localization/yolov3/data/custom/"
+        "test/images/*.jpg")))
+    assert len(paths) == 10
+    res = native_io.decode_batch(paths, 416)
+    assert res is not None
+    batch, gains, pads, orig, ok = res
+    assert ok.all() and batch.shape == (10, 416, 416, 3)
+    for i, p in enumerate(paths):
+        with open(p, "rb") as f:
+            single = native_io.decode_jpeg_letterbox(f.read(), 416)
+        img, g, (pw, ph), (oh, ow) = single
+        np.testing.assert_array_equal(batch[i], img)
+        np.testing.assert_allclose(gains[i], g, rtol=1e-6)
+        assert tuple(pads[i]) == (pw, ph)
+        assert tuple(orig[i]) == (oh, ow)
+
+
+def test_decode_batch_failure_slots():
+    """Missing/corrupt files pad-fill their slot with ok=False; good
+    slots are unaffected."""
+    import glob
+    import tempfile
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available() or not native_io.available():
+        import pytest
+        pytest.skip("reference or native IO unavailable")
+    good = sorted(glob.glob(str(
+        REFERENCE_ROOT / "code/victim_localization/yolov3/data/custom/"
+        "test/images/*.jpg")))[0]
+    with tempfile.NamedTemporaryFile(suffix=".jpg") as bad:
+        bad.write(b"not a jpeg")
+        bad.flush()
+        batch, gains, pads, orig, ok = native_io.decode_batch(
+            [good, bad.name, "/nonexistent/x.jpg"], 128)
+    assert list(ok) == [True, False, False]
+    assert (batch[1] == 114).all() and (batch[2] == 114).all()
+    assert (batch[0] != 114).any()
