@@ -40,6 +40,8 @@ class FrameSource:
     # -- construction ---------------------------------------------------
     @staticmethod
     def open(uri) -> "FrameSource":
+        if isinstance(uri, (list, tuple)):
+            return _MultiSource([FrameSource.open(u) for u in uri])
         if isinstance(uri, int) or (isinstance(uri, str)
                                     and uri.startswith("/dev/video")):
             return _CvSource(uri, live=True)
@@ -52,6 +54,16 @@ class FrameSource:
             return _ImageDirSource(uri, single=True)
         if isinstance(uri, str) and uri.lower().endswith(VID_EXTS):
             return _CvSource(uri, live=False)
+        if isinstance(uri, str) and uri.lower().endswith(".streams"):
+            # a text file listing one source URI per line — the reference's
+            # multi-camera convention (yolov5/utils/datasets.py LoadStreams,
+            # detect.py '--source streams.txt')
+            with open(uri) as f:
+                uris = [ln.strip() for ln in f
+                        if ln.strip() and not ln.startswith("#")]
+            if not uris:
+                raise ValueError(f"no sources listed in {uri}")
+            return _MultiSource([FrameSource.open(u) for u in uris])
         raise ValueError(f"unrecognized source: {uri!r}")
 
     # -- threaded producer ----------------------------------------------
@@ -114,6 +126,48 @@ class _ImageDirSource(FrameSource):
         for p in self.paths:
             with open(p, "rb") as f:
                 yield np.asarray(Image.open(f).convert("RGB"), np.uint8)
+
+
+class _MultiSource(FrameSource):
+    """N simultaneous sources behind the single-source interface — the
+    LoadStreams analogue (yolov5/utils/datasets.py:185+). Each child keeps
+    its own grab thread + mailbox; frames come out round-robin (source k,
+    k+1, ...), so downstream batching interleaves all cameras instead of
+    stacking one synchronized frame per source (fixed-shape consumers
+    letterbox per frame anyway, so synchronized stacking buys nothing on
+    TPU). A child that ends or stalls past `child_timeout` is dropped;
+    the multi-source ends when every child has."""
+
+    def __init__(self, children, child_timeout: float = 5.0):
+        live = any(c.live for c in children)
+        super().__init__([c.uri for c in children], live=live)
+        # staleness-dropping happens per-child (their live mailboxes); the
+        # aggregate queue must hold one frame per camera or cameras starve
+        self._queue = queue.Queue(maxsize=max(2 * len(children), 2))
+        self.live = False  # aggregate queue is lossless over children
+        self._any_live = live
+        self.children = list(children)
+        self.child_timeout = child_timeout
+
+    def start(self) -> "FrameSource":
+        for c in self.children:
+            c.start()
+        return super().start()
+
+    def _produce(self):
+        alive = list(self.children)
+        while alive:
+            for c in list(alive):
+                frame = c.read(timeout=self.child_timeout)
+                if frame is None:
+                    alive.remove(c)
+                    continue
+                yield frame
+
+    def stop(self) -> None:
+        for c in self.children:
+            c.stop()
+        super().stop()
 
 
 class _CvSource(FrameSource):

@@ -42,6 +42,24 @@ def test_frame_source_single_image(image_dir):
     assert len(list(src)) == 1
 
 
+def test_multi_source_streams_file(image_dir, tmp_path):
+    """LoadStreams analogue: a .streams file listing N sources yields all
+    N sources' frames (round-robin interleave) behind the single-source
+    interface."""
+    from rtdm_tpu.data.camera import FrameSource
+
+    streams = tmp_path / "cams.streams"
+    streams.write_text(f"{image_dir}\n# comment line\n{image_dir}\n")
+    src = FrameSource.open(str(streams)).start()
+    frames = list(src)
+    assert len(frames) == 10  # 5 images x 2 sources
+    assert all(f.shape == (120, 160, 3) for f in frames)
+
+    # list-of-uris form
+    src2 = FrameSource.open([image_dir, image_dir, image_dir]).start()
+    assert len(list(src2)) == 15
+
+
 def test_frame_source_rejects_unknown():
     from rtdm_tpu.data.camera import FrameSource
 
