@@ -237,6 +237,34 @@ def test_sealed_int8_detector_engine(tmp_path):
         save_detector(det_b, str(tmp_path / "nope"), sealed=True)
 
 
+def test_sealed_int8_yolov5_engine(tmp_path):
+    """Sealed save for v5 graphs: no darknet BN fold (BN leaves stay),
+    kernels stored int8; reload matches the live engine."""
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                          load_detector, save_detector)
+
+    yml = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov5/models/yolov5s.yaml")
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (4, 224, 224, 3)).astype(np.uint8)
+    det8 = build_detector(
+        yml, None, DetectorSpec(cfg_name="v5s", img_size=224,
+                                conf_thres=0.3, quant="int8"),
+        batch_size=2, num_classes=2, calib_images=frames)
+    d0, c0 = det8(frames[:2])
+    save_detector(det8, str(tmp_path / "v5sealed"), sealed=True)
+    with np.load(tmp_path / "v5sealed" / "params.npz") as z:
+        assert any(k.endswith("kernel.q") for k in z.files)
+        assert any("batch_stats" in k for k in z.files)  # BN kept (no fold)
+    det_s = load_detector(str(tmp_path / "v5sealed"))
+    ds, cs = det_s(frames[:2])
+    np.testing.assert_array_equal(c0, cs)
+    np.testing.assert_allclose(d0, ds, rtol=1e-5, atol=1e-5)
+
+
 def test_entropy_calibration_reachable():
     """--calib-method entropy must thread through to compute_scale."""
     from rtdm_tpu.quant.calibrate import compute_scale
