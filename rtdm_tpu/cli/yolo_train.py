@@ -56,7 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--output", default="runs/train")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="mAP-eval every N epochs (0 = only after the "
+                   "final epoch)")
     p.add_argument("--nominal-batch", type=int, default=64,
                    help="accumulate grads to this effective batch")
     p.add_argument("--evolve", type=int, default=0, metavar="N",
@@ -121,6 +123,11 @@ def train(args):
     n_dev = mesh.devices.size
     bs = max(args.batch_size // n_dev, 1) * n_dev
     accumulate = max(round(args.nominal_batch / bs), 1)  # train.py:299
+    # the in-step scan splits the loader batch into `accumulate`
+    # microbatches, so it must DIVIDE bs (the reference steps every N
+    # loader batches instead and has no such constraint) — clamp to the
+    # largest divisor of bs not above the nominal-batch count
+    accumulate = max(a for a in range(1, accumulate + 1) if bs % a == 0)
 
     dcfg = parse_data_cfg(args.data)
     base = os.path.dirname(os.path.dirname(os.path.abspath(args.data)))
@@ -494,7 +501,8 @@ def train(args):
                 f"box {ep_loss[0]:.4f} obj {ep_loss[1]:.4f} "
                 f"cls {ep_loss[2]:.4f} {time.time() - t0:.1f}s")
         res = None
-        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+        if ((args.eval_every > 0 and (epoch + 1) % args.eval_every == 0)
+                or epoch == args.epochs - 1):
             # evaluate with the EMA weights when enabled — how ModelEMA is
             # consumed at test time (yolov5/train.py:346+)
             ev_params, ev_stats = ((ema_vars["params"],

@@ -216,3 +216,21 @@ def test_yolo_train_v5_warmup_ema(tmp_path):
     losses = np.array([h["loss"] for h in result["history"]])
     assert losses.shape[0] == 2 and np.all(np.isfinite(losses))
     assert result["history"][-1]["map50"] is not None
+
+
+def test_yolo_train_indivisible_accumulate(tmp_path):
+    """--batch-size 10 with the default nominal batch 64 used to crash
+    (round(64/10)=6 microbatches cannot split a 10-frame batch); the
+    accumulate count must clamp to a divisor of the batch."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    out = str(tmp_path / "run")
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--epochs", "1", "--batch-size", "10", "--img-size", "192",
+        "--burn-in", "2", "--lr0", "0.002", "--num-workers", "2",
+        "--output", out, "--eval-every", "0",
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+    ])
+    assert np.all(np.isfinite(np.array(result["history"][0]["loss"])))
