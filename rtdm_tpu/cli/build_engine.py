@@ -56,6 +56,9 @@ def main(argv=None):
                    "darknet .cfg / v5 .yaml instead of a classifier")
     p.add_argument("--img-size", type=int, default=416,
                    help="detector input size")
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="override the model DSL's class count (v5 yamls "
+                   "default to nc:80; pass the trained nc, e.g. 2)")
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--weights", required=True,
@@ -101,7 +104,9 @@ def main(argv=None):
                   f"({args.calib_method})...")
         t0 = time.time()
         det = build_detector(args.cfg, args.weights, spec,
-                             batch_size=args.batch_size, calib_images=calib)
+                             batch_size=args.batch_size,
+                             num_classes=args.num_classes,
+                             calib_images=calib)
         print(f"detector engine built in {time.time() - t0:.1f}s")
         save_detector(det, args.output, sealed=args.sealed)
         print(f"saved to {args.output} (spec.json + model.txt + "
