@@ -148,6 +148,13 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     state = trainer.init_state(jax.random.key(config.seed),
                                (1, size, size, 3))
 
+    # collision-free run dirs (increment_path, general.py): a fresh run
+    # never clobbers an existing non-empty checkpoint/log dir; resume
+    # lands in the same dirs by design (train.py:229-248)
+    from rtdm_tpu.utils.paths import increment_path
+    config.checkpoint_dir = increment_path(config.checkpoint_dir,
+                                           exist_ok=config.resume)
+    config.log_dir = increment_path(config.log_dir, exist_ok=config.resume)
     ckpt = CheckpointManager(config.checkpoint_dir)
     history: Dict[str, List[float]] = {k: [] for k in
                                        ("train_loss", "train_acc", "val_loss",

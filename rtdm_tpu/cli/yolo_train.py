@@ -426,6 +426,8 @@ def train(args):
     ema_vars = (ema_init({"params": params, "batch_stats": batch_stats})
                 if args.ema else {})
 
+    from rtdm_tpu.utils.paths import increment_path
+    args.output = increment_path(args.output, exist_ok=args.resume)
     os.makedirs(args.output, exist_ok=True)
     from rtdm_tpu.train.checkpoint import CheckpointManager
     from rtdm_tpu.utils.experiment_log import ExperimentLogger

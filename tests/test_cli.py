@@ -134,3 +134,20 @@ def test_model_summary(capsys):
     out = summarize_classifier("squeeze-ernet")
     assert "169,241" in out  # exact reference param count
     assert "mult-adds" in out
+
+
+def test_increment_path(tmp_path):
+    """Fresh runs never clobber an existing non-empty run dir
+    (increment_path, yolov5/utils/general.py); resume reuses it."""
+    from rtdm_tpu.utils.paths import increment_path
+
+    d = str(tmp_path / "exp")
+    assert increment_path(d) == d            # free
+    os.makedirs(d)
+    assert increment_path(d) == d            # empty dir is reusable
+    open(os.path.join(d, "x"), "w").close()
+    assert increment_path(d) == d + "2"      # occupied -> suffix
+    assert increment_path(d, exist_ok=True) == d  # resume keeps it
+    os.makedirs(d + "2")
+    open(os.path.join(d + "2", "x"), "w").close()
+    assert increment_path(d) == d + "3"
