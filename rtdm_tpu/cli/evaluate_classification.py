@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard eval batches over ALL local devices "
+                   "(mesh serving engine; single-device behavior is "
+                   "unchanged on a 1-chip host)")
     args = p.parse_args(argv)
 
     import jax
@@ -44,9 +48,14 @@ def main(argv=None):
     size = model.image_size
     policy = policy_from_name(args.precision)
 
+    mesh = None
+    if args.data_parallel:
+        from rtdm_tpu.core.mesh import local_mesh
+        mesh = local_mesh()
+
     if args.engine:
         from rtdm_tpu.export.engine import Engine
-        engine = Engine.load(args.engine)
+        engine = Engine.load(args.engine, mesh=mesh)
         def forward(u8):
             return engine(u8)
     else:
@@ -55,10 +64,17 @@ def main(argv=None):
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables["batch_stats"]}
 
-        @jax.jit
-        def _fwd(v, u8):
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            jit_kwargs = {
+                "in_shardings": (None, NamedSharding(mesh, P("data"))),
+                "out_shardings": NamedSharding(mesh, P("data"))}
+
+        def _fwd_impl(v, u8):
             x = normalize_batch(u8).astype(policy.compute_dtype)
             return model.apply(v, x, train=False)
+        _fwd = jax.jit(_fwd_impl, **jit_kwargs)
 
         def forward(u8):
             return _fwd(cast, u8)

@@ -41,6 +41,9 @@ def main(argv=None):
                    help="report modelled energy per frame")
     p.add_argument("--power-plot", help="write the power trace PNG here "
                    "(calculate-power-usage.py plot analogue)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard engine batches over all local devices "
+                   "(mesh serving; no-op on a 1-chip host)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -55,9 +58,13 @@ def main(argv=None):
     # back — depth-2 double buffering that hides H2D/D2H behind compute
     # (replaces the reference's strictly serial hot loop,
     # real-time-inference.py:179-208).
+    mesh = None
+    if args.data_parallel:
+        from rtdm_tpu.core.mesh import local_mesh
+        mesh = local_mesh()
     if args.engine:
         from rtdm_tpu.export.engine import Engine
-        engine = Engine.load(args.engine)
+        engine = Engine.load(args.engine, mesh=mesh)
         size = engine.spec.image_size
 
         def dispatch(u8_batch):
