@@ -34,7 +34,9 @@ def load_calib_images(calib_dir: str, image_size: int, limit: int = 256):
 def load_detector_calib_images(calib_dir: str, img_size: int,
                                limit: int = 256):
     """Letterboxed uint8 calibration frames for detector int8 engines
-    (the calib_images/ flow of calibrator.py:125-142)."""
+    (the calib_images/ flow of calibrator.py:125-142). JPEG dirs go
+    through the native pooled batch decoder (one ctypes call for the
+    whole set); failures and non-JPEGs fall back per image to PIL."""
     import numpy as np
     from rtdm_tpu.cli.aider_predict import load_image_rgb
     from rtdm_tpu.data.odder import letterbox_image
@@ -44,6 +46,20 @@ def load_detector_calib_images(calib_dir: str, img_size: int,
         for p in glob.glob(os.path.join(calib_dir, pat)))[:limit]
     if not paths:
         raise FileNotFoundError(f"no calibration images in {calib_dir}")
+
+    from rtdm_tpu.data import native_io
+    res = (native_io.decode_batch(paths, img_size)
+           if all(p.lower().endswith((".jpg", ".jpeg")) for p in paths)
+           else None)
+    if res is not None:
+        batch, _, _, _, ok = res
+        if ok.all():
+            return batch
+        batch = np.array(batch)  # writable copy for the fallback slots
+        for i in np.flatnonzero(~ok):
+            batch[i] = letterbox_image(load_image_rgb(paths[i]),
+                                       img_size)[0]
+        return batch
     return np.stack([letterbox_image(load_image_rgb(p), img_size)[0]
                      for p in paths])
 

@@ -52,6 +52,10 @@ def main(argv=None):
     if args.data_parallel:
         from rtdm_tpu.core.mesh import local_mesh
         mesh = local_mesh()
+        n_data = mesh.shape["data"]
+        if args.batch_size % n_data:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide "
+                             f"over the {n_data}-way data mesh axis")
 
     if args.engine:
         from rtdm_tpu.export.engine import Engine
@@ -66,10 +70,9 @@ def main(argv=None):
 
         jit_kwargs = {}
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            jit_kwargs = {
-                "in_shardings": (None, NamedSharding(mesh, P("data"))),
-                "out_shardings": NamedSharding(mesh, P("data"))}
+            from rtdm_tpu.core.mesh import data_sharding
+            jit_kwargs = {"in_shardings": (None, data_sharding(mesh)),
+                          "out_shardings": data_sharding(mesh)}
 
         def _fwd_impl(v, u8):
             x = normalize_batch(u8).astype(policy.compute_dtype)

@@ -62,6 +62,10 @@ def main(argv=None):
     if args.data_parallel:
         from rtdm_tpu.core.mesh import local_mesh
         mesh = local_mesh()
+        n_data = mesh.shape["data"]
+        if not args.engine and args.batch % n_data:
+            raise SystemExit(f"--batch {args.batch} must divide over the "
+                             f"{n_data}-way data mesh axis")
     if args.engine:
         from rtdm_tpu.export.engine import Engine
         engine = Engine.load(args.engine, mesh=mesh)
@@ -85,12 +89,24 @@ def main(argv=None):
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables.get("batch_stats", {})}
 
-        @jax.jit
-        def _fwd(v, u8):
+        jit_kwargs = {}
+        if mesh is not None:
+            from rtdm_tpu.core.mesh import data_sharding
+            jit_kwargs = {"in_shardings": (None, data_sharding(mesh)),
+                          "out_shardings": data_sharding(mesh)}
+
+        def _fwd_impl(v, u8):
             x = normalize_batch(u8).astype(policy.compute_dtype)
             return model.apply(v, x, train=False)
+        _fwd = jax.jit(_fwd_impl, **jit_kwargs)
 
         def dispatch(u8_batch):
+            if mesh is not None and u8_batch.shape[0] % mesh.shape["data"]:
+                # tail micro-batch: pad to the full batch so the sharded
+                # program sees its fixed shape (consumer slices [:n])
+                pad = np.zeros((args.batch - u8_batch.shape[0],)
+                               + u8_batch.shape[1:], u8_batch.dtype)
+                u8_batch = np.concatenate([u8_batch, pad])
             return _fwd(cast, jnp.asarray(u8_batch))
 
     def resize_frame(frame):

@@ -59,8 +59,11 @@ class FrameSource:
             # multi-camera convention (yolov5/utils/datasets.py LoadStreams,
             # detect.py '--source streams.txt')
             with open(uri) as f:
-                uris = [ln.strip() for ln in f
-                        if ln.strip() and not ln.startswith("#")]
+                lines = [ln.strip() for ln in f]
+            # numeric lines are webcam ids, the reference's streams.txt
+            # convention (yolov5/utils/datasets.py:188-193)
+            uris = [int(ln) if ln.isdigit() else ln
+                    for ln in lines if ln and not ln.startswith("#")]
             if not uris:
                 raise ValueError(f"no sources listed in {uri}")
             return _MultiSource([FrameSource.open(u) for u in uris])
@@ -161,6 +164,8 @@ class _MultiSource(FrameSource):
                 frame = c.read(timeout=self.child_timeout)
                 if frame is None:
                     alive.remove(c)
+                    c.stop()  # don't leave a dropped camera's grab
+                    #           thread decoding frames nobody reads
                     continue
                 yield frame
 

@@ -27,23 +27,38 @@ _lib = None
 _tried = False
 
 
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "clean", "all"],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        logger.info("native IO unavailable (build failed: %s); "
+                    "using PIL path", e)
+        return False
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:
-            logger.info("native IO unavailable (build failed: %s); "
-                        "using PIL path", e)
-            return None
+    # rebuild when absent OR stale (source newer than the .so): a
+    # pre-built .so from an older checkout may lack newer symbols, and
+    # dlopen caching makes rebuild-after-load unreliable — decide BEFORE
+    # the first CDLL
+    src = os.path.join(_NATIVE_DIR, "rtdm_io.cpp")
+    stale = (not os.path.exists(_SO_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO_PATH)))
+    if stale and not _build():
+        return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
-    except OSError as e:
-        logger.info("native IO unavailable (%s); using PIL path", e)
+        lib.rtdm_decode_batch  # symbol check before binding argtypes
+    except (OSError, AttributeError) as e:
+        logger.info("native IO unavailable or stale (%s); using PIL path",
+                    e)
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)

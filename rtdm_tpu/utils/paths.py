@@ -12,11 +12,22 @@ from __future__ import annotations
 import os
 
 
+def _occupied(path: str) -> bool:
+    """True when `path` exists as a file, or as a non-empty directory."""
+    if not os.path.exists(path):
+        return False
+    return not os.path.isdir(path) or bool(os.listdir(path))
+
+
 def increment_path(path: str, exist_ok: bool = False) -> str:
-    """Return `path` if free (or empty, or exist_ok), else `path{2,3,...}`."""
-    if exist_ok or not os.path.exists(path) or not os.listdir(path):
+    """Return `path` if free (or an empty dir, or exist_ok), else the
+    first free `path{2,3,...}` sibling. A trailing separator is stripped
+    so 'runs/train/' increments to 'runs/train2', not 'runs/train/2';
+    a colliding regular FILE counts as occupied rather than crashing."""
+    path = path.rstrip(os.sep) or path
+    if exist_ok or not _occupied(path):
         return path
     n = 2
-    while os.path.exists(f"{path}{n}") and os.listdir(f"{path}{n}"):
+    while _occupied(f"{path}{n}"):
         n += 1
     return f"{path}{n}"
