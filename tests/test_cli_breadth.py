@@ -1,0 +1,75 @@
+"""CLI-breadth smoke tests for features only reachable through flags:
+hyperparameter evolution, multi-scale + image-weights training, and
+dynamic-batch StableHLO export. Each runs tiny (192px, 1-epoch gens) on
+the reference's bundled 10-image mini-set."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, reference_available
+
+YOLO_DIR = REFERENCE_ROOT / "code/victim_localization/yolov3"
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+
+def _train_args(out, extra):
+    return [
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--burn-in", "2", "--lr0", "0.002",
+        "--num-workers", "2", "--output", out, "--eval-every", "1",
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+    ] + extra
+
+
+def test_yolo_train_evolve(tmp_path):
+    """--evolve N runs N mutate-train-select generations and logs
+    evolve.txt (train.py:444-491's print_mutation flow)."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    out = str(tmp_path / "evo")
+    best_hyp, best_fit = main(_train_args(out, ["--evolve", "2"]))
+    log = Path(out) / "evolve.txt"
+    assert log.exists()
+    lines = log.read_text().strip().splitlines()
+    assert len(lines) == 2 and lines[0].startswith("gen 0 fitness")
+    assert os.path.isdir(os.path.join(out, "gen0"))
+    assert os.path.isdir(os.path.join(out, "gen1"))
+    assert np.isfinite(best_fit)
+    assert set(best_hyp) >= {"lr0", "iou_t", "momentum"}
+
+
+def test_yolo_train_multiscale_image_weights(tmp_path):
+    """--multi-scale (precompiled size set) + --image-weights (error-
+    biased resampling, train.py:236-239) train together without error."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    out = str(tmp_path / "ms")
+    result = main(_train_args(out, ["--multi-scale", "--image-weights"]))
+    assert np.all(np.isfinite(np.array(result["history"][0]["loss"])))
+
+
+def test_export_model_dynamic_batch_cli(tmp_path):
+    """export_model --dynamic-batch emits a StableHLO artifact that
+    round-trips at MULTIPLE batch sizes (generate_onnx.py:31-36's
+    dynamic-axis analogue)."""
+    from rtdm_tpu.cli.export_model import main
+    from rtdm_tpu.export.serialize import load_exported
+
+    w = str(REFERENCE_ROOT / "code/disaster_detection/weights/"
+            "squeeze-ernet-state_dict.pt")
+    out = str(tmp_path / "se.stablehlo")
+    main(["--model", "squeeze-ernet", "--weights", w, "--output", out,
+          "--dynamic-batch"])
+    assert os.path.exists(out)
+    fn = load_exported(out)
+    for b in (1, 3):
+        probs = np.asarray(fn(np.zeros((b, 140, 140, 3), np.uint8)))
+        assert probs.shape == (b, 5)
+        np.testing.assert_allclose(probs.sum(1), np.ones(b), rtol=1e-3)
