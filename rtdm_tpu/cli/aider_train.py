@@ -121,6 +121,13 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
                             train=config.augment, seed=config.seed)
     val_ds = AiderDataset(config.val_split, config.root_dir, size)
     test_ds = AiderDataset(config.test_split, config.root_dir, size)
+    if len(train_ds) < bs:
+        # drop_last would silently yield ZERO batches and the "training"
+        # loop would report 0.0 losses forever
+        raise SystemExit(
+            f"train split has {len(train_ds)} images < one batch of {bs} "
+            f"(batch_size after small-model doubling and device/accum "
+            f"tiling) — lower --batch-size or add data")
     train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
                                num_workers=config.num_workers,
                                seed=config.seed)

@@ -73,3 +73,83 @@ def test_export_model_dynamic_batch_cli(tmp_path):
         probs = np.asarray(fn(np.zeros((b, 140, 140, 3), np.uint8)))
         assert probs.shape == (b, 5)
         np.testing.assert_allclose(probs.sum(1), np.ones(b), rtol=1e-3)
+
+
+def test_aider_train_variant_paths(tmp_path):
+    """The focal-loss + cosine-schedule + mixup/cutmix classifier config
+    (all reachable only via flags) trains to finite metrics."""
+    import csv
+
+    from PIL import Image
+
+    from rtdm_tpu.cli.aider_train import train_model
+    from rtdm_tpu.core.config import TrainingConfig
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "aider"
+    root.mkdir()
+    colors = [(200, 40, 40), (40, 200, 40), (40, 40, 200),
+              (200, 200, 40), (40, 200, 200)]
+    rows = []
+    for i in range(50):
+        label = i % 5
+        arr = np.clip(np.array(colors[label], np.uint8)[None, None]
+                      + rng.normal(0, 25, (160, 160, 3)),
+                      0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+        rows.append((f"img_{i}.jpg", label))
+    for name, subset in [("train.csv", rows[:40]), ("val.csv", rows[40:45]),
+                         ("test.csv", rows[45:])]:
+        with open(root / name, "w", newline="") as f:
+            csv.writer(f).writerows(subset)
+
+    config = TrainingConfig(
+        model="squeeze-ernet", batch_size=5, epochs=2, lr=3e-3,
+        loss="focal", scheduler="cosine", mixup_alpha=0.2,
+        cutmix_alpha=0.2, label_smoothing=0.0, grad_accum_steps=1,
+        precision="fp32", augment=True, early_stopping=False,
+        num_workers=2, root_dir=str(root),
+        train_split=str(root / "train.csv"),
+        val_split=str(root / "val.csv"),
+        test_split=str(root / "test.csv"),
+        checkpoint_dir=str(tmp_path / "saves"),
+        log_dir=str(tmp_path / "logs"))
+    state, history = train_model(config)
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) and v > 0 for v in history["train_loss"])
+
+
+def test_aider_train_rejects_sub_batch_split(tmp_path):
+    """A train split smaller than one (rounded) batch must fail loudly,
+    not silently 'train' on zero batches."""
+    import csv
+
+    from PIL import Image
+
+    from rtdm_tpu.cli.aider_train import train_model
+    from rtdm_tpu.core.config import TrainingConfig
+
+    root = tmp_path / "tiny"
+    root.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(root / "a.jpg")
+    with open(root / "s.csv", "w", newline="") as f:
+        csv.writer(f).writerows([("a.jpg", 0)])
+    config = TrainingConfig(
+        model="squeeze-ernet", batch_size=8, epochs=1, augment=False,
+        root_dir=str(root), train_split=str(root / "s.csv"),
+        val_split=str(root / "s.csv"), test_split=str(root / "s.csv"),
+        checkpoint_dir=str(tmp_path / "saves"),
+        log_dir=str(tmp_path / "logs"))
+    with pytest.raises(SystemExit, match="one batch"):
+        train_model(config)
+
+
+def test_summary_flags(capsys):
+    """--summary prints params + XLA-cost FLOPs and exits without
+    touching data (aider_train and yolo_train surfaces)."""
+    from rtdm_tpu.cli.yolo_train import main as yolo_main
+
+    yolo_main(["--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+               "--img-size", "192", "--summary"])
+    out = capsys.readouterr().out
+    assert "params" in out.lower() and "flops" in out.lower()
