@@ -52,10 +52,13 @@ def main() -> None:
     cast = {"params": policy.cast_to_compute(variables["params"]),
             "batch_stats": variables["batch_stats"]}
 
+    # weights close over the jit like an Engine (the reference benches the
+    # TRT ENGINE, not a weights-as-arguments module) — XLA constant-folds
+    # them; measured ~+1-2% over the weights-as-args formulation
     @jax.jit
-    def forward(variables, images_u8):
+    def forward(images_u8):
         x = normalize_batch(images_u8).astype(policy.compute_dtype)
-        return model.apply(variables, x, train=False)
+        return model.apply(cast, x, train=False)
 
     rng = np.random.default_rng(0)
     best = {"fps": 0.0, "batch": 0, "ms": 0.0}
@@ -65,12 +68,12 @@ def main() -> None:
         bufs = [jax.device_put(jnp.asarray(
             rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
             for _ in range(2)]
-        out = forward(cast, bufs[0])
+        out = forward(bufs[0])
         np.asarray(out)  # compile + full warm-up round trip
         iters = 50
         t0 = time.perf_counter()
         for i in range(iters):
-            out = forward(cast, bufs[i % 2])
+            out = forward(bufs[i % 2])
         np.asarray(out)  # force completion of the whole chain
         dt = time.perf_counter() - t0
         fps = batch * iters / dt
