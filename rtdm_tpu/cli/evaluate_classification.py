@@ -50,12 +50,16 @@ def main(argv=None):
 
     mesh = None
     if args.data_parallel:
-        from rtdm_tpu.core.mesh import local_mesh
+        from rtdm_tpu.core.mesh import local_mesh, require_data_divisible
         mesh = local_mesh()
-        n_data = mesh.shape["data"]
-        if args.batch_size % n_data:
-            raise SystemExit(f"--batch-size {args.batch_size} must divide "
-                             f"over the {n_data}-way data mesh axis")
+        if not args.engine:
+            # the engine path validates its OWN spec.batch_size and pads
+            # caller batches; only the raw-weights jit needs this batch
+            try:
+                require_data_divisible(args.batch_size, mesh,
+                                       "--batch-size")
+            except ValueError as e:
+                raise SystemExit(str(e))
 
     if args.engine:
         from rtdm_tpu.export.engine import Engine

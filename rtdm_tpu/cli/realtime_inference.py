@@ -60,12 +60,13 @@ def main(argv=None):
     # real-time-inference.py:179-208).
     mesh = None
     if args.data_parallel:
-        from rtdm_tpu.core.mesh import local_mesh
+        from rtdm_tpu.core.mesh import local_mesh, require_data_divisible
         mesh = local_mesh()
-        n_data = mesh.shape["data"]
-        if not args.engine and args.batch % n_data:
-            raise SystemExit(f"--batch {args.batch} must divide over the "
-                             f"{n_data}-way data mesh axis")
+        if not args.engine:
+            try:
+                require_data_divisible(args.batch, mesh, "--batch")
+            except ValueError as e:
+                raise SystemExit(str(e))
     if args.engine:
         from rtdm_tpu.export.engine import Engine
         engine = Engine.load(args.engine, mesh=mesh)
@@ -101,9 +102,11 @@ def main(argv=None):
         _fwd = jax.jit(_fwd_impl, **jit_kwargs)
 
         def dispatch(u8_batch):
-            if mesh is not None and u8_batch.shape[0] % mesh.shape["data"]:
-                # tail micro-batch: pad to the full batch so the sharded
-                # program sees its fixed shape (consumer slices [:n])
+            if mesh is not None and u8_batch.shape[0] < args.batch:
+                # tail micro-batch: ALWAYS pad to the full batch — even a
+                # shard-divisible short tail would otherwise trigger a
+                # fresh jit compile (20-60s over the dev tunnel); the
+                # consumer slices [:n]
                 pad = np.zeros((args.batch - u8_batch.shape[0],)
                                + u8_batch.shape[1:], u8_batch.dtype)
                 u8_batch = np.concatenate([u8_batch, pad])

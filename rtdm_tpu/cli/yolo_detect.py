@@ -77,6 +77,9 @@ def main(argv=None):
                    help="test-time augmentation (multi-scale + flip)")
     p.add_argument("--save-txt", action="store_true",
                    help="write mAP-format detection txts")
+    p.add_argument("--single-label", action="store_true",
+                   help="best-class-only rows (the reference's detect path "
+                   "defaults to multi-label whenever nc>1, utils.py:488)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -97,7 +100,8 @@ def main(argv=None):
                             img_size=args.img_size,
                             conf_thres=args.conf_thres,
                             iou_thres=args.iou_thres, quant=args.quant,
-                            tta=args.augment, nms_method=args.nms_method)
+                            tta=args.augment, nms_method=args.nms_method,
+                            multi_label=not args.single_label)
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")

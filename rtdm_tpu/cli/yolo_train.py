@@ -384,8 +384,9 @@ def train(args):
 
     n_burn = (args.bn_burn_in if args.bn_burn_in is not None
               else (0 if is_v5 else 200))
-    burn_step = (make_step(args.img_size, update_bn=False)
-                 if n_burn > 0 else None)
+    burn_step = None  # built after the multi-scale dispatch (it must
+    #                   draw sizes too — ref applies burn-in AND
+    #                   multi-scale together, train.py:250-275)
 
     prebias_step = None
     prebias_tx = None
@@ -411,8 +412,19 @@ def train(args):
             if sz not in steps_by_size:
                 steps_by_size[sz] = make_step(sz)
             return steps_by_size[sz](*step_args)
+
+        if n_burn > 0:
+            burn_by_size = {}
+
+            def burn_step(*step_args):
+                sz = int(size_rng.choice(sizes))
+                if sz not in burn_by_size:
+                    burn_by_size[sz] = make_step(sz, update_bn=False)
+                return burn_by_size[sz](*step_args)
     else:
         train_step = steps_by_size[args.img_size]
+        if n_burn > 0:
+            burn_step = make_step(args.img_size, update_bn=False)
 
     @jax.jit
     def eval_step(params, batch_stats, images):

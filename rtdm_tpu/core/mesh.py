@@ -69,3 +69,15 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def require_data_divisible(batch: int, mesh: Mesh, label: str = "batch"
+                           ) -> int:
+    """Validate that `batch` splits evenly over the mesh's 'data' axis;
+    returns the axis extent. One spelling of the check for every serving
+    surface (Engine/Detector/CLIs)."""
+    n = mesh.shape["data"]
+    if batch % n:
+        raise ValueError(f"{label} {batch} must divide over the {n}-way "
+                         f"'data' mesh axis")
+    return n

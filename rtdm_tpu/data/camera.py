@@ -163,9 +163,16 @@ class _MultiSource(FrameSource):
             for c in list(alive):
                 frame = c.read(timeout=self.child_timeout)
                 if frame is None:
-                    alive.remove(c)
-                    c.stop()  # don't leave a dropped camera's grab
-                    #           thread decoding frames nobody reads
+                    # distinguish ENDED (producer thread exited — drop)
+                    # from a transient stall (thread alive — keep
+                    # retrying, as the reference's LoadStreams does for
+                    # hiccuping cameras)
+                    if c._thread is not None:
+                        c._thread.join(0.05)  # close the tiny window
+                        #   between the end-sentinel put and thread exit
+                    if c._thread is None or not c._thread.is_alive():
+                        alive.remove(c)
+                        c.stop()
                     continue
                 yield frame
 

@@ -64,11 +64,13 @@ def load_detection_model(model_path: str, weights: Optional[str],
         model = create_yolov5(model_path, num_classes=num_classes)
         variables = model.init(jax.random.key(0),
                                jnp.zeros((1, img_size, img_size, 3)))
-        if not weights:
-            # from-scratch models get the focal-prior Detect bias init the
-            # reference applies at construction (yolo.py:96,176-184)
-            from rtdm_tpu.models.yolov5 import initialize_detect_biases
-            variables = initialize_detect_biases(model, variables, img_size)
+        # focal-prior Detect bias init ALWAYS runs first, like the
+        # reference's construction-time init (yolo.py:96,176-184): a full
+        # checkpoint load overwrites it, while an intersect (partial)
+        # load that skips shape-mismatched head biases leaves the prior
+        # in place instead of zeros
+        from rtdm_tpu.models.yolov5 import initialize_detect_biases
+        variables = initialize_detect_biases(model, variables, img_size)
         if weights:
             if weights.endswith((".pt", ".pth")):
                 variables = load_yolov5_torch_checkpoint(
@@ -214,12 +216,10 @@ class Detector:
         s = spec.img_size
         jit_kwargs = {}
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            n_data = mesh.shape["data"]
-            if batch_size % n_data:
-                raise ValueError(f"detector batch {batch_size} must divide "
-                                 f"over the {n_data}-way 'data' mesh axis")
-            sh = NamedSharding(mesh, P("data"))
+            from rtdm_tpu.core.mesh import (data_sharding,
+                                            require_data_divisible)
+            require_data_divisible(batch_size, mesh, "detector batch")
+            sh = data_sharding(mesh)
             jit_kwargs = {"in_shardings": sh, "out_shardings": (sh, sh)}
         self._fn = (jax.jit(fwd, **jit_kwargs)
                     .lower(jax.ShapeDtypeStruct((batch_size, s, s, 3),

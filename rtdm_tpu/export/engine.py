@@ -90,15 +90,11 @@ class Engine:
         b, s = spec.batch_size, spec.image_size
         jit_kwargs = {}
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            n_data = mesh.shape["data"]
-            if b % n_data:
-                raise ValueError(f"engine batch {b} must divide over the "
-                                 f"{n_data}-way 'data' mesh axis")
-            jit_kwargs = {
-                "in_shardings": NamedSharding(mesh, P("data")),
-                "out_shardings": NamedSharding(mesh, P("data")),
-            }
+            from rtdm_tpu.core.mesh import (data_sharding,
+                                            require_data_divisible)
+            require_data_divisible(b, mesh, "engine batch")
+            jit_kwargs = {"in_shardings": data_sharding(mesh),
+                          "out_shardings": data_sharding(mesh)}
         self._compiled = (jax.jit(apply_fn, **jit_kwargs)
                           .lower(jax.ShapeDtypeStruct((b, s, s, 3),
                                                       jnp.uint8))

@@ -12,22 +12,17 @@ from __future__ import annotations
 import os
 
 
-def _occupied(path: str) -> bool:
-    """True when `path` exists as a file, or as a non-empty directory."""
-    if not os.path.exists(path):
-        return False
-    return not os.path.isdir(path) or bool(os.listdir(path))
-
-
 def increment_path(path: str, exist_ok: bool = False) -> str:
-    """Return `path` if free (or an empty dir, or exist_ok), else the
-    first free `path{2,3,...}` sibling. A trailing separator is stripped
-    so 'runs/train/' increments to 'runs/train2', not 'runs/train/2';
-    a colliding regular FILE counts as occupied rather than crashing."""
+    """Return `path` if it does not exist (or exist_ok), else the first
+    free `path{2,3,...}` sibling — the reference increments on MERE
+    existence (an empty dir counts as taken: a concurrent run may have
+    just created it and not written yet). A trailing separator is
+    stripped so 'runs/train/' increments to 'runs/train2', not
+    'runs/train/2'; a colliding regular FILE also bumps the suffix."""
     path = path.rstrip(os.sep) or path
-    if exist_ok or not _occupied(path):
+    if exist_ok or not os.path.exists(path):
         return path
     n = 2
-    while _occupied(f"{path}{n}"):
+    while os.path.exists(f"{path}{n}"):
         n += 1
     return f"{path}{n}"

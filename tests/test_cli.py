@@ -144,10 +144,13 @@ def test_increment_path(tmp_path):
     d = str(tmp_path / "exp")
     assert increment_path(d) == d            # free
     os.makedirs(d)
-    assert increment_path(d) == d            # empty dir is reusable
-    open(os.path.join(d, "x"), "w").close()
-    assert increment_path(d) == d + "2"      # occupied -> suffix
+    # MERE existence bumps (even empty: a concurrent run may have just
+    # created it), exactly like the reference's increment_path
+    assert increment_path(d) == d + "2"
     assert increment_path(d, exist_ok=True) == d  # resume keeps it
+    assert increment_path(d + os.sep) == d + "2"  # trailing slash safe
     os.makedirs(d + "2")
-    open(os.path.join(d + "2", "x"), "w").close()
     assert increment_path(d) == d + "3"
+    open(str(tmp_path / "filecol"), "w").close()
+    assert increment_path(str(tmp_path / "filecol")) == \
+        str(tmp_path / "filecol") + "2"  # file collision bumps, no crash
