@@ -21,7 +21,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              iou_thres: float = 0.6, map_iou: float = 0.5,
              quant: str = "bf16", num_workers: int = 8,
              full_map_range: bool = False, save_json: str = "",
-             confusion: bool = False):
+             confusion: bool = False, iouv_override=None):
     import numpy as np
     import jax.numpy as jnp
 
@@ -73,8 +73,14 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
         detector = Detector(model, variables, spec, batch_size=batch_size,
                             act_scales=act_scales)
 
-    iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
-            else np.array([map_iou]))
+    if iouv_override is not None:
+        # study mode: detection runs ONCE; the IoU sweep is pure host-side
+        # matching (the reference re-runs the whole eval per threshold,
+        # test.py:233-255 — here the thresholds are just extra columns)
+        iouv = np.asarray(iouv_override, np.float64)
+    else:
+        iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
+                else np.array([map_iou]))
     ev = DetectionEvaluator(nc, iouv)
     from rtdm_tpu.eval.map import DetectionConfusionMatrix
     cm = DetectionConfusionMatrix(nc) if confusion else None
@@ -207,12 +213,14 @@ def main(argv=None):
     if args.task == "study":  # test.py:233-255's iou-threshold sweep + plot
         import numpy as np
         ious = np.arange(0.4, 0.95, 0.05)
-        maps = []
-        for miou in ious:
-            res = evaluate(args.cfg, args.data, args.weights, args.img_size,
-                           args.batch_size, args.conf_thres, args.iou_thres,
-                           float(miou), args.quant)
-            maps.append(res["map50"])
+        # ONE detection pass; the sweep is just extra matching thresholds
+        res = evaluate(args.cfg, args.data, args.weights, args.img_size,
+                       args.batch_size, args.conf_thres, args.iou_thres,
+                       float(ious[0]), args.quant, iouv_override=ious)
+        pc = res["per_class"]
+        present = pc["classes"]
+        maps = (pc["ap"][present].mean(axis=0).tolist() if len(present)
+                else [0.0] * len(ious))
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

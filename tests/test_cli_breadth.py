@@ -153,3 +153,26 @@ def test_summary_flags(capsys):
                "--img-size", "192", "--summary"])
     out = capsys.readouterr().out
     assert "params" in out.lower() and "flops" in out.lower()
+
+
+def test_yolo_test_study_task(tmp_path):
+    """--task study sweeps matching-IoU thresholds over ONE detection
+    pass (the reference re-runs the whole eval per threshold,
+    test.py:233-255) and writes the plot."""
+    from rtdm_tpu.cli.yolo_test import main
+
+    plot = str(tmp_path / "study.png")
+    pairs = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--img-size", "192", "--batch-size", "4", "--task", "study",
+        "--study-plot", plot,
+    ])
+    assert len(pairs) == 11  # 0.40 .. 0.90 in 0.05 steps
+    ious = [p[0] for p in pairs]
+    maps = [p[1] for p in pairs]
+    assert abs(ious[0] - 0.4) < 1e-9 and abs(ious[-1] - 0.9) < 1e-9
+    assert all(np.isfinite(m) for m in maps)
+    # mAP is non-increasing as the matching threshold tightens
+    assert all(a >= b - 1e-9 for a, b in zip(maps, maps[1:]))
+    assert os.path.exists(plot)
