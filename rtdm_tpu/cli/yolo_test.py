@@ -125,6 +125,12 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
           f"mAP@{map_iou:g} {res['map50']:.3f}"
           + (f"  mAP@0.5:0.95 {res['map']:.3f}" if full_map_range else "")
           + f"  {ms:.2f} ms/img ({1000 / max(ms, 1e-9):.1f} FPS)")
+    if iouv_override is not None and len(iouv) > 1 and res["per_class"]:
+        present = res["per_class"]["classes"]
+        if len(present):
+            per_t = res["per_class"]["ap"][present].mean(axis=0)
+            print("  " + "  ".join(f"mAP@{t:g} {m:.3f}"
+                                   for t, m in zip(iouv, per_t)))
     if cm is not None:
         hdr = [*(names[:nc] if names else map(str, range(nc))), "background"]
         print("confusion (rows=pred, cols=true):")
@@ -234,11 +240,12 @@ def main(argv=None):
         return list(zip(ious.tolist(), maps))
     if args.task == "benchmark":  # test.py:224-231's size x iou sweep
         for size in (320, 416, 512, 608):
-            for miou in (0.5, 0.7):
-                print(f"--- img {size} iou {miou} ---")
-                evaluate(args.cfg, args.data, args.weights, size,
-                         args.batch_size, args.conf_thres, args.iou_thres,
-                         miou, args.quant)
+            print(f"--- img {size} (mAP columns: iou 0.5, 0.7) ---")
+            # both matching IoUs ride ONE detection pass per size (the
+            # sweep is host-side; only the image size needs a recompile)
+            evaluate(args.cfg, args.data, args.weights, size,
+                     args.batch_size, args.conf_thres, args.iou_thres,
+                     0.5, args.quant, iouv_override=[0.5, 0.7])
         return None
     return evaluate(args.cfg, args.data, args.weights, args.img_size,
                     args.batch_size, args.conf_thres, args.iou_thres,
