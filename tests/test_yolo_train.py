@@ -218,6 +218,35 @@ def test_yolo_train_v5_warmup_ema(tmp_path):
     assert result["history"][-1]["map50"] is not None
 
 
+@needs_reference
+def test_bn_burn_in_with_multi_scale(tmp_path):
+    """BN burn-in and multi-scale apply TOGETHER (yolov3/train.py:250-275):
+    burn steps must draw multi-scale sizes too, and while every step of the
+    run is a burn step the BN running stats stay at their init values
+    (track_running_stats off; batch stats still normalize the forward)."""
+    import jax
+
+    from rtdm_tpu.cli.yolo_train import main
+
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "2", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--burn-in", "2", "--lr0", "0.002",
+        "--multi-scale", "--bn-burn-in", "1000", "--num-workers", "2",
+        "--output", str(tmp_path / "ms"), "--eval-every", "0", "--seed", "5",
+    ])
+    losses = np.array([h["loss"] for h in result["history"]])
+    assert losses.shape[0] == 2 and np.all(np.isfinite(losses))
+    stats = jax.device_get(result["batch_stats"])
+    bn = stats["l0_bn"]
+    np.testing.assert_array_equal(np.asarray(bn["mean"]),
+                                  np.zeros_like(np.asarray(bn["mean"])))
+    np.testing.assert_array_equal(np.asarray(bn["var"]),
+                                  np.ones_like(np.asarray(bn["var"])))
+
+
 def test_yolo_train_indivisible_accumulate(tmp_path):
     """--batch-size 10 with the default nominal batch 64 used to crash
     (round(64/10)=6 microbatches cannot split a 10-frame batch); the
