@@ -21,7 +21,8 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              iou_thres: float = 0.6, map_iou: float = 0.5,
              quant: str = "bf16", num_workers: int = 8,
              full_map_range: bool = False, save_json: str = "",
-             confusion: bool = False, iouv_override=None):
+             confusion: bool = False, iouv_override=None,
+             plot_dir: str = ""):
     import numpy as np
     import jax.numpy as jnp
 
@@ -87,10 +88,29 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     t_infer = 0.0
     n_images = 0
     json_records = []
-    for batch, valid in loader:
+    for bi, (batch, valid) in enumerate(loader):
         t0 = time.perf_counter()
         det, count = detector(batch["image"][:batch_size])
         t_infer += time.perf_counter() - t0
+        if plot_dir and bi < 3:
+            # test_batch{i}_{labels,pred}.jpg panels (yolov3/test.py:81-83,
+            # yolov5/test.py:215-218)
+            from rtdm_tpu.utils.plots import plot_detection_batch
+            os.makedirs(plot_dir, exist_ok=True)
+            imgs = batch["image"][:valid]
+            plot_detection_batch(
+                imgs, batch["labels"][:valid], batch["num_labels"][:valid],
+                os.path.join(plot_dir, f"test_batch{bi}_labels.jpg"), names)
+            d6 = np.asarray(det[:valid], np.float32)
+            pred_rows = np.stack([d6[:, :, 5],
+                                  (d6[:, :, 0] + d6[:, :, 2]) / 2,
+                                  (d6[:, :, 1] + d6[:, :, 3]) / 2,
+                                  d6[:, :, 2] - d6[:, :, 0],
+                                  d6[:, :, 3] - d6[:, :, 1]], axis=-1)
+            plot_detection_batch(
+                imgs, pred_rows, np.asarray(count[:valid]),
+                os.path.join(plot_dir, f"test_batch{bi}_pred.jpg"), names,
+                scores=d6[:, :, 4])
         for i in range(valid):
             n = int(count[i])
             d = det[i][:n]
@@ -214,6 +234,9 @@ def main(argv=None):
     p.add_argument("--task", default="test",
                    choices=["test", "benchmark", "study"])
     p.add_argument("--study-plot", default="study.png")
+    p.add_argument("--plot-dir", default="",
+                   help="write test_batch{i}_{labels,pred}.jpg panels for "
+                        "the first 3 batches here (yolov5/test.py:215-218)")
     args = p.parse_args(argv)
 
     if args.task == "study":  # test.py:233-255's iou-threshold sweep + plot
@@ -251,7 +274,8 @@ def main(argv=None):
                     args.batch_size, args.conf_thres, args.iou_thres,
                     args.map_iou, args.quant,
                     full_map_range=args.full_map_range,
-                    save_json=args.save_json, confusion=args.confusion)
+                    save_json=args.save_json, confusion=args.confusion,
+                    plot_dir=args.plot_dir)
 
 
 if __name__ == "__main__":

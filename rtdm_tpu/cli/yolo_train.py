@@ -88,6 +88,10 @@ def parse_args(argv=None):
                    help="keep the optimizer-state checkpoint after a "
                         "completed run (skip the strip_optimizer finalize, "
                         "yolov5/utils/general.py:587)")
+    p.add_argument("--no-plots", action="store_true",
+                   help="skip the observability plots (label distribution, "
+                        "train-batch mosaics, results curves — the "
+                        "yolov5/utils/plots.py surface)")
     p.add_argument("--ckpt-every", type=int, default=1, metavar="E",
                    help="write the resumable full-state checkpoint every E "
                         "epochs (the reference saves every epoch; raise for "
@@ -446,6 +450,21 @@ def train(args):
     explog = ExperimentLogger(args.output, run_name="yolo",
                               config=vars(args))
     results_path = os.path.join(args.output, "results.txt")
+    names = []
+    if dcfg.get("names"):
+        try:
+            from rtdm_tpu.data.odder import load_names
+            names = load_names(resolve(dcfg["names"]))
+        except OSError:
+            pass
+    if not args.no_plots:
+        # label-distribution panel at train start (plot_labels,
+        # yolov5/utils/plots.py:285, called from train.py:226)
+        from rtdm_tpu.utils.plots import plot_label_distribution
+        rows = np.concatenate([lab for lab in train_ds.labels if len(lab)]
+                              or [np.zeros((0, 5), np.float32)])
+        plot_label_distribution(rows, os.path.join(args.output,
+                                                   "labels.png"), names)
     rng = jax.random.key(args.seed)
     ckpt_mgr = CheckpointManager(args.output)
     best_fitness = -1.0
@@ -480,6 +499,14 @@ def train(args):
         if in_prebias and prebias_opt_state is None:
             prebias_opt_state = prebias_tx.init(params)
         for batch, valid in train_loader:
+            if not args.no_plots and epoch == start_epoch and nb < 3:
+                # train_batch{0..2}.jpg mosaics (plot_images,
+                # yolov5/train.py:299-303)
+                from rtdm_tpu.utils.plots import plot_detection_batch
+                plot_detection_batch(
+                    batch["image"], batch["labels"], batch["num_labels"],
+                    os.path.join(args.output, f"train_batch{nb}.jpg"),
+                    names)
             images = jax.device_put(jnp.asarray(batch["image"]), dsh)
             labels = jax.device_put(jnp.asarray(batch["labels"]), dsh)
             nlab = jax.device_put(jnp.asarray(batch["num_labels"]), dsh)
@@ -579,6 +606,11 @@ def train(args):
             os.remove(meta_f)
         logger.info("optimizer state stripped; best.npz/last.npz keep the "
                     "deployable weights")
+    if not args.no_plots and os.path.exists(results_path):
+        # results.png curves at run end (plot_results, yolov5/train.py:398)
+        from rtdm_tpu.utils.plots import plot_detector_results
+        plot_detector_results(results_path,
+                              os.path.join(args.output, "results.png"))
     return {"params": params, "batch_stats": batch_stats,
             "history": history, "best_fitness": best_fitness}
 
@@ -636,6 +668,11 @@ def evolve(args):
         if fit > best_fit:
             best_fit, best_hyp = fit, dict(hyp)
     logger.info("evolved hyp: %s (fitness %.5f)", best_hyp, best_fit)
+    if not args.no_plots and os.path.exists(log_path):
+        # fitness-vs-hyp scatter (plot_evolution, yolov5/train.py:457)
+        from rtdm_tpu.utils.plots import plot_evolution_results
+        plot_evolution_results(log_path,
+                               os.path.join(args.output, "evolve.png"))
     return best_hyp, best_fit
 
 

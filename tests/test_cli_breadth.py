@@ -43,6 +43,10 @@ def test_yolo_train_evolve(tmp_path):
     assert os.path.isdir(os.path.join(out, "gen1"))
     assert np.isfinite(best_fit)
     assert set(best_hyp) >= {"lr0", "iou_t", "momentum"}
+    # evolution scatter + per-gen observability plots were written
+    assert os.path.exists(os.path.join(out, "evolve.png"))
+    assert os.path.exists(os.path.join(out, "gen0", "results.png"))
+    assert os.path.exists(os.path.join(out, "gen0", "labels.png"))
 
 
 def test_yolo_train_multiscale_image_weights(tmp_path):
@@ -51,7 +55,8 @@ def test_yolo_train_multiscale_image_weights(tmp_path):
     from rtdm_tpu.cli.yolo_train import main
 
     out = str(tmp_path / "ms")
-    result = main(_train_args(out, ["--multi-scale", "--image-weights"]))
+    result = main(_train_args(out, ["--multi-scale", "--image-weights",
+                                    "--no-plots"]))
     assert np.all(np.isfinite(np.array(result["history"][0]["loss"])))
 
 

@@ -112,17 +112,28 @@ def test_box_iou_np():
 
 
 @needs_reference
-def test_yolo_test_cli_runs_on_mini_dataset(capsys):
+def test_yolo_test_cli_runs_on_mini_dataset(capsys, tmp_path):
     """Full pipeline over the real mini dataset with random weights:
-    pipeline must run end-to-end and report ~0 mAP (untrained)."""
+    pipeline must run end-to-end, report ~0 mAP (untrained), and write
+    the test_batch{i}_{labels,pred}.jpg panels (yolov5/test.py:215-218)."""
+    import os
+
     from rtdm_tpu.cli.yolo_test import main
 
     cfg = str(REFERENCE_ROOT /
               "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    plot_dir = str(tmp_path / "panels")
     res = main(["--cfg", cfg,
                 "--data", str(YOLO_DATA / "aider-min.data"),
                 "--img-size", "320", "--batch-size", "4",
-                "--quant", "fp32", "--conf-thres", "0.3"])
+                "--quant", "fp32", "--conf-thres", "0.3",
+                "--plot-dir", plot_dir])
     out = capsys.readouterr().out
     assert "mAP@0.5" in out and "images 10" in out
     assert res["map50"] < 0.3  # untrained weights can't be good
+    # 10 images / batch 4 -> 3 batches, first 3 plotted
+    for i in range(3):
+        assert os.path.exists(
+            os.path.join(plot_dir, f"test_batch{i}_labels.jpg"))
+        assert os.path.exists(
+            os.path.join(plot_dir, f"test_batch{i}_pred.jpg"))

@@ -66,6 +66,10 @@ def test_yolo_train_two_epochs(tmp_path):
     assert os.path.exists(os.path.join(out, "last.npz"))
     assert os.path.exists(os.path.join(out, "best.npz"))
     assert os.path.exists(os.path.join(out, "results.txt"))
+    # observability artifacts (yolov5/train.py:226,299-303,398 surface)
+    assert os.path.exists(os.path.join(out, "labels.png"))
+    assert os.path.exists(os.path.join(out, "train_batch0.jpg"))
+    assert os.path.exists(os.path.join(out, "results.png"))
 
 
 @needs_reference
@@ -105,7 +109,7 @@ def test_prebias_freezes_non_head_params(tmp_path):
         "--epochs", "1", "--prebias", "1", "--batch-size", "4",
         "--img-size", "192", "--nominal-batch", "4", "--burn-in", "2",
         "--num-workers", "2", "--output", out, "--eval-every", "1",
-        "--seed", "3",
+        "--seed", "3", "--no-plots",
     ])
     # reconstruct the init to compare: same cfg+seed-0 init inside the CLI
     from rtdm_tpu.models.darknet import create_darknet, init_darknet
@@ -139,7 +143,7 @@ def test_yolo_train_resume(tmp_path):
             "--epochs", str(epochs), "--batch-size", "4",
             "--img-size", "192", "--nominal-batch", "4", "--burn-in", "2",
             "--lr0", "0.002", "--num-workers", "2", "--output", out,
-            "--eval-every", "1", *extra,
+            "--eval-every", "1", "--no-plots", *extra,
         ])
 
     out_b = str(tmp_path / "resumed")
@@ -169,7 +173,7 @@ def test_yolo_train_nonfinite_abort(tmp_path):
         "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
         "--epochs", "50", "--batch-size", "4", "--img-size", "192",
         "--nominal-batch", "4", "--burn-in", "1", "--lr0", "1e30",
-        "--optimizer", "sgd", "--num-workers", "2",
+        "--optimizer", "sgd", "--num-workers", "2", "--no-plots",
         "--output", str(tmp_path / "nan"), "--eval-every", "50",
     ])
     assert len(result["history"]) < 50, "run must abort, not finish"
@@ -210,7 +214,7 @@ def test_yolo_train_v5_warmup_ema(tmp_path):
         "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
         "--epochs", "2", "--batch-size", "4", "--img-size", "192",
         "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
-        "--ema", "--num-workers", "2",
+        "--ema", "--num-workers", "2", "--no-plots",
         "--output", str(tmp_path / "v5run"), "--eval-every", "1",
     ])
     losses = np.array([h["loss"] for h in result["history"]])
@@ -236,6 +240,7 @@ def test_bn_burn_in_with_multi_scale(tmp_path):
         "--nominal-batch", "4", "--burn-in", "2", "--lr0", "0.002",
         "--multi-scale", "--bn-burn-in", "1000", "--num-workers", "2",
         "--output", str(tmp_path / "ms"), "--eval-every", "0", "--seed", "5",
+        "--no-plots",
     ])
     losses = np.array([h["loss"] for h in result["history"]])
     assert losses.shape[0] == 2 and np.all(np.isfinite(losses))
@@ -259,7 +264,7 @@ def test_yolo_train_indivisible_accumulate(tmp_path):
         "--data", str(YOLO_DIR / "data/aider-min.data"),
         "--epochs", "1", "--batch-size", "10", "--img-size", "192",
         "--burn-in", "2", "--lr0", "0.002", "--num-workers", "2",
-        "--output", out, "--eval-every", "0",
+        "--output", out, "--eval-every", "0", "--no-plots",
         "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
     ])
     assert np.all(np.isfinite(np.array(result["history"][0]["loss"])))
