@@ -81,6 +81,8 @@ def main(argv=None):
                    help="best-class-only rows (the reference's detect path "
                    "defaults to multi-label whenever nc>1, utils.py:488)")
     args = p.parse_args(argv)
+    from rtdm_tpu.utils.checks import check_img_size
+    args.img_size = check_img_size(args.img_size)
 
     import numpy as np
 

@@ -238,6 +238,8 @@ def main(argv=None):
                    help="write test_batch{i}_{labels,pred}.jpg panels for "
                         "the first 3 batches here (yolov5/test.py:215-218)")
     args = p.parse_args(argv)
+    from rtdm_tpu.utils.checks import check_img_size
+    args.img_size = check_img_size(args.img_size)
 
     if args.task == "study":  # test.py:233-255's iou-threshold sweep + plot
         import numpy as np

@@ -680,6 +680,8 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(message)s")
     args = parse_args(argv)
+    from rtdm_tpu.utils.checks import check_img_size
+    args.img_size = check_img_size(args.img_size)
     if args.summary:
         from rtdm_tpu.utils.summary import summarize_detector
         print(summarize_detector(args.cfg, args.img_size))

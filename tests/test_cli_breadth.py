@@ -181,3 +181,16 @@ def test_yolo_test_study_task(tmp_path):
     # mAP is non-increasing as the matching threshold tightens
     assert all(a >= b - 1e-9 for a, b in zip(maps, maps[1:]))
     assert os.path.exists(plot)
+
+
+def test_check_img_size_rounds_up_to_stride(capsys):
+    """check_img_size mirrors yolov5/utils/general.py: ceil to the max
+    stride, warn only when changed, never shrink."""
+    from rtdm_tpu.utils.checks import check_img_size
+
+    assert check_img_size(416) == 416
+    assert capsys.readouterr().err == ""  # exact multiples stay silent
+    assert check_img_size(415) == 416
+    assert "415" in capsys.readouterr().err
+    assert check_img_size(417) == 448  # rounds UP, never down
+    assert check_img_size(1, stride=64) == 64
