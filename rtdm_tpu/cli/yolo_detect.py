@@ -86,11 +86,11 @@ def main(argv=None):
 
     import numpy as np
 
-    from rtdm_tpu.data.odder import letterbox_image, load_names
+    from rtdm_tpu.data.odder import (default_names, letterbox_image,
+                                     load_names)
     from rtdm_tpu.export.detector import Detector, DetectorSpec
     from rtdm_tpu.ops.nms import scale_coords
 
-    names = load_names(args.names) if args.names else ["person", "vehicle"]
     if args.engine:
         from rtdm_tpu.export.detector import load_detector
         detector = load_detector(args.engine)
@@ -107,6 +107,8 @@ def main(argv=None):
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")
+    names = (load_names(args.names) if args.names
+             else default_names(detector.num_classes))
 
     os.makedirs(args.output, exist_ok=True)
     from PIL import Image

@@ -50,6 +50,33 @@ def load_names(path: str) -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+# the reference's class-name fallbacks (tensorrt_inference/utils/
+# yolo_classes.py:6-9 AIDER list, :12-92 COCO list, get_cls_dict's
+# "CLS{i}" default for any other class count)
+AIDER_NAMES = ["person", "vehicle"]
+COCO_NAMES = (
+    "person bicycle car motorbike aeroplane bus train truck boat "
+    "traffic_light fire_hydrant stop_sign parking_meter bench bird cat "
+    "dog horse sheep cow elephant bear zebra giraffe backpack umbrella "
+    "handbag tie suitcase frisbee skis snowboard sports_ball kite "
+    "baseball_bat baseball_glove skateboard surfboard tennis_racket "
+    "bottle wine_glass cup fork knife spoon bowl banana apple sandwich "
+    "orange broccoli carrot hot_dog pizza donut cake chair sofa "
+    "pottedplant bed diningtable toilet tvmonitor laptop mouse remote "
+    "keyboard cell_phone microwave oven toaster sink refrigerator book "
+    "clock vase scissors teddy_bear hair_drier toothbrush").split()
+
+
+def default_names(num_classes: int) -> List[str]:
+    """Class names for a model with no .names file: the AIDER pair for
+    nc=2, COCO for nc=80, generic CLS{i} otherwise (get_cls_dict)."""
+    if num_classes == 2:
+        return list(AIDER_NAMES)
+    if num_classes == 80:
+        return list(COCO_NAMES)
+    return [f"CLS{i}" for i in range(num_classes)]
+
+
 def label_path_for(image_path: str) -> str:
     sep = os.sep
     p = image_path.replace(f"{sep}images{sep}", f"{sep}labels{sep}")

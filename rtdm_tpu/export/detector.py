@@ -129,6 +129,7 @@ class Detector:
         self.act_scales = ({k: float(v) for k, v in act_scales.items()}
                            if act_scales else None)
         heads = heads if heads is not None else model_heads(model, variables)
+        self.num_classes = int(heads[0].num_classes)
         quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
 

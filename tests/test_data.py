@@ -115,3 +115,14 @@ def test_normalize_batch():
     want = (1.0 - np.array([0.485, 0.456, 0.406])) / \
         np.array([0.229, 0.224, 0.225])
     np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
+
+
+def test_default_names_by_class_count():
+    """default_names mirrors tensorrt_inference/utils/yolo_classes.py
+    get_cls_dict: AIDER pair for nc=2, COCO-80 for nc=80, CLS{i} else."""
+    from rtdm_tpu.data.odder import default_names
+
+    assert default_names(2) == ["person", "vehicle"]
+    coco = default_names(80)
+    assert len(coco) == 80 and coco[0] == "person" and coco[-1] == "toothbrush"
+    assert default_names(3) == ["CLS0", "CLS1", "CLS2"]

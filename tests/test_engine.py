@@ -144,6 +144,8 @@ def test_detector_engine_save_load(tmp_path):
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
     assert det2.spec.conf_thres == 0.3 and det2.spec.img_size == 224
+    # nc rides along so CLIs can pick default class names (get_cls_dict)
+    assert det.num_classes == 2 and det2.num_classes == 2
 
 
 def test_int8_detector_calibrated_engine(tmp_path):
