@@ -78,21 +78,21 @@ class TorchMini(nn.Module):
 
 
 @needs_reference
-@pytest.mark.parametrize("yml,params", [
-    ("yolov5s.yaml", 7_276_605),
-    ("yolov5m.yaml", 21_678_789),
-])
-def test_reference_yaml_param_counts(yml, params):
-    """Counts verified against a faithful torch reconstruction of
-    parse_model (see session oracle); v5s matches exactly."""
-    model = create_yolov5(str(V5_DIR / "models" / yml))
-    v = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+@pytest.mark.parametrize("yml", ["yolov5s.yaml", "yolov5m.yaml",
+                                 "yolov5l.yaml", "yolov5x.yaml"])
+def test_reference_yaml_param_counts(yml):
+    """EXACT param parity for every shipped arch yaml vs the independent
+    torch parse_model oracle (yolo.py:232-283 arithmetic)."""
+    import yaml as _yaml
+
+    path = str(V5_DIR / "models" / yml)
+    with open(path) as f:
+        want = tvr.parse_model_param_count(_yaml.safe_load(f))
+    model = create_yolov5(path)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
     n = sum(int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(v["params"]))
-    if yml == "yolov5s.yaml":
-        assert n == params
-    else:
-        assert abs(n - params) / params < 0.02  # m: same arithmetic family
+    assert n == want
 
 
 def test_mini_forward_parity_and_import(rng, tmp_path):

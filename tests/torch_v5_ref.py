@@ -98,3 +98,45 @@ class SPP(nn.Module):
     def forward(self, x):
         x = self.cv1(x)
         return self.cv2(torch.cat([x] + [m(x) for m in self.m], 1))
+
+
+def parse_model_param_count(d):
+    """Independent parse_model mirror (yolo.py:232-283 channel/depth
+    arithmetic) that BUILDS each torch block and returns the total param
+    count — the oracle for exact yaml-zoo param parity (v5.0 yamls use
+    Focus/Conv/C3/SPP/Upsample/Concat/Detect only)."""
+    nc, gd, gw = d["nc"], d["depth_multiple"], d["width_multiple"]
+    anchors = d["anchors"]
+    na = len(anchors[0]) // 2 if isinstance(anchors, list) else anchors
+    no = na * (nc + 5)
+    ch = [3]
+    total = 0
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        n_ = max(round(n * gd), 1) if n > 1 else n
+        mod = None
+        if m in ("Conv", "Focus", "SPP", "C3", "BottleneckCSP"):
+            c1 = ch[f]
+            c2 = args[0]
+            if c2 != no:
+                c2 = int(math.ceil(c2 * gw / 8) * 8)
+            if m in ("C3", "BottleneckCSP"):
+                mod = {"C3": C3, "BottleneckCSP": BottleneckCSP}[m](
+                    c1, c2, n_)
+            else:
+                mod = {"Conv": Conv, "Focus": Focus, "SPP": SPP}[m](
+                    c1, c2, *args[1:])
+        elif m == "Concat":
+            c2 = sum(ch[x] for x in f)
+        elif m == "nn.Upsample":
+            c2 = ch[f]
+        elif m == "Detect":
+            mod = nn.ModuleList(nn.Conv2d(ch[x], no, 1) for x in f)
+            c2 = no
+        else:
+            raise ValueError(f"oracle does not model {m}")
+        if mod is not None:
+            total += sum(p.numel() for p in mod.parameters())
+        if i == 0:
+            ch = []
+        ch.append(c2)
+    return total
