@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--cls-gain", type=float, default=37.4)
     p.add_argument("--obj-gain", type=float, default=64.3)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--noautoanchor", action="store_true",
+                   help="skip the train-start BPR anchor check "
+                        "(yolov5/train.py:213-216; v5 yaml models only)")
     p.add_argument("--precision", default="fp32", choices=["bf16", "fp32"])
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--output", default="runs/train")
@@ -202,6 +205,36 @@ def train(args):
                       fl_gamma=args.fl_gamma if args.fl_gamma is not None
                       else 1.5)
         loss_impl = yolo_loss
+
+    if is_v5 and not args.noautoanchor:
+        # train-start anchor check (yolov5/train.py:213-216): when the
+        # yaml anchors' best-possible-recall over this dataset's labels is
+        # < 0.98, evolve a better set and use it for the whole run. The
+        # reference persists evolved anchors inside its .pt checkpoint; the
+        # analogue here is an updated arch yaml written next to the run —
+        # point later yolo_test/yolo_detect calls at it.
+        from rtdm_tpu.models.yolov5 import parse_v5_yaml
+        from rtdm_tpu.train.autoanchor import (check_anchor_order,
+                                               check_anchors)
+        apx = np.stack([h.anchors_px for h in heads])
+        new_a, bpr, evolved = check_anchors(train_ds, apx, args.img_size,
+                                            thr=float(hyp.anchor_t))
+        if evolved:
+            new_a = check_anchor_order(new_a.reshape(apx.shape))
+            for h, a in zip(heads, new_a):
+                h.anchors_px = np.asarray(a, np.float32)
+            os.makedirs(args.output, exist_ok=True)
+            import yaml as _yaml
+            d = parse_v5_yaml(model.yaml_text, nc)
+            d["anchors"] = [[float(x) for x in lv.reshape(-1)]
+                            for lv in new_a]
+            anchor_yaml = os.path.join(args.output, "model-autoanchor.yaml")
+            with open(anchor_yaml, "w") as f:
+                _yaml.safe_dump(d, f)
+            logging.info("autoanchor: BPR %.3f < 0.98 -> evolved anchors; "
+                         "updated yaml saved to %s", bpr, anchor_yaml)
+        else:
+            logging.info("autoanchor: BPR %.3f, current anchors fit", bpr)
 
     steps_per_epoch = max(len(train_loader), 1)
     total_steps = steps_per_epoch * args.epochs

@@ -111,7 +111,9 @@ def check_anchors(dataset, anchors_px: np.ndarray, img_size: int,
     if not len(wh):
         return anchors_px, 1.0, False
     bpr = best_possible_recall(flat, wh, thr)
-    if bpr >= bpr_threshold:
+    if bpr >= bpr_threshold or len(wh) < flat.shape[0]:
+        # too few labels to cluster: keep the current set (kmeans needs
+        # at least one label per anchor)
         return anchors_px, bpr, False
     new = kmean_anchors(wh, n=flat.shape[0], img_size=img_size, thr=thr,
                         gen=gen)
@@ -119,3 +121,16 @@ def check_anchors(dataset, anchors_px: np.ndarray, img_size: int,
     if new_bpr > bpr:
         return new.reshape(anchors_px.shape), new_bpr, True
     return anchors_px, bpr, False
+
+
+def check_anchor_order(anchors: np.ndarray) -> np.ndarray:
+    """(nl, na, 2) anchors with level index in stride-ASCENDING order
+    (P3->P5, the layout of every shipped v5 yaml). Mirror of the
+    reference's check_anchor_order (yolov5/models/yolo.py:105-112 via
+    autoanchor.py:10-21): if mean anchor area DECREASES across levels,
+    flip the level axis so small anchors ride small strides."""
+    anchors = np.asarray(anchors, np.float32)
+    areas = anchors.prod(-1).mean(-1)
+    if len(areas) > 1 and areas[-1] < areas[0]:
+        return anchors[::-1].copy()
+    return anchors

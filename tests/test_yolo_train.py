@@ -268,3 +268,48 @@ def test_yolo_train_indivisible_accumulate(tmp_path):
         "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
     ])
     assert np.all(np.isfinite(np.array(result["history"][0]["loss"])))
+
+
+def test_check_anchor_order_flips_descending():
+    """check_anchor_order (yolo.py:105-112): big-anchors-first layouts are
+    flipped to match stride-ascending levels; correct layouts pass through."""
+    from rtdm_tpu.train.autoanchor import check_anchor_order
+
+    asc = np.array([[[10, 13], [16, 30]], [[60, 60], [80, 90]]], np.float32)
+    np.testing.assert_array_equal(check_anchor_order(asc), asc)
+    np.testing.assert_array_equal(check_anchor_order(asc[::-1]), asc)
+
+
+@needs_reference
+def test_yolo_train_v5_autoanchor_evolves(tmp_path):
+    """Pathological yaml anchors (300px squares on a small-box dataset)
+    must trip the train-start BPR check (yolov5/train.py:213-216): the run
+    evolves a better set and writes model-autoanchor.yaml with it."""
+    import yaml as _yaml
+
+    from rtdm_tpu.cli.yolo_train import main
+
+    bad = V5_MINI_YAML.replace(
+        "  - [10,13, 16,30, 33,23]\n  - [30,61, 62,45, 59,119]",
+        "  - [290,290, 300,300, 310,310]\n  - [320,320, 330,330, 340,340]")
+    assert bad != V5_MINI_YAML
+    yml = tmp_path / "bad-anchors.yaml"
+    yml.write_text(bad)
+    out = tmp_path / "aarun"
+    main([
+        "--cfg", str(yml),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
+        "--num-workers", "2", "--no-plots",
+        "--output", str(out), "--eval-every", "0",
+    ])
+    saved = out / "model-autoanchor.yaml"
+    assert saved.exists(), "evolved anchors must be persisted as a yaml"
+    d = _yaml.safe_load(saved.read_text())
+    evolved = np.array(d["anchors"], np.float32).reshape(-1, 2)
+    assert evolved.max() < 290  # moved off the pathological prior
+    # the saved yaml is a valid model: small->large area across levels
+    lv = np.array(d["anchors"], np.float32).reshape(2, -1, 2)
+    assert lv[0].prod(-1).mean() <= lv[1].prod(-1).mean()
