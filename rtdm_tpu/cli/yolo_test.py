@@ -44,7 +44,8 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     if not os.path.isabs(list_file):
         list_file = os.path.join(base, list_file)
 
-    ds = DetectionDataset(list_file, img_size, base_dir=base)
+    ds = DetectionDataset(list_file, img_size, base_dir=base,
+                          num_classes=nc)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
     # multi_label=True is the reference's test-time default whenever nc > 1
     # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122)

@@ -152,15 +152,16 @@ def train(args):
     aug_keys = ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
                 "scale", "shear", "fliplr", "mosaic")
     aug_hyp = {k: hyp_file[k] for k in aug_keys if k in hyp_file}
+    nc = int(dcfg.get("classes", 2))
     train_ds = DetectionDataset(train_list, args.img_size,
                                 base_dir=base, train=not args.no_augment,
-                                aug_hyp=aug_hyp, seed=args.seed)
+                                aug_hyp=aug_hyp, seed=args.seed,
+                                num_classes=nc)
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
     val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
-                              base_dir=base)
-    nc = int(dcfg.get("classes", 2))
+                              base_dir=base, num_classes=nc)
     img_w = None
     if args.image_weights:
         counts = np.concatenate([lab[:, 0] for lab in train_ds.labels

@@ -106,7 +106,8 @@ class DetectionDataset:
                  max_labels: int = 100, base_dir: Optional[str] = None,
                  train: bool = False,
                  aug_hyp: Optional[Dict[str, float]] = None,
-                 seed: int = 0):
+                 seed: int = 0, num_classes: Optional[int] = None):
+        self.num_classes = num_classes
         self.train = train
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
@@ -142,6 +143,16 @@ class DetectionDataset:
         assert rows.shape[1] == 5, f"{lp}: expected 5 columns"
         assert (rows[:, 1:] <= 1.0).all() and (rows[:, 1:] >= 0.0).all(), \
             f"{lp}: coords must be normalized to [0,1]"
+        if self.num_classes is not None:
+            # the reference catches this inside build_targets
+            # (yolov3/utils/utils.py:480-483, "possible class labels are
+            # 0-%g"); on TPU the loss is jitted so the guard must run at
+            # LOAD time — a bad class id would silently scatter into
+            # nothing (or the wrong row) on device
+            assert (rows[:, 0] < self.num_classes).all() and \
+                (rows[:, 0] >= 0).all(), \
+                (f"{lp}: class ids must be in [0, {self.num_classes}); "
+                 f"got {sorted(set(rows[:, 0].astype(int).tolist()))}")
         dedup = np.unique(rows, axis=0)
         if len(dedup) < len(rows):
             self.stats["duplicate_rows"] += len(rows) - len(dedup)

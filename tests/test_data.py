@@ -126,3 +126,28 @@ def test_default_names_by_class_count():
     coco = default_names(80)
     assert len(coco) == 80 and coco[0] == "person" and coco[-1] == "toothbrush"
     assert default_names(3) == ["CLS0", "CLS1", "CLS2"]
+
+
+def test_detection_dataset_rejects_out_of_range_class(tmp_path):
+    """Class ids >= nc abort at LOAD time with the offending file named
+    (yolov3/utils/utils.py:480-483 moved out of the jitted loss)."""
+    import pytest
+
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    from PIL import Image
+    Image.new("RGB", (32, 32)).save(img_dir / "a.jpg")
+    (lab_dir / "a.txt").write_text("7 0.5 0.5 0.2 0.2\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(img_dir / "a.jpg") + "\n")
+
+    # without nc: loads fine (legacy behavior)
+    ds = DetectionDataset(str(lst), 64, base_dir=str(tmp_path))
+    assert len(ds.labels[0]) == 1
+    with pytest.raises(AssertionError, match=r"class ids.*\[0, 2\)"):
+        DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                         num_classes=2)
