@@ -116,6 +116,12 @@ def train(args):
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # resolve the run directory FIRST: anything written into it before
+    # increment_path ran (e.g. the autoanchor yaml) would make the dir
+    # look taken and split the run's artifacts across output and output2
+    from rtdm_tpu.utils.paths import increment_path
+    args.output = increment_path(args.output, exist_ok=args.resume)
+
     from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
     from rtdm_tpu.core.mesh import local_mesh
     from rtdm_tpu.data.odder import (DetectionBatchLoader, DetectionDataset,
@@ -476,8 +482,6 @@ def train(args):
     ema_vars = (ema_init({"params": params, "batch_stats": batch_stats})
                 if args.ema else {})
 
-    from rtdm_tpu.utils.paths import increment_path
-    args.output = increment_path(args.output, exist_ok=args.resume)
     os.makedirs(args.output, exist_ok=True)
     from rtdm_tpu.train.checkpoint import CheckpointManager
     from rtdm_tpu.utils.experiment_log import ExperimentLogger

@@ -307,6 +307,11 @@ def test_yolo_train_v5_autoanchor_evolves(tmp_path):
     ])
     saved = out / "model-autoanchor.yaml"
     assert saved.exists(), "evolved anchors must be persisted as a yaml"
+    # the yaml must live in the SAME run dir as the checkpoints — writing
+    # it before the run dir was resolved used to bump increment_path to
+    # aarun2 and split the artifacts
+    assert (out / "last.npz").exists()
+    assert not (tmp_path / "aarun2").exists()
     d = _yaml.safe_load(saved.read_text())
     evolved = np.array(d["anchors"], np.float32).reshape(-1, 2)
     assert evolved.max() < 290  # moved off the pathological prior
