@@ -667,6 +667,21 @@ EVOLVE_META = {
     "fl_gamma": (0.3, 0.0, 3.0),
 }
 
+# v5 genome (yolov5/train.py's evolve `meta` dict, hyp.scratch keys):
+# the loss gains live in the hyp YAML for yaml models, not argparse —
+# mutated values are written to a per-generation hyp file
+V5_EVOLVE_META = {
+    "lr0": (0.3, 1e-5, 0.1),
+    "momentum": (0.1, 0.3, 0.98),
+    "weight_decay": (0.3, 0.0, 0.01),
+    "box": (0.3, 0.02, 0.2),
+    "cls": (0.3, 0.2, 4.0),
+    "obj": (0.3, 0.2, 4.0),
+    "anchor_t": (0.3, 2.0, 8.0),
+    "fl_gamma": (0.3, 0.0, 3.0),
+}
+V5_HYP_DEFAULTS = {"box": 0.05, "cls": 0.5, "obj": 1.0, "anchor_t": 4.0}
+
 
 def evolve(args):
     """Genetic search: mutate hyp, short train, keep the fittest.
@@ -676,9 +691,26 @@ def evolve(args):
     import numpy as np
 
     rng = np.random.default_rng(args.seed)
-    # resolve defaults from argparse values (fl_gamma may be None)
-    base = {k: (getattr(args, k) if getattr(args, k) is not None else
-                {"fl_gamma": 1.5}.get(k, 0.0)) for k in EVOLVE_META}
+    is_v5 = args.cfg.endswith((".yaml", ".yml"))
+    meta = V5_EVOLVE_META if is_v5 else EVOLVE_META
+    hyp_file = {}
+    if args.hyp:
+        import yaml as _yaml
+        with open(args.hyp) as f:
+            hyp_file = _yaml.safe_load(f) or {}
+
+    def base_of(k):
+        # hyp-YAML genes (v5 loss gains) seed from the file; argparse
+        # genes from the flags (fl_gamma None -> family default)
+        if k in V5_HYP_DEFAULTS:
+            return float(hyp_file.get(k, V5_HYP_DEFAULTS[k]))
+        v = getattr(args, k)
+        if v is None:
+            return float(hyp_file.get("fl_gamma", 0.0) if is_v5
+                         else {"fl_gamma": 1.5}.get(k, 0.0))
+        return v
+
+    base = {k: base_of(k) for k in meta}
     best_hyp, best_fit = dict(base), -1.0
     os.makedirs(args.output, exist_ok=True)
     log_path = os.path.join(args.output, "evolve.txt")
@@ -686,7 +718,7 @@ def evolve(args):
     for g in range(cycles):
         hyp = dict(best_hyp)
         if g > 0:  # first cycle evaluates the parent
-            for k, (sigma, lo, hi) in EVOLVE_META.items():
+            for k, (sigma, lo, hi) in meta.items():
                 if rng.random() < 0.8:
                     hyp[k] = float(np.clip(
                         hyp[k] * (1 + rng.normal(0, sigma)), lo, hi))
@@ -694,12 +726,24 @@ def evolve(args):
         trial.evolve = 0
         trial.output = os.path.join(args.output, f"gen{g}")
         for k, v in hyp.items():
-            setattr(trial, k, v)
+            if k not in V5_HYP_DEFAULTS:
+                setattr(trial, k, v)
+        if is_v5:
+            # loss-gain genes ride a per-generation hyp yaml (the v5
+            # trainer reads box/cls/obj/anchor_t from --hyp, not flags)
+            import yaml as _yaml
+            trial_hyp = dict(hyp_file)
+            trial_hyp.update({k: hyp[k] for k in V5_HYP_DEFAULTS
+                              if k in hyp})
+            hyp_path = os.path.join(args.output, f"gen{g}-hyp.yaml")
+            with open(hyp_path, "w") as f:
+                _yaml.safe_dump(trial_hyp, f)
+            trial.hyp = hyp_path
         result = train(trial)
         fit = result["best_fitness"]
         with open(log_path, "a") as f:
             f.write(f"gen {g} fitness {fit:.5f} " +
-                    " ".join(f"{k}={hyp[k]:.5g}" for k in EVOLVE_META) +
+                    " ".join(f"{k}={hyp[k]:.5g}" for k in meta) +
                     "\n")
         logger.info("evolve gen %d: fitness %.5f (best %.5f)", g, fit,
                     best_fit)

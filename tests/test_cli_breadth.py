@@ -194,3 +194,35 @@ def test_check_img_size_rounds_up_to_stride(capsys):
     assert "415" in capsys.readouterr().err
     assert check_img_size(417) == 448  # rounds UP, never down
     assert check_img_size(1, stride=64) == 64
+
+
+def test_yolo_train_evolve_v5_mutates_hyp_yaml(tmp_path):
+    """--evolve on a v5 yaml model mutates the v5 genome (box/cls/obj/
+    anchor_t live in the hyp YAML, yolov5/train.py meta dict) and runs
+    each generation with its own per-gen hyp file."""
+    import yaml as _yaml
+
+    from rtdm_tpu.cli.yolo_train import main
+    from tests.test_yolo_train import V5_MINI_YAML
+
+    yml = tmp_path / "mini.yaml"
+    yml.write_text(V5_MINI_YAML)
+    out = str(tmp_path / "evo5")
+    best_hyp, best_fit = main([
+        "--cfg", str(yml),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.01", "--num-workers", "2",
+        "--no-plots", "--output", out, "--eval-every", "1",
+        "--evolve", "2", "--noautoanchor",
+    ])
+    assert {"box", "cls", "obj", "anchor_t", "lr0"} <= set(best_hyp)
+    assert np.isfinite(best_fit)
+    log = (Path(out) / "evolve.txt").read_text()
+    assert "box=" in log and "anchor_t=" in log
+    for g in range(2):
+        hp = os.path.join(out, f"gen{g}-hyp.yaml")
+        assert os.path.exists(hp)
+        h = _yaml.safe_load(open(hp).read())
+        assert {"box", "cls", "obj", "anchor_t"} <= set(h)
