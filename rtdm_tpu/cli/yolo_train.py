@@ -23,9 +23,12 @@ import time
 
 logger = logging.getLogger("rtdm_tpu.yolo_train")
 
-# fitness weights over [P, R, mAP@0.5, F1] — mAP-dominated, mirroring the
-# reference's fitness usage (train.py:343-345)
+# fitness weights, per family:
+# darknet: over [P, R, mAP@0.5, F1] — mAP-dominated, mirroring the
+# reference's fitness usage (yolov3/train.py:343-345)
 FITNESS_W = (0.0, 0.01, 0.99, 0.0)
+# v5: over [P, R, mAP@0.5, mAP@0.5:0.95] (yolov5/utils/metrics.py:12-15)
+FITNESS_W_V5 = (0.0, 0.0, 0.1, 0.9)
 
 
 def parse_args(argv=None):
@@ -587,7 +590,12 @@ def train(args):
             ev_params, ev_stats = ((ema_vars["params"],
                                     ema_vars["batch_stats"])
                                    if args.ema else (params, batch_stats))
-            ev = DetectionEvaluator(nc, np.array([0.5]))
+            # v5 selects best by 0.1*mAP@.5 + 0.9*mAP@.5:.95, so its
+            # per-epoch eval needs the full IoU vector (yolov5/test.py:53);
+            # darknet fitness only reads mAP@0.5 (yolov3/test.py:53-54)
+            ev = DetectionEvaluator(
+                nc, np.linspace(0.5, 0.95, 10) if is_v5
+                else np.array([0.5]))
             for batch, valid in val_loader:
                 det, count = jax.device_get(eval_step(
                     ev_params, ev_stats, jnp.asarray(batch["image"])))
@@ -600,8 +608,13 @@ def train(args):
             res = ev.results()
             f1 = (2 * res["mp"] * res["mr"]
                   / max(res["mp"] + res["mr"], 1e-9))
-            fitness = float(np.dot(FITNESS_W,
-                                   [res["mp"], res["mr"], res["map50"], f1]))
+            fitness = (float(np.dot(FITNESS_W_V5,
+                                    [res["mp"], res["mr"], res["map50"],
+                                     res["map"]]))
+                       if is_v5 else
+                       float(np.dot(FITNESS_W,
+                                    [res["mp"], res["mr"], res["map50"],
+                                     f1])))
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP@0.5 {res['map50']:.3f}")
             var_now = (jax.device_get(ema_vars) if args.ema
@@ -618,11 +631,15 @@ def train(args):
         if res is not None:
             scalars.update({"precision": res["mp"], "recall": res["mr"],
                             "map50": res["map50"]})
+            if is_v5:
+                scalars["map"] = res["map"]
         explog.log_scalars(epoch, scalars)
         with open(results_path, "a") as f:
             f.write(line + "\n")
         history.append({"loss": ep_loss.tolist(),
-                        "map50": None if res is None else res["map50"]})
+                        "map50": None if res is None else res["map50"],
+                        "map": None if (res is None or not is_v5)
+                        else res["map"]})
         # full-state checkpoint for --resume ({epoch, best_fitness, model,
         # optimizer(+EMA)}, yolov3/train.py:352-356 / yolov5:148-171)
         if (epoch + 1) % max(args.ckpt_every, 1) == 0 \

@@ -220,6 +220,10 @@ def test_yolo_train_v5_warmup_ema(tmp_path):
     losses = np.array([h["loss"] for h in result["history"]])
     assert losses.shape[0] == 2 and np.all(np.isfinite(losses))
     assert result["history"][-1]["map50"] is not None
+    # v5 evals over the full IoU vector so fitness can weight
+    # mAP@0.5:0.95 by 0.9 (metrics.py:12-15); map <= map50 by definition
+    last = result["history"][-1]
+    assert last["map"] is not None and last["map"] <= last["map50"] + 1e-9
 
 
 @needs_reference
