@@ -273,10 +273,15 @@ def main(argv=None):
                      args.batch_size, args.conf_thres, args.iou_thres,
                      0.5, args.quant, iouv_override=[0.5, 0.7])
         return None
+    # v5 yaml models report mAP@0.5:0.95 by default — yolov5/test.py:53
+    # always evaluates the full IoU vector; darknet keeps the yolov3
+    # mAP@0.5-only default (yolov3/test.py:53-54) unless asked
+    full_range = (args.full_map_range
+                  or args.cfg.endswith((".yaml", ".yml")))
     return evaluate(args.cfg, args.data, args.weights, args.img_size,
                     args.batch_size, args.conf_thres, args.iou_thres,
                     args.map_iou, args.quant,
-                    full_map_range=args.full_map_range,
+                    full_map_range=full_range,
                     save_json=args.save_json, confusion=args.confusion,
                     plot_dir=args.plot_dir)
 
