@@ -22,7 +22,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              quant: str = "bf16", num_workers: int = 8,
              full_map_range: bool = False, save_json: str = "",
              confusion: bool = False, iouv_override=None,
-             plot_dir: str = ""):
+             plot_dir: str = "", single_cls: bool = False):
     import numpy as np
     import jax.numpy as jnp
 
@@ -39,13 +39,18 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     names = (load_names(os.path.join(base, names_path))
              if names_path and not os.path.isabs(names_path)
              else (load_names(names_path) if names_path else []))
-    nc = int(dcfg.get("classes", len(names) or 2))
+    nc_data = int(dcfg.get("classes", len(names) or 2))
+    # --single-cls evaluation (yolov5/test.py:29,78): all labels
+    # collapse to class 0
+    nc = 1 if single_cls else nc_data
+    if single_cls:
+        names = ["item"]
     list_file = dcfg["valid"]
     if not os.path.isabs(list_file):
         list_file = os.path.join(base, list_file)
 
     ds = DetectionDataset(list_file, img_size, base_dir=base,
-                          num_classes=nc)
+                          num_classes=nc_data, single_cls=single_cls)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
     # multi_label=True is the reference's test-time default whenever nc > 1
     # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122)
@@ -224,6 +229,9 @@ def main(argv=None):
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--map-iou", type=float, default=0.5)
+    p.add_argument("--single-cls", action="store_true",
+                   help="evaluate as single-class: every GT label maps to "
+                        "class 0 (yolov5/test.py:29,78)")
     p.add_argument("--full-map-range", action="store_true",
                    help="report mAP@0.5:0.95 (v5-style)")
     p.add_argument("--quant", default="bf16",
@@ -283,7 +291,7 @@ def main(argv=None):
                     args.map_iou, args.quant,
                     full_map_range=full_range,
                     save_json=args.save_json, confusion=args.confusion,
-                    plot_dir=args.plot_dir)
+                    plot_dir=args.plot_dir, single_cls=args.single_cls)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ def parse_args(argv=None):
     p.add_argument("--cls-gain", type=float, default=37.4)
     p.add_argument("--obj-gain", type=float, default=64.3)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train as a single-class detector: every label "
+                        "maps to class 0 (yolov5/train.py:77-78,473; "
+                        "darknet cfgs must already be 1-class)")
     p.add_argument("--noautoanchor", action="store_true",
                    help="skip the train-start BPR anchor check "
                         "(yolov5/train.py:213-216; v5 yaml models only)")
@@ -161,16 +165,21 @@ def train(args):
     aug_keys = ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
                 "scale", "shear", "fliplr", "mosaic")
     aug_hyp = {k: hyp_file[k] for k in aug_keys if k in hyp_file}
-    nc = int(dcfg.get("classes", 2))
+    nc_data = int(dcfg.get("classes", 2))
+    # --single-cls trains a 1-class detector over all labels
+    # (yolov5/train.py:77 `nc = 1 if opt.single_cls`)
+    nc = 1 if args.single_cls else nc_data
     train_ds = DetectionDataset(train_list, args.img_size,
                                 base_dir=base, train=not args.no_augment,
                                 aug_hyp=aug_hyp, seed=args.seed,
-                                num_classes=nc)
+                                num_classes=nc_data,
+                                single_cls=args.single_cls)
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
     val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
-                              base_dir=base, num_classes=nc)
+                              base_dir=base, num_classes=nc_data,
+                              single_cls=args.single_cls)
     img_w = None
     if args.image_weights:
         counts = np.concatenate([lab[:, 0] for lab in train_ds.labels
@@ -196,6 +205,15 @@ def train(args):
                                             and bool(args.weights))
     from rtdm_tpu.export.detector import model_heads
     heads = model_heads(model, variables)
+    if heads[0].num_classes != nc:
+        # darknet cfgs bake nc into [yolo] blocks and head filter counts —
+        # a mismatch (e.g. --single-cls with a 2-class cfg) cannot be
+        # patched at runtime the way a yaml's nc can
+        raise SystemExit(
+            f"model has {heads[0].num_classes} classes but the run wants "
+            f"{nc} (data cfg classes={nc_data}"
+            + (", --single-cls" if args.single_cls else "")
+            + "); use a matching cfg/yaml")
     if is_v5:
         # ultralytics loss + hyp.scratch defaults (yolov5/data/hyp.scratch.yaml)
         hyp = YoloHypV5(

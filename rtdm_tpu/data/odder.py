@@ -106,8 +106,10 @@ class DetectionDataset:
                  max_labels: int = 100, base_dir: Optional[str] = None,
                  train: bool = False,
                  aug_hyp: Optional[Dict[str, float]] = None,
-                 seed: int = 0, num_classes: Optional[int] = None):
+                 seed: int = 0, num_classes: Optional[int] = None,
+                 single_cls: bool = False):
         self.num_classes = num_classes
+        self.single_cls = single_cls
         self.train = train
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
@@ -153,6 +155,12 @@ class DetectionDataset:
                 (rows[:, 0] >= 0).all(), \
                 (f"{lp}: class ids must be in [0, {self.num_classes}); "
                  f"got {sorted(set(rows[:, 0].astype(int).tolist()))}")
+        if self.single_cls:
+            # --single-cls: collapse every class to 0 (the reference maps
+            # at load time, yolov5/utils/datasets.py:410); zero BEFORE
+            # dedup so rows differing only by class collapse too
+            rows = rows.copy()
+            rows[:, 0] = 0.0
         dedup = np.unique(rows, axis=0)
         if len(dedup) < len(rows):
             self.stats["duplicate_rows"] += len(rows) - len(dedup)

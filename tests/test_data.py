@@ -151,3 +151,26 @@ def test_detection_dataset_rejects_out_of_range_class(tmp_path):
     with pytest.raises(AssertionError, match=r"class ids.*\[0, 2\)"):
         DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
                          num_classes=2)
+
+
+def test_single_cls_collapses_labels(tmp_path):
+    """single_cls maps every class id to 0 at load (yolov5/utils/
+    datasets.py:410) and dedups rows that then coincide."""
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    from PIL import Image
+    Image.new("RGB", (32, 32)).save(img_dir / "a.jpg")
+    (lab_dir / "a.txt").write_text(
+        "1 0.5 0.5 0.2 0.2\n0 0.5 0.5 0.2 0.2\n0 0.3 0.3 0.1 0.1\n")
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(img_dir / "a.jpg") + "\n")
+
+    ds = DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                          num_classes=2, single_cls=True)
+    lab = ds.labels[0]
+    assert (lab[:, 0] == 0).all()
+    assert len(lab) == 2  # classes 0/1 on the same box collapsed

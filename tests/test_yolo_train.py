@@ -322,3 +322,46 @@ def test_yolo_train_v5_autoanchor_evolves(tmp_path):
     # the saved yaml is a valid model: small->large area across levels
     lv = np.array(d["anchors"], np.float32).reshape(2, -1, 2)
     assert lv[0].prod(-1).mean() <= lv[1].prod(-1).mean()
+
+
+@needs_reference
+def test_yolo_train_single_cls_v5(tmp_path):
+    """--single-cls trains a 1-class v5 head over all labels
+    (yolov5/train.py:77-78,473)."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    yml = tmp_path / "mini.yaml"
+    yml.write_text(V5_MINI_YAML)
+    result = main([
+        "--cfg", str(yml),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
+        "--num-workers", "2", "--no-plots", "--noautoanchor",
+        "--single-cls", "--output", str(tmp_path / "scrun"),
+        "--eval-every", "1",
+    ])
+    losses = np.array([h["loss"] for h in result["history"]])
+    assert np.all(np.isfinite(losses))
+    assert result["history"][-1]["map50"] is not None
+
+
+@needs_reference
+def test_yolo_train_single_cls_darknet_cfg_mismatch(tmp_path):
+    """A 2-class darknet cfg cannot run --single-cls — nc is baked into
+    the [yolo] blocks; the CLI must fail loudly, not silently mis-train."""
+    import pytest
+
+    from rtdm_tpu.cli.yolo_train import main
+
+    with pytest.raises(SystemExit, match="1"):
+        main([
+            "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+            "--data", str(YOLO_DIR / "data/aider-min.data"),
+            "--train-list-override",
+            str(YOLO_DIR / "data/custom/test-min.txt"),
+            "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+            "--single-cls", "--no-plots",
+            "--output", str(tmp_path / "bad"),
+        ])
