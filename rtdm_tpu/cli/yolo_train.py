@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--cls-gain", type=float, default=37.4)
     p.add_argument("--obj-gain", type=float, default=64.3)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--cache-images", action="store_true",
+                   help="keep decoded frames in RAM across epochs "
+                        "(yolov3/train.py --cache-images)")
     p.add_argument("--single-cls", action="store_true",
                    help="train as a single-class detector: every label "
                         "maps to class 0 (yolov5/train.py:77-78,473; "
@@ -173,13 +176,15 @@ def train(args):
                                 base_dir=base, train=not args.no_augment,
                                 aug_hyp=aug_hyp, seed=args.seed,
                                 num_classes=nc_data,
-                                single_cls=args.single_cls)
+                                single_cls=args.single_cls,
+                                cache_images=args.cache_images)
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
     val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
                               base_dir=base, num_classes=nc_data,
-                              single_cls=args.single_cls)
+                              single_cls=args.single_cls,
+                              cache_images=args.cache_images)
     img_w = None
     if args.image_weights:
         counts = np.concatenate([lab[:, 0] for lab in train_ds.labels

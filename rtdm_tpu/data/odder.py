@@ -107,9 +107,10 @@ class DetectionDataset:
                  train: bool = False,
                  aug_hyp: Optional[Dict[str, float]] = None,
                  seed: int = 0, num_classes: Optional[int] = None,
-                 single_cls: bool = False):
+                 single_cls: bool = False, cache_images: bool = False):
         self.num_classes = num_classes
         self.single_cls = single_cls
+        self.cache_images = cache_images
         self.train = train
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
@@ -124,6 +125,12 @@ class DetectionDataset:
         self.stats = {"found": 0, "missing": 0, "empty": 0, "corrupt": 0,
                       "duplicate_rows": 0}
         self.labels = [self._load_label(p) for p in self.image_paths]
+        # --cache-images analogue (yolov3/utils/datasets.py:383-391,
+        # yolov5:418-426): decoded original-size RGB arrays held in RAM.
+        # Filled lazily on first touch rather than eagerly with a progress
+        # bar — same steady-state, no startup stall.
+        self._img_cache: List[Optional[np.ndarray]] = (
+            [None] * len(self.image_paths) if cache_images else [])
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -241,10 +248,28 @@ class DetectionDataset:
                 "orig_hw": np.array(img.shape[:2], np.int32),
                 "index": np.int32(idx)}
 
+    def load_raw(self, idx: int) -> np.ndarray:
+        """Decoded original-size RGB uint8 frame; RAM-cached when
+        cache_images is on. Corrupt/missing files fall back to a black
+        img_size square (aider.py:49-56 blank-frame convention)."""
+        if self.cache_images and self._img_cache[idx] is not None:
+            return self._img_cache[idx]
+        from PIL import Image
+        try:
+            with open(self.image_paths[idx], "rb") as f:
+                img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        except Exception as e:
+            logger.warning("failed to load %s: %s", self.image_paths[idx], e)
+            img = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+        if self.cache_images:
+            self._img_cache[idx] = img
+        return img
+
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]
         out = None
-        if path.lower().endswith((".jpg", ".jpeg")):
+        if (not self.cache_images  # cached raw beats re-decoding natively
+                and path.lower().endswith((".jpg", ".jpeg"))):
             # native fast path: libjpeg DCT-prescaled decode + letterbox
             # (native/rtdm_io.cpp); graceful fallback to PIL below
             try:
@@ -257,13 +282,7 @@ class DetectionDataset:
             except Exception:
                 out = None
         if out is None:
-            from PIL import Image
-            try:
-                with open(path, "rb") as f:
-                    img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
-            except Exception as e:
-                logger.warning("failed to load %s: %s", path, e)
-                img = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+            img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
             out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
 

@@ -110,8 +110,7 @@ def load_mosaic(dataset, idx: int, rng: np.random.Generator,
     idxs = [idx] + list(rng.integers(0, len(dataset), 3))
     all_labels = []
     for i, index in enumerate(idxs):
-        with open(dataset.image_paths[index], "rb") as f:
-            img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        img = dataset.load_raw(index)  # RAM-cached under --cache-images
         h0, w0 = img.shape[:2]
         gain = s / max(h0, w0)
         if gain != 1:
@@ -179,8 +178,7 @@ def load_mosaic9(dataset, idx: int, rng: np.random.Generator,
     all_labels = []
     for cell, index in enumerate(idxs):
         r, c = divmod(cell, 3)
-        with open(dataset.image_paths[index], "rb") as f:
-            img = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+        img = dataset.load_raw(index)  # RAM-cached under --cache-images
         h0, w0 = img.shape[:2]
         gain = s / max(h0, w0)
         img = np.asarray(Image.fromarray(img).resize(

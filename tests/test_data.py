@@ -174,3 +174,31 @@ def test_single_cls_collapses_labels(tmp_path):
     lab = ds.labels[0]
     assert (lab[:, 0] == 0).all()
     assert len(lab) == 2  # classes 0/1 on the same box collapsed
+
+
+def test_cache_images_same_samples():
+    """--cache-images must not change what the loader yields: train-path
+    samples (mosaic) are identical with and without the RAM cache, and the
+    cache actually holds the decoded array after first touch."""
+    import pytest
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    lst = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/data/custom/test-min.txt")
+    base = str(REFERENCE_ROOT / "code/victim_localization/yolov3")
+    cold = DetectionDataset(lst, 192, base_dir=base, train=True)
+    hot = DetectionDataset(lst, 192, base_dir=base, train=True,
+                           cache_images=True)
+    a = cold.load(2, np.random.default_rng(7))
+    b = hot.load(2, np.random.default_rng(7))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    # second touch serves the SAME cached array
+    r1 = hot.load_raw(2)
+    r2 = hot.load_raw(2)
+    assert r1 is r2
+    assert cold.load_raw(2) is not cold.load_raw(2)
