@@ -41,8 +41,13 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--lr0", type=float, default=0.001)
-    p.add_argument("--lrf", type=float, default=-4.0,
-                   help="final lr = lr0 * 10**lrf (cosine)")
+    p.add_argument("--lrf", type=float, default=None,
+                   help="final lr = lr0 * 10**lrf (cosine; default -4 for "
+                        "darknet cfgs; v5 yamls default to the hyp file's "
+                        "one_cycle factor lrf, yolov5/train.py:135-139)")
+    p.add_argument("--linear-lr", action="store_true",
+                   help="linear lr decay instead of one_cycle cosine "
+                        "(yolov5/train.py:136-137; v5 yaml models)")
     p.add_argument("--momentum", type=float, default=0.637)
     p.add_argument("--weight-decay", type=float, default=0.000084)
     p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
@@ -282,8 +287,18 @@ def train(args):
         nw = int(max(round(hyp_file.get("warmup_epochs", 3.0)
                            * steps_per_epoch), 1000))
         nw = max(min(nw, total_steps // 2), 1)
-        base_sched = optax.cosine_decay_schedule(
-            args.lr0, total_steps, alpha=10.0 ** args.lrf)
+        # final-lr factor: the v5 one_cycle runs lr0 -> lr0*hyp['lrf']
+        # (train.py:135, hyp.scratch lrf 0.2); an explicit --lrf overrides
+        # as a decade exponent like the darknet path
+        v5_lrf = (10.0 ** args.lrf if args.lrf is not None
+                  else float(hyp_file.get("lrf", 0.2)))
+        if args.linear_lr:
+            def base_sched(step):  # train.py:136-137 linear lf
+                x = jnp.clip(step / total_steps, 0.0, 1.0)
+                return args.lr0 * ((1.0 - x) * (1.0 - v5_lrf) + v5_lrf)
+        else:
+            base_sched = optax.cosine_decay_schedule(
+                args.lr0, total_steps, alpha=v5_lrf)
         warm_bias_lr = float(hyp_file.get("warmup_bias_lr", 0.1))
         warm_mom = float(hyp_file.get("warmup_momentum", 0.8))
 
@@ -331,7 +346,7 @@ def train(args):
     else:
         cosine = optax.cosine_decay_schedule(
             args.lr0, max(total_steps - args.burn_in, 1),
-            alpha=10.0 ** args.lrf)
+            alpha=10.0 ** (args.lrf if args.lrf is not None else -4.0))
         schedule = optax.join_schedules(
             [optax.linear_schedule(0.0, args.lr0, max(args.burn_in, 1)),
              cosine],

@@ -365,3 +365,25 @@ def test_yolo_train_single_cls_darknet_cfg_mismatch(tmp_path):
             "--single-cls", "--no-plots",
             "--output", str(tmp_path / "bad"),
         ])
+
+
+@needs_reference
+def test_yolo_train_v5_linear_lr(tmp_path):
+    """--linear-lr swaps the v5 one_cycle cosine for the linear lf
+    (yolov5/train.py:136-137); run must train and stay finite."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    yml = tmp_path / "mini.yaml"
+    yml.write_text(V5_MINI_YAML)
+    result = main([
+        "--cfg", str(yml),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
+        "--num-workers", "2", "--no-plots", "--noautoanchor",
+        "--linear-lr", "--output", str(tmp_path / "linrun"),
+        "--eval-every", "0",
+    ])
+    losses = np.array([h["loss"] for h in result["history"]])
+    assert np.all(np.isfinite(losses))
