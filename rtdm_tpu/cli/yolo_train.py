@@ -114,6 +114,10 @@ def parse_args(argv=None):
                    help="write the resumable full-state checkpoint every E "
                         "epochs (the reference saves every epoch; raise for "
                         "many-tiny-epoch runs)")
+    p.add_argument("--save-period", type=int, default=0, metavar="N",
+                   help="also keep a backup{N}.npz weight snapshot every N "
+                        "epochs (yolov3/train.py:368-369 backup%%g.pt; "
+                        "yolov5 --save_period). 0 disables")
     p.add_argument("--summary", action="store_true",
                    help="print the per-layer model summary (model_info/"
                    "profile=True analogue) and exit")
@@ -678,6 +682,15 @@ def train(args):
                         "map50": None if res is None else res["map50"],
                         "map": None if (res is None or not is_v5)
                         else res["map"]})
+        if args.save_period > 0 and (epoch + 1) % args.save_period == 0:
+            # periodic weight backups (yolov3/train.py:368-369 backup%g.pt;
+            # yolov5 --save_period epoch_{n}.pt) — EMA weights when enabled,
+            # same choice the per-epoch last.npz makes
+            bk = (jax.device_get(ema_vars) if args.ema
+                  else {"params": jax.device_get(params),
+                        "batch_stats": jax.device_get(batch_stats)})
+            save_variables(
+                os.path.join(args.output, f"backup{epoch + 1}.npz"), bk)
         # full-state checkpoint for --resume ({epoch, best_fitness, model,
         # optimizer(+EMA)}, yolov3/train.py:352-356 / yolov5:148-171)
         if (epoch + 1) % max(args.ckpt_every, 1) == 0 \

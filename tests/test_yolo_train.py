@@ -56,6 +56,7 @@ def test_yolo_train_two_epochs(tmp_path):
         "--nominal-batch", "4", "--burn-in", "2", "--lr0", "0.002",
         "--num-workers", "2", "--output", out, "--eval-every", "1",
         "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--save-period", "2",
     ])
     hist = result["history"]
     assert len(hist) == 2
@@ -65,6 +66,13 @@ def test_yolo_train_two_epochs(tmp_path):
     assert hist[-1]["map50"] is not None
     assert os.path.exists(os.path.join(out, "last.npz"))
     assert os.path.exists(os.path.join(out, "best.npz"))
+    # --save-period 2 over 2 epochs → exactly one periodic backup
+    # (yolov3/train.py:368-369 backup%g.pt analogue), loadable like last.npz
+    assert os.path.exists(os.path.join(out, "backup2.npz"))
+    assert not os.path.exists(os.path.join(out, "backup1.npz"))
+    from rtdm_tpu.models.io import load_variables
+    bk = load_variables(os.path.join(out, "backup2.npz"))
+    assert "params" in bk and "batch_stats" in bk
     assert os.path.exists(os.path.join(out, "results.txt"))
     # observability artifacts (yolov5/train.py:226,299-303,398 surface)
     assert os.path.exists(os.path.join(out, "labels.png"))
