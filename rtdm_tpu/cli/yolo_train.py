@@ -114,6 +114,18 @@ def parse_args(argv=None):
                    help="write the resumable full-state checkpoint every E "
                         "epochs (the reference saves every epoch; raise for "
                         "many-tiny-epoch runs)")
+    p.add_argument("--nosave", action="store_true",
+                   help="only save checkpoints on the final epoch "
+                        "(yolov5/train.py:361 'not nosave or final_epoch')")
+    p.add_argument("--notest", action="store_true",
+                   help="only run the mAP eval on the final epoch — alias "
+                        "for --eval-every 0 (yolov5/train.py:346 "
+                        "'notest or final_epoch')")
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   metavar="EPS",
+                   help="v5 cls-BCE label smoothing epsilon; overrides the "
+                        "hyp yaml value (yolov5/train.py:228, "
+                        "loss.py smooth_BCE)")
     p.add_argument("--save-period", type=int, default=0, metavar="N",
                    help="also keep a backup{N}.npz weight snapshot every N "
                         "epochs (yolov3/train.py:368-369 backup%%g.pt; "
@@ -134,6 +146,9 @@ def train(args):
     import numpy as np
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if args.notest:
+        args.eval_every = 0  # final epoch still evals (train loop contract)
 
     # resolve the run directory FIRST: anything written into it before
     # increment_path ran (e.g. the autoanchor yaml) would make the dir
@@ -237,7 +252,10 @@ def train(args):
             obj=hyp_file.get("obj", 1.0),
             obj_pw=hyp_file.get("obj_pw", 1.0),
             anchor_t=hyp_file.get("anchor_t", 4.0),
-            label_smoothing=hyp_file.get("label_smoothing", 0.0),
+            # CLI flag overrides the hyp file (yolov5/train.py:228)
+            label_smoothing=(args.label_smoothing
+                             if args.label_smoothing is not None
+                             else hyp_file.get("label_smoothing", 0.0)),
             fl_gamma=(args.fl_gamma if args.fl_gamma is not None
                       else hyp_file.get("fl_gamma", 0.0)))
         loss_impl = yolo_loss_v5
@@ -659,14 +677,18 @@ def train(args):
                                      f1])))
             line += (f" | P {res['mp']:.3f} R {res['mr']:.3f} "
                      f"mAP@0.5 {res['map50']:.3f}")
-            var_now = (jax.device_get(ema_vars) if args.ema
-                       else {"params": jax.device_get(params),
-                             "batch_stats": jax.device_get(batch_stats)})
-            save_variables(os.path.join(args.output, "last.npz"), var_now)
-            if fitness > best_fitness:
-                best_fitness = fitness
-                save_variables(os.path.join(args.output, "best.npz"),
+            # --nosave: weights land only on the final epoch
+            # (yolov5/train.py:361 'not nosave or final_epoch')
+            if not args.nosave or epoch == args.epochs - 1:
+                var_now = (jax.device_get(ema_vars) if args.ema
+                           else {"params": jax.device_get(params),
+                                 "batch_stats": jax.device_get(batch_stats)})
+                save_variables(os.path.join(args.output, "last.npz"),
                                var_now)
+                if fitness > best_fitness:
+                    save_variables(os.path.join(args.output, "best.npz"),
+                                   var_now)
+            best_fitness = max(best_fitness, fitness)
         logger.info(line)
         scalars = {"box": float(ep_loss[0]), "obj": float(ep_loss[1]),
                    "cls": float(ep_loss[2])}
@@ -693,7 +715,7 @@ def train(args):
                 os.path.join(args.output, f"backup{epoch + 1}.npz"), bk)
         # full-state checkpoint for --resume ({epoch, best_fitness, model,
         # optimizer(+EMA)}, yolov3/train.py:352-356 / yolov5:148-171)
-        if (epoch + 1) % max(args.ckpt_every, 1) == 0 \
+        if ((epoch + 1) % max(args.ckpt_every, 1) == 0 and not args.nosave) \
                 or epoch == args.epochs - 1:
             ckpt_mgr.save("last_state",
                           {"params": params, "batch_stats": batch_stats,

@@ -170,6 +170,33 @@ def test_yolo_train_resume(tmp_path):
 
 
 @needs_reference
+def test_yolo_train_nosave_notest(tmp_path):
+    """--nosave defers all weight/checkpoint writes to the final epoch and
+    --notest defers the mAP eval the same way (yolov5/train.py:346,361):
+    a 2-epoch run ends with last.npz + a final eval but no intermediate
+    mAP rows, and the completed run is still stripped."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    out = str(tmp_path / "nsrun")
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "2", "--batch-size", "4", "--img-size", "192",
+        "--nominal-batch", "4", "--lr0", "0.002", "--num-workers", "2",
+        "--output", out, "--eval-every", "1", "--nosave", "--notest",
+        "--no-plots",
+    ])
+    hist = result["history"]
+    assert len(hist) == 2
+    # --notest: only the final epoch carries an eval despite --eval-every 1
+    assert hist[0]["map50"] is None and hist[-1]["map50"] is not None
+    assert os.path.exists(os.path.join(out, "last.npz"))
+    # completed run never leaves the resumable optimizer state behind
+    assert not os.path.isdir(os.path.join(out, "last_state"))
+
+
+@needs_reference
 def test_yolo_train_nonfinite_abort(tmp_path):
     """A diverging run (absurd lr) must abort on the first non-finite loss
     instead of burning the epoch budget (yolov3/train.py:284-286)."""
@@ -378,7 +405,8 @@ def test_yolo_train_single_cls_darknet_cfg_mismatch(tmp_path):
 @needs_reference
 def test_yolo_train_v5_linear_lr(tmp_path):
     """--linear-lr swaps the v5 one_cycle cosine for the linear lf
-    (yolov5/train.py:136-137); run must train and stay finite."""
+    (yolov5/train.py:136-137); --label-smoothing overrides the hyp value
+    (train.py:228). Run must train and stay finite."""
     from rtdm_tpu.cli.yolo_train import main
 
     yml = tmp_path / "mini.yaml"
@@ -390,8 +418,10 @@ def test_yolo_train_v5_linear_lr(tmp_path):
         "--epochs", "1", "--batch-size", "4", "--img-size", "192",
         "--nominal-batch", "4", "--lr0", "0.01", "--optimizer", "sgd",
         "--num-workers", "2", "--no-plots", "--noautoanchor",
-        "--linear-lr", "--output", str(tmp_path / "linrun"),
+        "--linear-lr", "--label-smoothing", "0.1",
+        "--output", str(tmp_path / "linrun"),
         "--eval-every", "0",
     ])
     losses = np.array([h["loss"] for h in result["history"]])
     assert np.all(np.isfinite(losses))
+    assert losses[0][2] > 0, "smoothed cls BCE must be nonzero"
