@@ -60,8 +60,52 @@ def parse_args(argv=None):
     p.add_argument("--summary", action="store_true",
                    help="print the model summary (params + FLOPs) and exit")
     p.add_argument("--seed", type=int, default=42)
+    # remaining args.py:6-183 surface
+    p.add_argument("--weights", default=None,
+                   help="weights path: where the final model lands "
+                        "(default <checkpoint-dir>/<model>.npz) and, with "
+                        "--pretrained, the initial weights (.pt/.npz) "
+                        "(args.py:18-19)")
+    p.add_argument("--pretrained", action="store_true",
+                   help="start from --weights instead of fresh init "
+                        "(args.py:14; the reference merely skips its "
+                        "custom init — loading actual weights is the "
+                        "useful reading of the flag)")
+    p.add_argument("--min-lr", type=float, default=1e-6,
+                   help="cosine/plateau lr floor (args.py:56)")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="SGD momentum (args.py:60)")
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="warmup length in epochs; overrides --warmup-ratio "
+                        "(args.py:73)")
+    p.add_argument("--dropout", type=float, default=0.2,
+                   help="model dropout probability (args.py:79)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="input size override (args.py:35; the reference "
+                        "infers 240 ernet / 140 squeeze from the model — "
+                        "that stays the default)")
+    p.add_argument("--checkpoint-freq", type=int, default=1, metavar="E",
+                   help="save the resumable 'last' state every E epochs "
+                        "(args.py:95; best is always saved on improvement)")
+    p.add_argument("--save-best-only", action="store_true",
+                   help="skip the periodic 'last' saves; keep best + the "
+                        "final state (args.py:97)")
+    p.add_argument("--no-albumentations", action="store_true",
+                   help="torchvision-style train augs instead of the "
+                        "albumentations set (args.py:37, aider.py:392-409)")
+    p.add_argument("--no-amp", action="store_true",
+                   help="alias for --precision fp32 (args.py:89; bf16 "
+                        "needs no GradScaler so 'amp' is just the policy)")
+    p.add_argument("--no-pin-memory", action="store_true",
+                   help="accepted for parity (args.py:45): TPU batches "
+                        "are device_put from pageable host memory either "
+                        "way — no pinning knob exists")
+    p.add_argument("--debug", action="store_true",
+                   help="debug-level logging (args.py:109)")
     a = p.parse_args(argv)
-    return TrainingConfig(
+    if a.debug:
+        logging.getLogger("rtdm_tpu").setLevel(logging.DEBUG)
+    cfg = TrainingConfig(
         model=a.model, loss=a.loss, optimizer=a.optimizer,
         scheduler=a.scheduler, root_dir=a.root_dir,
         train_split=a.train_split, val_split=a.val_split,
@@ -69,11 +113,24 @@ def parse_args(argv=None):
         lr=a.lr, weight_decay=a.weight_decay,
         label_smoothing=a.label_smoothing, grad_clip=a.grad_clip,
         grad_accum_steps=a.grad_accum_steps, warmup_ratio=a.warmup_ratio,
-        precision=a.precision, patience=a.patience,
+        precision="fp32" if a.no_amp else a.precision,
+        patience=a.patience,
         early_stopping=not a.no_early_stopping, augment=not a.no_augment,
         mixup_alpha=a.mixup_alpha, cutmix_alpha=a.cutmix_alpha,
         num_workers=a.num_workers, checkpoint_dir=a.checkpoint_dir,
-        log_dir=a.log_dir, resume=a.resume, seed=a.seed)
+        log_dir=a.log_dir, resume=a.resume, seed=a.seed,
+        pretrained=a.pretrained, min_lr=a.min_lr, momentum=a.momentum,
+        dropout=a.dropout, checkpoint_freq=a.checkpoint_freq,
+        save_best_only=a.save_best_only,
+        use_albumentations=not a.no_albumentations, debug=a.debug)
+    if a.weights is not None:
+        cfg.weights = a.weights
+    if a.image_size is not None:  # post-override: __post_init__ infers
+        cfg.image_size = a.image_size  # 240/140 from the model name
+    if a.warmup_epochs is not None:
+        cfg.warmup_epochs = a.warmup_epochs
+        cfg.warmup_ratio = a.warmup_epochs / max(a.epochs, 1)
+    return cfg
 
 
 def current_lr(opt_state) -> float:
@@ -118,7 +175,10 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         logger.info("batch_size rounded to %d (devices x accum)", bs)
 
     train_ds = AiderDataset(config.train_split, config.root_dir, size,
-                            train=config.augment, seed=config.seed)
+                            train=config.augment, seed=config.seed,
+                            aug_style=("albumentations"
+                                       if config.use_albumentations
+                                       else "torchvision"))
     val_ds = AiderDataset(config.val_split, config.root_dir, size)
     test_ds = AiderDataset(config.test_split, config.root_dir, size)
     if len(train_ds) < bs:
@@ -146,7 +206,7 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     tx = make_optimizer(config.optimizer, schedule, config.weight_decay,
                         config.momentum, config.grad_clip)
 
-    model = create_model(config.model)
+    model = create_model(config.model, dropout_rate=config.dropout)
     trainer = Trainer(model, tx, loss_fn, policy=policy,
                       grad_accum_steps=config.grad_accum_steps, mesh=mesh,
                       num_classes=config.num_classes,
@@ -154,6 +214,22 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
                       cutmix_alpha=config.cutmix_alpha if config.augment else 0.0)
     state = trainer.init_state(jax.random.key(config.seed),
                                (1, size, size, 3))
+    if config.pretrained and not config.resume:
+        # --pretrained: start from --weights (.pt state_dict or .npz)
+        # instead of fresh init (args.py:14-19; reference train.py:177
+        # merely skips re-init — actually loading weights is the useful
+        # reading, and .pt covers the shipped reference checkpoints)
+        if config.weights.endswith((".pt", ".pth")):
+            from rtdm_tpu.models.torch_import import \
+                load_classifier_checkpoint
+            pre = load_classifier_checkpoint(config.weights)
+        else:
+            from rtdm_tpu.models.io import load_variables
+            pre = load_variables(config.weights)
+        state = state.replace(params=pre["params"],
+                              batch_stats=pre.get("batch_stats",
+                                                  state.batch_stats))
+        logger.info("pretrained weights loaded from %s", config.weights)
 
     # collision-free run dirs (increment_path, general.py): a fresh run
     # never clobbers an existing non-empty checkpoint/log dir; resume
@@ -249,7 +325,14 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         meta = {"epoch": epoch, "history": history,
                 "config": dataclasses.asdict(config),
                 "val_loss": val.loss, "val_acc": val.accuracy}
-        ckpt.save("last", state, meta)
+        # 'last' lands every --checkpoint-freq epochs and on the final
+        # epoch (reference train.py:304); --save-best-only skips the
+        # periodic saves, keeping best + the final resumable state
+        final_epoch = epoch == config.epochs - 1
+        if final_epoch or (not config.save_best_only
+                           and (epoch + 1)
+                           % max(config.checkpoint_freq, 1) == 0):
+            ckpt.save("last", state, meta)
         improved = stopper(val.loss)
         if val.loss < best_val:
             best_val = val.loss

@@ -40,20 +40,52 @@ def load_weights_for_cfg(cfg_path: str, weights: str, img_size: int,
     return model, variables
 
 
-def draw_detections(img, dets, names):
-    """Annotate HWC uint8 with boxes (PIL, no cv2 dependency)."""
+def draw_detections(img, dets, names, line_thickness: int = 2,
+                    hide_labels: bool = False, hide_conf: bool = False):
+    """Annotate HWC uint8 with boxes (PIL, no cv2 dependency).
+    line_thickness / hide_labels / hide_conf mirror yolov5/detect.py's
+    --line-thickness / --hide-labels / --hide-conf draw options
+    (detect.py:174-176 via plot_one_box)."""
     from PIL import Image, ImageDraw
 
     im = Image.fromarray(img)
     d = ImageDraw.Draw(im)
     for x1, y1, x2, y2, conf, cls in dets:
         color = COLORS[int(cls) % len(COLORS)]
-        d.rectangle([x1, y1, x2, y2], outline=color, width=2)
-        label = f"{names[int(cls)] if int(cls) < len(names) else int(cls)} " \
-                f"{conf:.2f}"
-        d.text((x1 + 2, max(y1 - 12, 0)), label, fill=color)
+        d.rectangle([x1, y1, x2, y2], outline=color,
+                    width=max(int(line_thickness), 1))
+        if not hide_labels:
+            name = names[int(cls)] if int(cls) < len(names) else str(int(cls))
+            label = name if hide_conf else f"{name} {conf:.2f}"
+            d.text((x1 + 2, max(y1 - 12, 0)), label, fill=color)
     import numpy as np
     return np.asarray(im)
+
+
+def save_crops(img, dets, names, crops_dir: str, stem: str,
+               pad_gain: float = 1.02, pad_px: float = 10.0):
+    """Crop each detection into crops/<class>/<stem>_<k>.jpg — the
+    --save-crop path (yolov5/detect.py:165 via save_one_box, which pads
+    the box by gain 1.02 + 10px before cropping)."""
+    import numpy as np
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    for k, (x1, y1, x2, y2, conf, cls) in enumerate(dets):
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        bw = (x2 - x1) * pad_gain + pad_px
+        bh = (y2 - y1) * pad_gain + pad_px
+        xa = int(max(np.floor(cx - bw / 2), 0))
+        ya = int(max(np.floor(cy - bh / 2), 0))
+        xb = int(min(np.ceil(cx + bw / 2), w))
+        yb = int(min(np.ceil(cy + bh / 2), h))
+        if xb <= xa or yb <= ya:
+            continue
+        name = names[int(cls)] if int(cls) < len(names) else str(int(cls))
+        d = os.path.join(crops_dir, name)
+        os.makedirs(d, exist_ok=True)
+        Image.fromarray(img[ya:yb, xa:xb]).save(
+            os.path.join(d, f"{stem}_{k}.jpg"))
 
 
 def main(argv=None):
@@ -76,7 +108,30 @@ def main(argv=None):
     p.add_argument("--augment", action="store_true",
                    help="test-time augmentation (multi-scale + flip)")
     p.add_argument("--save-txt", action="store_true",
-                   help="write mAP-format detection txts")
+                   help="write per-image detection txts (--txt-format)")
+    p.add_argument("--txt-format", default="map", choices=["map", "yolo"],
+                   help="txt row format: 'map' = `cls conf x1 y1 x2 y2` "
+                        "(mAP-tool format, trt_yolo.py convention) or "
+                        "'yolo' = normalized `cls cx cy w h [conf]` under "
+                        "labels/ (yolov5/detect.py:139-143)")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append the confidence column to 'yolo'-format "
+                        "label txts (detect.py:164)")
+    p.add_argument("--save-crop", action="store_true",
+                   help="save padded detection crops to "
+                        "crops/<class>/<stem>_<k>.jpg (detect.py:165)")
+    p.add_argument("--nosave", action="store_true",
+                   help="skip the annotated output images (detect.py:166)")
+    p.add_argument("--classes", nargs="+", type=int, metavar="C",
+                   help="keep only these class ids (detect.py:167)")
+    p.add_argument("--agnostic-nms", action="store_true",
+                   help="class-agnostic suppression (detect.py:168)")
+    p.add_argument("--max-det", type=int, default=300,
+                   help="max detections per image (yolov5/detect.py:160)")
+    p.add_argument("--line-thickness", type=int, default=2,
+                   help="box outline width px (yolov5/detect.py:174)")
+    p.add_argument("--hide-labels", action="store_true")
+    p.add_argument("--hide-conf", action="store_true")
     p.add_argument("--single-label", action="store_true",
                    help="best-class-only rows (the reference's detect path "
                    "defaults to multi-label whenever nc>1, utils.py:488)")
@@ -103,7 +158,11 @@ def main(argv=None):
                             conf_thres=args.conf_thres,
                             iou_thres=args.iou_thres, quant=args.quant,
                             tta=args.augment, nms_method=args.nms_method,
-                            multi_label=not args.single_label)
+                            multi_label=not args.single_label,
+                            max_det=args.max_det,
+                            class_agnostic=args.agnostic_nms,
+                            classes=(tuple(args.classes)
+                                     if args.classes else None))
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")
@@ -129,10 +188,30 @@ def main(argv=None):
         results.append((path, det))
 
         stem = os.path.splitext(os.path.basename(path))[0]
-        annotated = draw_detections(img, det, names)
-        Image.fromarray(annotated).save(
-            os.path.join(args.output, f"{stem}.jpg"))
-        if args.save_txt:
+        if not args.nosave:
+            annotated = draw_detections(img, det, names,
+                                        args.line_thickness,
+                                        args.hide_labels, args.hide_conf)
+            Image.fromarray(annotated).save(
+                os.path.join(args.output, f"{stem}.jpg"))
+        if args.save_crop:
+            save_crops(img, det, names,
+                       os.path.join(args.output, "crops"), stem)
+        if args.save_txt and args.txt_format == "yolo":
+            # normalized `cls cx cy w h [conf]` rows under labels/
+            # (yolov5/detect.py:139-143)
+            lab_dir = os.path.join(args.output, "labels")
+            os.makedirs(lab_dir, exist_ok=True)
+            h, w = img.shape[:2]
+            with open(os.path.join(lab_dir, f"{stem}.txt"), "w") as f:
+                for x1, y1, x2, y2, conf, cls in det:
+                    row = (f"{int(cls):g} {(x1 + x2) / 2 / w:g} "
+                           f"{(y1 + y2) / 2 / h:g} {(x2 - x1) / w:g} "
+                           f"{(y2 - y1) / h:g}")
+                    if args.save_conf:
+                        row += f" {conf:g}"
+                    f.write(row + "\n")
+        elif args.save_txt:
             with open(os.path.join(args.output, f"{stem}.txt"), "w") as f:
                 for x1, y1, x2, y2, conf, cls in det:
                     cname = (names[int(cls)] if int(cls) < len(names)

@@ -22,7 +22,10 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              quant: str = "bf16", num_workers: int = 8,
              full_map_range: bool = False, save_json: str = "",
              confusion: bool = False, iouv_override=None,
-             plot_dir: str = "", single_cls: bool = False):
+             plot_dir: str = "", single_cls: bool = False,
+             augment: bool = False, verbose: bool = False,
+             save_txt_dir: str = "", save_conf: bool = False,
+             save_hybrid: bool = False):
     import numpy as np
     import jax.numpy as jnp
 
@@ -31,7 +34,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
                                      load_names, parse_data_cfg)
     from rtdm_tpu.eval.map import DetectionEvaluator
     from rtdm_tpu.export.detector import Detector, DetectorSpec
-    from rtdm_tpu.ops.nms import xywh_to_xyxy
+    from rtdm_tpu.ops.nms import scale_coords, xywh_to_xyxy
 
     dcfg = parse_data_cfg(data)
     base = os.path.dirname(os.path.dirname(os.path.abspath(data)))
@@ -53,10 +56,13 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
                           num_classes=nc_data, single_cls=single_cls)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
     # multi_label=True is the reference's test-time default whenever nc > 1
-    # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122)
+    # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122); the same
+    # line passes agnostic=single_cls, and --augment rides the detector's
+    # TTA path (test.py:106 model(img, augment=augment))
     spec = DetectorSpec(cfg_name=os.path.basename(cfg), img_size=img_size,
                         conf_thres=conf_thres, iou_thres=iou_thres,
-                        quant=quant, multi_label=True)
+                        quant=quant, multi_label=True, tta=augment,
+                        class_agnostic=single_cls)
     weight_list = (weights.split(",") if weights and "," in weights
                    else [weights])
     if len(weight_list) > 1:
@@ -126,6 +132,33 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             ev.add_image(d, gt_boxes, lab[:, 0].astype(np.int32))
             if cm is not None:
                 cm.process_batch(d, gt_boxes, lab[:, 0].astype(np.int32))
+            if save_txt_dir:
+                # per-image prediction txts in normalized native-frame
+                # `cls cx cy w h [conf]` rows (yolov5/test.py:145-151);
+                # --save-hybrid prepends the GT label rows — the
+                # auto-labelling union (test.py:120 'for autolabelling')
+                idx = int(batch["index"][i])
+                oh, ow = (int(batch["orig_hw"][i][0]),
+                          int(batch["orig_hw"][i][1]))
+                predn = np.asarray(scale_coords(
+                    jnp.asarray(d[None]), (img_size, img_size),
+                    (oh, ow)))[0] if n else d
+                lab_dir = os.path.join(save_txt_dir, "labels")
+                os.makedirs(lab_dir, exist_ok=True)
+                stem = os.path.splitext(
+                    os.path.basename(ds.image_paths[idx]))[0]
+                with open(os.path.join(lab_dir, f"{stem}.txt"), "w") as f:
+                    if save_hybrid:
+                        for row in ds.labels[idx]:
+                            f.write(f"{int(row[0]):g} {row[1]:g} "
+                                    f"{row[2]:g} {row[3]:g} {row[4]:g}\n")
+                    for x1, y1, x2, y2, conf, c in predn:
+                        line = (f"{int(c):g} {(x1 + x2) / 2 / ow:g} "
+                                f"{(y1 + y2) / 2 / oh:g} "
+                                f"{(x2 - x1) / ow:g} {(y2 - y1) / oh:g}")
+                        if save_conf:
+                            line += f" {conf:g}"
+                        f.write(line + "\n")
             if save_json:
                 # COCO-style detection records (yolov5/test.py --save-json)
                 img_id = int(batch["index"][i])
@@ -163,8 +196,10 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
         print("  " + " ".join(f"{h:>12}" for h in hdr))
         for i, row in enumerate(cm.matrix):
             print(f"  {hdr[i]:>12} " + " ".join(f"{v:>12d}" for v in row))
+    # per-class table printed when --verbose or few classes, like
+    # yolov5/test.py:235 `(verbose or nc < 50) and nc > 1`
     pc = res.get("per_class")
-    if pc is not None:
+    if pc is not None and (verbose or nc < 50) and nc > 1:
         for c in pc["classes"]:
             cname = names[c] if c < len(names) else str(c)
             print(f"  {cname:>12}: P {pc['p'][c, 0]:.3f} "
@@ -199,7 +234,9 @@ def _build_ensemble(cfg, weight_list, spec, batch_size):
         pred = jnp.concatenate(preds, axis=1)
         return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                            spec.max_det, spec.top_k,
-                           multi_label=spec.multi_label)
+                           multi_label=spec.multi_label,
+                           class_agnostic=spec.class_agnostic,
+                           classes=spec.classes)
 
     s_ = spec.img_size
     compiled = (jax.jit(fwd)
@@ -232,6 +269,24 @@ def main(argv=None):
     p.add_argument("--single-cls", action="store_true",
                    help="evaluate as single-class: every GT label maps to "
                         "class 0 (yolov5/test.py:29,78)")
+    p.add_argument("--augment", action="store_true",
+                   help="augmented (TTA) inference — multi-scale + flip "
+                        "(yolov5/test.py:106,276)")
+    p.add_argument("--verbose", action="store_true",
+                   help="always report mAP by class (yolov5/test.py:235,277;"
+                        " few-class runs print it regardless)")
+    p.add_argument("--save-txt", default="", metavar="DIR",
+                   help="write per-image prediction txts (normalized "
+                        "`cls cx cy w h`) to DIR/labels "
+                        "(yolov5/test.py:145-151,278)")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append the confidence column to --save-txt rows "
+                        "(test.py:280)")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="prepend GT label rows to each --save-txt file — "
+                        "the label+prediction auto-labelling union "
+                        "(test.py:279); implies --save-txt into the run "
+                        "dir if none given")
     p.add_argument("--full-map-range", action="store_true",
                    help="report mAP@0.5:0.95 (v5-style)")
     p.add_argument("--quant", default="bf16",
@@ -241,7 +296,7 @@ def main(argv=None):
     p.add_argument("--save-json", default="",
                    help="write COCO-format detection json here")
     p.add_argument("--task", default="test",
-                   choices=["test", "benchmark", "study"])
+                   choices=["test", "benchmark", "study", "speed"])
     p.add_argument("--study-plot", default="study.png")
     p.add_argument("--plot-dir", default="",
                    help="write test_batch{i}_{labels,pred}.jpg panels for "
@@ -250,6 +305,17 @@ def main(argv=None):
     from rtdm_tpu.utils.checks import check_img_size
     args.img_size = check_img_size(args.img_size)
 
+    if args.task == "speed":
+        # speed benchmark (yolov5/test.py:309-311): each weight runs the
+        # normal eval at the deploy thresholds conf 0.25 / iou 0.45
+        results = []
+        for w in (args.weights.split(",") if args.weights else [None]):
+            print(f"--- speed: {w} ---")
+            results.append(evaluate(
+                args.cfg, args.data, w, args.img_size, args.batch_size,
+                0.25, 0.45, args.map_iou, args.quant,
+                single_cls=args.single_cls))
+        return results
     if args.task == "study":  # test.py:233-255's iou-threshold sweep + plot
         import numpy as np
         ious = np.arange(0.4, 0.95, 0.05)
@@ -286,12 +352,16 @@ def main(argv=None):
     # mAP@0.5-only default (yolov3/test.py:53-54) unless asked
     full_range = (args.full_map_range
                   or args.cfg.endswith((".yaml", ".yml")))
+    save_txt_dir = args.save_txt or ("runs/test" if args.save_hybrid else "")
     return evaluate(args.cfg, args.data, args.weights, args.img_size,
                     args.batch_size, args.conf_thres, args.iou_thres,
                     args.map_iou, args.quant,
                     full_map_range=full_range,
                     save_json=args.save_json, confusion=args.confusion,
-                    plot_dir=args.plot_dir, single_cls=args.single_cls)
+                    plot_dir=args.plot_dir, single_cls=args.single_cls,
+                    augment=args.augment, verbose=args.verbose,
+                    save_txt_dir=save_txt_dir, save_conf=args.save_conf,
+                    save_hybrid=args.save_hybrid)
 
 
 if __name__ == "__main__":

@@ -137,7 +137,37 @@ def parse_args(argv=None):
                    help="freeze BN running stats for the first N batches "
                         "(yolov3/train.py:250-255; default 200 darknet, "
                         "0 for v5 yamls)")
-    return p.parse_args(argv)
+    p.add_argument("--adam", action="store_true",
+                   help="alias for --optimizer adam (yolov3/train.py "
+                        "--adam / yolov5/train.py:468)")
+    p.add_argument("--accumulate", type=int, default=None, metavar="N",
+                   help="explicit grad-accumulation count, overriding the "
+                        "--nominal-batch derivation (yolov3/train.py "
+                        "--accumulate)")
+    p.add_argument("--workers", type=int, default=None,
+                   help="alias for --num-workers (yolov5/train.py:482)")
+    p.add_argument("--project", default=None,
+                   help="with --name: run dir = project/name, "
+                        "collision-incremented (yolov5/train.py:484-486); "
+                        "overrides --output")
+    p.add_argument("--name", default="exp",
+                   help="run name under --project (yolov5/train.py:485)")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="reuse an existing project/name dir instead of "
+                        "incrementing (yolov5/train.py:486)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for parity (yolov5/train.py:481): BN "
+                        "statistics are ALREADY global-batch under the "
+                        "GSPMD mesh — sharded reduces sum over all chips "
+                        "(models/layers.py) — so this is a no-op")
+    args = p.parse_args(argv)
+    if args.adam:
+        args.optimizer = "adam"
+    if args.workers is not None:
+        args.num_workers = args.workers
+    if args.project is not None:
+        args.output = os.path.join(args.project, args.name)
+    return args
 
 
 def train(args):
@@ -154,7 +184,11 @@ def train(args):
     # increment_path ran (e.g. the autoanchor yaml) would make the dir
     # look taken and split the run's artifacts across output and output2
     from rtdm_tpu.utils.paths import increment_path
-    args.output = increment_path(args.output, exist_ok=args.resume)
+    args.output = increment_path(args.output,
+                                 exist_ok=args.resume or args.exist_ok)
+    if args.sync_bn:
+        logger.info("--sync-bn: BN statistics are already global-batch "
+                    "under the GSPMD mesh; nothing to convert")
 
     from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
     from rtdm_tpu.core.mesh import local_mesh
@@ -169,7 +203,8 @@ def train(args):
     mesh = local_mesh()
     n_dev = mesh.devices.size
     bs = max(args.batch_size // n_dev, 1) * n_dev
-    accumulate = max(round(args.nominal_batch / bs), 1)  # train.py:299
+    accumulate = (max(args.accumulate, 1) if args.accumulate is not None
+                  else max(round(args.nominal_batch / bs), 1))  # train.py:299
     # the in-step scan splits the loader batch into `accumulate`
     # microbatches, so it must DIVIDE bs (the reference steps every N
     # loader batches instead and has no such constraint) — clamp to the

@@ -35,6 +35,7 @@ class TrainingConfig:
     test_split: str = "dataloaders/aider_test.csv"
     image_size: int = 240
     augment: bool = True
+    use_albumentations: bool = True   # False -> torchvision-style augs
     num_workers: int = 8
 
     # Optimisation

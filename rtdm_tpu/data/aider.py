@@ -61,7 +61,12 @@ class AiderDataset:
     """Fixed-shape uint8 sample producer for the AIDER CSV splits."""
 
     def __init__(self, csv_file, root_dir, image_size: int = 140,
-                 train: bool = False, seed: int = 42):
+                 train: bool = False, seed: int = 42,
+                 aug_style: str = "albumentations"):
+        # aug_style: 'albumentations' (the reference default train augs,
+        # aider.py:282-307) or 'torchvision' (the --no-albumentations
+        # branch, aider.py:392-409: RandomResizedCrop + flips +
+        # ColorJitter(0.4,0.4,0.4,0.1) p=0.8 + RandomGrayscale p=0.2)
         csv_file = Path(csv_file)
         if not csv_file.exists():
             raise FileNotFoundError(str(csv_file))
@@ -76,6 +81,9 @@ class AiderDataset:
                         (str(self.root_dir / row[0]), int(row[1])))
         self.rng = np.random.default_rng(seed)
         self.load_errors = 0
+        if aug_style not in ("albumentations", "torchvision"):
+            raise ValueError(f"unknown aug_style {aug_style!r}")
+        self.aug_style = aug_style
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -99,7 +107,10 @@ class AiderDataset:
             self.load_errors += 1
             return np.zeros((s, s, 3), np.uint8), label
         if self.train:
-            arr = self._train_transform(img, rng or self.rng)
+            tf = (self._train_transform_tv
+                  if self.aug_style == "torchvision"
+                  else self._train_transform)
+            arr = tf(img, rng or self.rng)
         else:
             arr = self._eval_transform(img)
         return arr, label
@@ -119,13 +130,14 @@ class AiderDataset:
         img = img.crop((left, top, left + s, top + s))
         return np.asarray(img, np.uint8)
 
-    def _train_transform(self, img, rng: np.random.Generator) -> np.ndarray:
+    def _random_resized_crop(self, img, rng, lo: float, hi: float):
+        """RandomResizedCrop(scale=(lo,hi), ratio=(3/4,4/3)) -> (s,s)
+        uint8; falls back to a plain resize when 10 draws don't fit."""
         s = self.image_size
         w, h = img.size
-        # RandomResizedCrop(scale=(0.8, 1.0), ratio=(3/4, 4/3))
         area = w * h
         for _ in range(10):
-            target_area = area * rng.uniform(0.8, 1.0)
+            target_area = area * rng.uniform(lo, hi)
             ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
             cw = int(round(np.sqrt(target_area * ar)))
             ch = int(round(np.sqrt(target_area / ar)))
@@ -134,8 +146,30 @@ class AiderDataset:
                 top = rng.integers(0, h - ch + 1)
                 img = img.crop((left, top, left + cw, top + ch))
                 break
-        img = _resize(img, (s, s))
-        arr = np.asarray(img, np.uint8)
+        return np.asarray(_resize(img, (s, s)), np.uint8)
+
+    def _train_transform_tv(self, img, rng: np.random.Generator
+                            ) -> np.ndarray:
+        """The --no-albumentations torchvision branch (reference
+        aider.py:392-409): RandomResizedCrop (torchvision default scale
+        0.08-1.0) + RandomHorizontalFlip + RandomVerticalFlip +
+        ColorJitter(0.4,0.4,0.4,0.1) p=0.8 + RandomGrayscale p=0.2."""
+        arr = self._random_resized_crop(img, rng, 0.08, 1.0)
+        if rng.random() < 0.5:
+            arr = arr[:, ::-1]
+        if rng.random() < 0.5:
+            arr = arr[::-1]
+        if rng.random() < 0.8:
+            arr = _color_jitter(arr, rng, 0.4, 0.4, 0.4, 0.1)
+        if rng.random() < 0.2:
+            gray = (arr @ np.array([0.299, 0.587, 0.114],
+                                   np.float32)).astype(np.uint8)
+            arr = np.repeat(gray[..., None], 3, axis=-1)
+        return np.ascontiguousarray(arr)
+
+    def _train_transform(self, img, rng: np.random.Generator) -> np.ndarray:
+        # RandomResizedCrop(scale=(0.8, 1.0), ratio=(3/4, 4/3))
+        arr = self._random_resized_crop(img, rng, 0.8, 1.0)
         # flips / rot90 (one-of, p=0.5 — aider.py:284-288)
         if rng.random() < 0.5:
             k = rng.integers(0, 3)
@@ -179,6 +213,40 @@ class AiderDataset:
 # --- heavy train augs (the albumentations subset, aider.py:289-303) ---
 # cv2-based; each cites the reference op it mirrors. Geometry ops use
 # BORDER_REFLECT_101 (the albumentations default).
+
+
+def _color_jitter(arr, rng, brightness, contrast, saturation, hue):
+    """torchvision ColorJitter semantics: each op draws a factor from
+    [1-x, 1+x] (hue from [-hue, hue] of the hue circle) and the four ops
+    apply in a random order."""
+    import cv2
+
+    ops = list(rng.permutation(4))
+
+    def apply(op, a):
+        f32 = np.float32(a)
+        if op == 0:    # brightness: multiply
+            f = rng.uniform(1 - brightness, 1 + brightness)
+            return np.clip(f32 * f, 0, 255).astype(np.uint8)
+        if op == 1:    # contrast: blend with the mean gray
+            f = rng.uniform(1 - contrast, 1 + contrast)
+            mean = (a @ np.array([0.299, 0.587, 0.114], np.float32)).mean()
+            return np.clip((f32 - mean) * f + mean, 0, 255).astype(np.uint8)
+        if op == 2:    # saturation: blend with per-pixel gray
+            f = rng.uniform(1 - saturation, 1 + saturation)
+            gray = f32 @ np.array([0.299, 0.587, 0.114], np.float32)
+            return np.clip(f32 * f + gray[..., None] * (1 - f),
+                           0, 255).astype(np.uint8)
+        # hue: shift the HSV hue channel (cv2 H range is [0, 180))
+        d = rng.uniform(-hue, hue)
+        hsv = cv2.cvtColor(a, cv2.COLOR_RGB2HSV)
+        hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                       + int(round(d * 180))) % 180
+        return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    for op in ops:
+        arr = apply(op, arr)
+    return arr
 
 
 def _random_blur(arr, rng):

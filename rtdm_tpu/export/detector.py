@@ -34,9 +34,19 @@ class DetectorSpec:
     nms_method: str = "greedy"     # greedy|merge|soft|and (utils.py:560+)
     multi_label: bool = False      # one det per (box, class) above conf
     #                                (utils.py:527-529; test-time default)
+    class_agnostic: bool = False   # --agnostic-nms (detect.py:168): one
+    #                                suppression pool across classes
+    classes: Optional[Tuple[int, ...]] = None  # --classes filter
+    #                                (detect.py:167 / utils.py:536-537)
     fuse: bool = True              # fold conv+BN at compile time
     #                                (Darknet.fuse(), models.py:397-412)
     version: str = "1"
+
+    def __post_init__(self):
+        # spec.json round-trips tuples as lists; batched_nms needs a
+        # hashable static value
+        if self.classes is not None:
+            self.classes = tuple(int(c) for c in self.classes)
 
 
 def model_heads(model, variables) -> Any:
@@ -212,7 +222,9 @@ class Detector:
             return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                                spec.max_det, spec.top_k,
                                multi_label=spec.multi_label,
-                               method=spec.nms_method)
+                               class_agnostic=spec.class_agnostic,
+                               method=spec.nms_method,
+                               classes=spec.classes)
 
         s = spec.img_size
         jit_kwargs = {}

@@ -19,7 +19,7 @@ standard TPU fixed-size + valid-count convention.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +105,7 @@ def _and_keep(iou: jax.Array, valid: jax.Array, same_cls: jax.Array,
 
 @partial(jax.jit,
          static_argnames=("max_det", "top_k", "multi_label",
-                          "class_agnostic", "method"))
+                          "class_agnostic", "method", "classes"))
 def batched_nms(pred: jax.Array,
                 conf_thres: float = 0.001,
                 iou_thres: float = 0.6,
@@ -115,7 +115,8 @@ def batched_nms(pred: jax.Array,
                 class_agnostic: bool = False,
                 max_wh: float = 4096.0,
                 min_wh: float = 2.0,
-                method: str = "greedy"
+                method: str = "greedy",
+                classes: Optional[Tuple[int, ...]] = None
                 ) -> Tuple[jax.Array, jax.Array]:
     """NMS over decoded predictions.
 
@@ -128,9 +129,19 @@ def batched_nms(pred: jax.Array,
     either best-class rows or — with multi_label (the reference default
     whenever nc > 1) — one row per (box, class) with obj*cls > conf_thres.
     methods: greedy ('vision_batch'/'or'), merge, soft, and.
+    `classes` (static tuple of class ids) drops rows whose assigned class
+    is not listed — the --classes filter (utils.py:536-537 /
+    yolov5 general.py:536: rows filtered on the FINAL class column, after
+    best-class/multi-label assignment).
     """
     nc = pred.shape[-1] - 5
     multi = multi_label and nc > 1
+    allowed = None
+    if classes is not None:
+        import numpy as np
+        a = np.zeros((nc,), bool)
+        a[[c for c in classes if 0 <= int(c) < nc]] = True
+        allowed = jnp.asarray(a)
 
     def single(p):
         boxes = xywh_to_xyxy(p[:, :4])
@@ -147,6 +158,8 @@ def batched_nms(pred: jax.Array,
             flat_box = jnp.repeat(jnp.arange(n), nc)
             flat_cls = jnp.tile(jnp.arange(nc), n)
             ok = base_ok[flat_box] & (flat > conf_thres)
+            if allowed is not None:
+                ok &= allowed[flat_cls]
             key = jnp.where(ok, flat, -1.0)
             k = min(top_k, key.shape[0])
             top_scores, idx = jax.lax.top_k(key, k)
@@ -157,7 +170,9 @@ def batched_nms(pred: jax.Array,
             # thresholds only obj here, not obj*cls
             best_cls = jnp.argmax(cls_probs, axis=-1)
             score = jnp.max(cls_probs, axis=-1)
-            key = jnp.where(base_ok, score, -1.0)
+            ok = (base_ok if allowed is None
+                  else base_ok & allowed[best_cls])
+            key = jnp.where(ok, score, -1.0)
             k = min(top_k, key.shape[0])
             top_scores, idx = jax.lax.top_k(key, k)
             top_boxes = boxes[idx]

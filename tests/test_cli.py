@@ -154,3 +154,70 @@ def test_increment_path(tmp_path):
     open(str(tmp_path / "filecol"), "w").close()
     assert increment_path(str(tmp_path / "filecol")) == \
         str(tmp_path / "filecol") + "2"  # file collision bumps, no crash
+
+
+def test_aider_parse_args_reference_surface(tmp_path):
+    """The remaining args.py:6-183 flags map onto TrainingConfig:
+    --no-amp == fp32, --warmup-epochs overrides the ratio, --image-size
+    post-overrides the model-inferred size, --no-albumentations flips the
+    aug style, --dropout/--min-lr/--momentum/--checkpoint-freq/
+    --save-best-only/--weights land in the config."""
+    from rtdm_tpu.cli.aider_train import parse_args
+
+    cfg = parse_args([
+        "--model", "squeeze-ernet", "--epochs", "10", "--no-amp",
+        "--warmup-epochs", "2", "--image-size", "96",
+        "--no-albumentations", "--dropout", "0.35", "--min-lr", "1e-5",
+        "--momentum", "0.85", "--checkpoint-freq", "5",
+        "--save-best-only", "--weights", str(tmp_path / "w.npz"),
+        "--no-pin-memory", "--debug",
+    ])
+    assert cfg.precision == "fp32"
+    assert cfg.warmup_epochs == 2 and abs(cfg.warmup_ratio - 0.2) < 1e-9
+    assert cfg.image_size == 96  # overrides the inferred 140
+    assert cfg.use_albumentations is False
+    assert cfg.dropout == 0.35 and cfg.min_lr == 1e-5
+    assert cfg.momentum == 0.85
+    assert cfg.checkpoint_freq == 5 and cfg.save_best_only is True
+    assert cfg.weights == str(tmp_path / "w.npz")
+    # model-name inference still rules when --image-size is absent
+    assert parse_args(["--model", "ernet"]).image_size == 240
+
+
+def test_pretrained_and_torchvision_augs(trained, aider_dir, tmp_path):
+    """--pretrained starts from --weights: one extra epoch on the
+    color-separable set keeps the learned accuracy (fresh 1-epoch runs
+    start near chance), with the torchvision aug branch active."""
+    import dataclasses
+
+    from rtdm_tpu.cli.aider_train import train_model
+
+    config = dataclasses.replace(
+        trained[0], resume=False, epochs=1, pretrained=True,
+        use_albumentations=False, augment=True,
+        checkpoint_dir=str(tmp_path / "saves2"),
+        log_dir=str(tmp_path / "logs2"))
+    # weights already points at the 3-epoch run's final npz
+    state, history = train_model(config)
+    assert history["val_acc"][-1] >= 0.4  # kept the pretrained skill
+
+
+def test_power_usage_cli(trained, aider_dir, tmp_path, capsys):
+    """calculate-power-usage.py surface: fraction of the split, modelled
+    energy report (getTotalEnergy:200-208), trace plot with event
+    markers (showDataTraces:159-185)."""
+    from rtdm_tpu.cli.power_usage import main
+
+    config = trained[0]
+    plot = str(tmp_path / "power.png")
+    res = main(["--model", "squeeze-ernet",
+                "--weights", config.weights,
+                "--root-dir", str(aider_dir),
+                "--test-split", str(aider_dir / "test.csv"),
+                "--test-data-pc", "100", "--batch-size", "5",
+                "--precision", "fp32", "--plot", plot])
+    out = capsys.readouterr().out
+    assert "total energy" in out and "energy/frame" in out
+    assert res["frames"] == 5  # the 5-image test split
+    assert res["total_j"] > 0 and res["mj_per_frame"] > 0
+    assert os.path.exists(plot)

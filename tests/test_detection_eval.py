@@ -137,3 +137,81 @@ def test_yolo_test_cli_runs_on_mini_dataset(capsys, tmp_path):
             os.path.join(plot_dir, f"test_batch{i}_labels.jpg"))
         assert os.path.exists(
             os.path.join(plot_dir, f"test_batch{i}_pred.jpg"))
+
+
+@needs_reference
+def test_yolo_detect_cli_flags(tmp_path):
+    """detect.py flag surface (yolov5/detect.py:155-176): --classes
+    restricts every output row, --agnostic-nms + --max-det shape the NMS,
+    --nosave suppresses annotated images, --save-txt --txt-format yolo
+    --save-conf writes normalized 6-col label rows, --save-crop writes
+    per-class crop files."""
+    import glob as g
+    import os
+
+    from rtdm_tpu.cli.yolo_detect import main
+
+    out = str(tmp_path / "det")
+    src = str(YOLO_DATA / "custom/test/images")
+    results = main([
+        "--cfg", str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--source", src, "--output", out, "--img-size", "192",
+        "--conf-thres", "0.05", "--quant", "fp32",
+        "--classes", "0", "--agnostic-nms", "--max-det", "16",
+        "--nosave", "--save-txt", "--txt-format", "yolo", "--save-conf",
+        "--save-crop", "--hide-conf", "--line-thickness", "1",
+    ])
+    assert len(results) == 10
+    assert g.glob(os.path.join(out, "*.jpg")) == []  # --nosave
+    txts = sorted(g.glob(os.path.join(out, "labels", "*.txt")))
+    assert len(txts) == 10
+    rows = [line.split() for t in txts
+            for line in open(t).read().split("\n") if line.strip()]
+    assert rows, "random tiny-net at conf 0.05 must emit detections"
+    for r in rows:
+        assert len(r) == 6  # cls cx cy w h conf (--save-conf)
+        assert r[0] == "0"  # --classes 0
+        assert all(-0.5 <= float(v) <= 1.5 for v in r[1:5])  # normalized
+    for _, det in results:
+        assert len(det) <= 16  # --max-det
+    # --save-crop: at least one crop under crops/<class>/
+    assert g.glob(os.path.join(out, "crops", "*", "*.jpg"))
+
+
+@needs_reference
+def test_yolo_test_save_txt_hybrid_verbose(capsys, tmp_path):
+    """--save-txt/--save-conf/--save-hybrid write per-image normalized
+    prediction txts with GT rows prepended (yolov5/test.py:120,145-151),
+    and --verbose keeps the per-class table."""
+    import glob as g
+    import os
+
+    from rtdm_tpu.cli.yolo_test import main
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    run = str(tmp_path / "run")
+    main(["--cfg", cfg, "--data", str(YOLO_DATA / "aider-min.data"),
+          "--img-size", "192", "--batch-size", "4", "--quant", "fp32",
+          "--conf-thres", "0.3", "--verbose",
+          "--save-txt", run, "--save-conf", "--save-hybrid"])
+    out = capsys.readouterr().out
+    assert "person" in out  # per-class table (--verbose)
+    txts = sorted(g.glob(os.path.join(run, "labels", "*.txt")))
+    assert len(txts) == 10
+    ds = DetectionDataset(str(YOLO_DATA / "custom/test-min.txt"), 192,
+                          base_dir=str(YOLO_DATA.parent))
+    by_stem = {os.path.splitext(os.path.basename(p))[0]: lab
+               for p, lab in zip(ds.image_paths, ds.labels)}
+    for t in txts:
+        stem = os.path.splitext(os.path.basename(t))[0]
+        rows = [line.split() for line in open(t).read().split("\n")
+                if line.strip()]
+        gt = by_stem[stem]
+        assert len(rows) >= len(gt)  # GT rows prepended (--save-hybrid)
+        for r, want in zip(rows, gt):  # hybrid GT rows == dataset labels
+            assert len(r) == 5  # GT rows carry no conf column
+            np.testing.assert_allclose([float(v) for v in r],
+                                       want, atol=1e-5)
+        for r in rows[len(gt):]:
+            assert len(r) == 6  # prediction rows: --save-conf appends conf

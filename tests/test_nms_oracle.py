@@ -122,6 +122,32 @@ def test_multi_label_emits_one_row_per_class():
     assert int(count1[0]) == 1  # best-class-only keeps one row
 
 
+def test_classes_filter_drops_unlisted_classes():
+    """`classes` keeps only rows whose ASSIGNED class is listed
+    (utils.py:536-537: the filter runs on the final class column). In
+    best-class mode a box whose argmax class is unlisted is dropped
+    entirely — it does NOT fall back to its runner-up class."""
+    pred = np.zeros((1, 3, 8), np.float32)  # nc = 3
+    pred[0, 0] = [100, 100, 40, 40, 0.9, 0.9, 0.1, 0.1]  # best cls 0
+    pred[0, 1] = [200, 200, 40, 40, 0.9, 0.1, 0.9, 0.1]  # best cls 1
+    pred[0, 2] = [300, 300, 40, 40, 0.9, 0.6, 0.5, 0.1]  # best cls 0,
+    #                                     cls1 also above conf (multi)
+    det, count = batched_nms(jnp.asarray(pred), 0.25, 0.5, 8, 4,
+                             classes=(1,))
+    assert int(count[0]) == 1  # only the best-cls-1 box survives
+    assert int(np.asarray(det)[0, 0, 5]) == 1
+    # multi-label: box 2's class-1 row passes the filter (obj*cls =
+    # 0.45 > conf), so TWO class-1 rows come back
+    det_m, count_m = batched_nms(jnp.asarray(pred), 0.25, 0.5, 8, 8,
+                                 multi_label=True, classes=(1,))
+    assert int(count_m[0]) == 2
+    got = np.asarray(det_m)[0, :2]
+    assert set(got[:, 5].astype(int)) == {1}
+    # no filter: all three boxes, best-class rows
+    _, count_all = batched_nms(jnp.asarray(pred), 0.25, 0.5, 8, 4)
+    assert int(count_all[0]) == 3
+
+
 def test_and_nms_requires_overlap():
     # 'and' (utils.py:591-597): head kept only when it overlaps another box
     # of its class; a lone far box of the same class is erased, but a class

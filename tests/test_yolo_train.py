@@ -425,3 +425,35 @@ def test_yolo_train_v5_linear_lr(tmp_path):
     losses = np.array([h["loss"] for h in result["history"]])
     assert np.all(np.isfinite(losses))
     assert losses[0][2] > 0, "smoothed cls BCE must be nonzero"
+
+
+@needs_reference
+def test_yolo_train_reference_flag_aliases(tmp_path):
+    """Reference flag spellings map onto the TPU trainer: --adam ==
+    --optimizer adam (yolov3 --adam), --accumulate N overrides the
+    --nominal-batch derivation (yolov3 --accumulate), --workers ==
+    --num-workers (yolov5:482), --project/--name/--exist-ok resolve the
+    run dir (yolov5:484-486), --sync-bn is a documented no-op (BN stats
+    are already global under GSPMD)."""
+    from rtdm_tpu.cli.yolo_train import main, parse_args
+
+    a = parse_args(["--cfg", "x.cfg", "--adam", "--workers", "3",
+                    "--project", str(tmp_path / "proj"), "--name", "run"])
+    assert a.optimizer == "adam"
+    assert a.num_workers == 3
+    assert a.output == str(tmp_path / "proj" / "run")
+
+    out = str(tmp_path / "proj2" / "exp")
+    os.makedirs(out)  # taken: without --exist-ok this would become exp2
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", str(YOLO_DIR / "data/aider-min.data"),
+        "--train-list-override", str(YOLO_DIR / "data/custom/test-min.txt"),
+        "--epochs", "1", "--batch-size", "4", "--img-size", "192",
+        "--accumulate", "2", "--adam", "--lr0", "0.002", "--workers", "2",
+        "--project", str(tmp_path / "proj2"), "--exist-ok", "--sync-bn",
+        "--eval-every", "0", "--no-plots",
+    ])
+    losses = np.array([h["loss"] for h in result["history"]])
+    assert np.all(np.isfinite(losses))
+    assert os.path.exists(os.path.join(out, "last.npz"))  # not exp2/
