@@ -31,28 +31,21 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
 
     from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
     from rtdm_tpu.data.odder import (DetectionBatchLoader, DetectionDataset,
-                                     load_names, parse_data_cfg)
+                                     load_data_spec)
     from rtdm_tpu.eval.map import DetectionEvaluator
     from rtdm_tpu.export.detector import Detector, DetectorSpec
     from rtdm_tpu.ops.nms import scale_coords, xywh_to_xyxy
 
-    dcfg = parse_data_cfg(data)
-    base = os.path.dirname(os.path.dirname(os.path.abspath(data)))
-    names_path = dcfg.get("names", "")
-    names = (load_names(os.path.join(base, names_path))
-             if names_path and not os.path.isabs(names_path)
-             else (load_names(names_path) if names_path else []))
+    dcfg = load_data_spec(data)  # darknet .data OR yolov5 data yaml
+    base = str(dcfg["base"])
+    names = list(dcfg.get("names") or [])
     nc_data = int(dcfg.get("classes", len(names) or 2))
     # --single-cls evaluation (yolov5/test.py:29,78): all labels
     # collapse to class 0
     nc = 1 if single_cls else nc_data
     if single_cls:
         names = ["item"]
-    list_file = dcfg["valid"]
-    if not os.path.isabs(list_file):
-        list_file = os.path.join(base, list_file)
-
-    ds = DetectionDataset(list_file, img_size, base_dir=base,
+    ds = DetectionDataset(dcfg["valid"], img_size, base_dir=base,
                           num_classes=nc_data, single_cls=single_cls)
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
     # multi_label=True is the reference's test-time default whenever nc > 1

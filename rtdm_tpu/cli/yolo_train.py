@@ -193,7 +193,7 @@ def train(args):
     from rtdm_tpu.cli.yolo_detect import load_weights_for_cfg
     from rtdm_tpu.core.mesh import local_mesh
     from rtdm_tpu.data.odder import (DetectionBatchLoader, DetectionDataset,
-                                     parse_data_cfg)
+                                     load_data_spec)
     from rtdm_tpu.eval.map import DetectionEvaluator
     from rtdm_tpu.models.io import save_variables
     from rtdm_tpu.ops.nms import batched_nms, xywh_to_xyxy
@@ -211,13 +211,9 @@ def train(args):
     # largest divisor of bs not above the nominal-batch count
     accumulate = max(a for a in range(1, accumulate + 1) if bs % a == 0)
 
-    dcfg = parse_data_cfg(args.data)
-    base = os.path.dirname(os.path.dirname(os.path.abspath(args.data)))
-
-    def resolve(pth):
-        return pth if os.path.isabs(pth) else os.path.join(base, pth)
-
-    train_list = args.train_list_override or resolve(dcfg["train"])
+    dcfg = load_data_spec(args.data)  # darknet .data OR yolov5 data yaml
+    base = str(dcfg["base"])
+    train_list = args.train_list_override or dcfg["train"]
     hyp_file = {}
     if args.hyp:
         import yaml as _yaml
@@ -227,7 +223,7 @@ def train(args):
     aug_keys = ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
                 "scale", "shear", "fliplr", "mosaic")
     aug_hyp = {k: hyp_file[k] for k in aug_keys if k in hyp_file}
-    nc_data = int(dcfg.get("classes", 2))
+    nc_data = int(dcfg.get("classes", 2))  # type: ignore[arg-type]
     # --single-cls trains a 1-class detector over all labels
     # (yolov5/train.py:77 `nc = 1 if opt.single_cls`)
     nc = 1 if args.single_cls else nc_data
@@ -240,7 +236,7 @@ def train(args):
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
-    val_ds = DetectionDataset(resolve(dcfg["valid"]), args.img_size,
+    val_ds = DetectionDataset(dcfg["valid"], args.img_size,
                               base_dir=base, num_classes=nc_data,
                               single_cls=args.single_cls,
                               cache_images=args.cache_images)
@@ -586,13 +582,7 @@ def train(args):
     explog = ExperimentLogger(args.output, run_name="yolo",
                               config=vars(args))
     results_path = os.path.join(args.output, "results.txt")
-    names = []
-    if dcfg.get("names"):
-        try:
-            from rtdm_tpu.data.odder import load_names
-            names = load_names(resolve(dcfg["names"]))
-        except OSError:
-            pass
+    names = list(dcfg.get("names") or [])
     if not args.no_plots:
         # label-distribution panel at train start (plot_labels,
         # yolov5/utils/plots.py:285, called from train.py:226)

@@ -45,6 +45,83 @@ def parse_data_cfg(path: str) -> Dict[str, str]:
     return out
 
 
+IMAGE_SUFFIXES = (".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".webp")
+
+
+def collect_image_paths(source, base_dir) -> List[str]:
+    """Resolve an image-list source into absolute image paths.
+
+    Mirrors the reference's three v5 data-yaml spellings
+    (yolov5/data/aider.yaml:1 comment; consumed by
+    yolov5/utils/datasets.py:368-384): a directory of images, a txt file
+    with one path per line, or a list of either. Darknet .data files only
+    use the txt-file form (yolov3/utils/parse_config.py:55-71).
+    """
+    base_dir = Path(base_dir)
+    if isinstance(source, (list, tuple)):
+        out: List[str] = []
+        for s in source:
+            out.extend(collect_image_paths(s, base_dir))
+        return out
+    p = Path(source)
+    if not p.is_absolute():
+        p = base_dir / p
+    if p.is_dir():
+        return sorted(str(f) for f in p.iterdir()
+                      if f.suffix.lower() in IMAGE_SUFFIXES)
+    with open(p) as f:
+        rels = [ln.strip() for ln in f if ln.strip()]
+    return [str(Path(r) if os.path.isabs(r) else base_dir / r)
+            for r in rels]
+
+
+def load_data_spec(path: str) -> Dict[str, object]:
+    """Unified dataset-config loader: darknet `.data` OR yolov5 data yaml.
+
+    Returns {classes:int, train, valid, test(optional), names:List[str]|None,
+    base:str}. `train`/`valid`/`test` stay in source form (dir/txt/list) —
+    pass them with `base` to collect_image_paths / DetectionDataset.
+
+    - .data (yolov3/utils/parse_config.py:55-71): classes/train/valid/names
+      keys; paths relative to the directory containing the 'data' dir.
+    - .yaml (yolov5/data/aider.yaml, consumed by train.py:71-77 +
+      general.check_dataset): train/val[/test] sources, nc, inline names;
+      same base-dir resolution (the reference resolves against the yolov5
+      cwd, which is the parent of the data/ dir holding the yaml).
+    """
+    path = os.path.abspath(path)
+    base = os.path.dirname(os.path.dirname(path))
+    if path.endswith((".yaml", ".yml")):
+        import yaml as _yaml
+        with open(path) as f:
+            d = _yaml.safe_load(f) or {}
+        names = d.get("names")
+        nc = int(d.get("nc", len(names) if names else 2))
+        spec: Dict[str, object] = {"classes": nc, "names": names,
+                                   "base": base}
+        if "train" in d:
+            spec["train"] = d["train"]
+        if "val" in d or "valid" in d:
+            spec["valid"] = d.get("val", d.get("valid"))
+        if "test" in d:
+            spec["test"] = d["test"]
+        return spec
+    dcfg = parse_data_cfg(path)
+    names = None
+    names_path = dcfg.get("names", "")
+    if names_path:
+        if not os.path.isabs(names_path):
+            names_path = os.path.join(base, names_path)
+        if os.path.exists(names_path):
+            names = load_names(names_path)
+    spec = {"classes": int(dcfg.get("classes", len(names) if names else 2)),
+            "names": names, "base": base}
+    for k in ("train", "valid", "test"):
+        if k in dcfg:
+            spec[k] = dcfg[k]
+    return spec
+
+
 def load_names(path: str) -> List[str]:
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]
@@ -114,12 +191,12 @@ class DetectionDataset:
         self.train = train
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
-        list_file = str(list_file)
-        self.base_dir = Path(base_dir) if base_dir else Path(list_file).parents[2]
-        with open(list_file) as f:
-            rels = [ln.strip() for ln in f if ln.strip()]
-        self.image_paths = [str(p if os.path.isabs(p) else self.base_dir / p)
-                            for p in rels]
+        if isinstance(list_file, (str, os.PathLike)):
+            self.base_dir = (Path(base_dir) if base_dir
+                             else Path(str(list_file)).parents[2])
+        else:  # list-of-sources spelling needs an explicit base
+            self.base_dir = Path(base_dir) if base_dir else Path.cwd()
+        self.image_paths = collect_image_paths(list_file, self.base_dir)
         self.img_size = int(img_size)
         self.max_labels = int(max_labels)
         self.stats = {"found": 0, "missing": 0, "empty": 0, "corrupt": 0,

@@ -457,3 +457,28 @@ def test_yolo_train_reference_flag_aliases(tmp_path):
     losses = np.array([h["loss"] for h in result["history"]])
     assert np.all(np.isfinite(losses))
     assert os.path.exists(os.path.join(out, "last.npz"))  # not exp2/
+
+
+@needs_reference
+def test_yolo_train_v5_data_yaml(tmp_path):
+    """Training consumes the reference's v5 data yaml (directory splits,
+    inline names — yolov5/data/aider.yaml via train.py:71-77): one epoch
+    over the bundled dataset/ fixture must produce finite losses and the
+    usual artifacts."""
+    from rtdm_tpu.cli.yolo_train import main
+
+    yaml_path = str(YOLO_DIR.parent / "yolov5/data/aider.yaml")
+    out = str(tmp_path / "run")
+    result = main([
+        "--cfg", str(YOLO_DIR / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--data", yaml_path,
+        "--epochs", "1", "--batch-size", "2", "--img-size", "192",
+        "--nominal-batch", "2", "--burn-in", "1", "--lr0", "0.002",
+        "--num-workers", "2", "--output", out, "--eval-every", "1",
+        "--no-plots",
+    ])
+    hist = result["history"]
+    assert len(hist) == 1
+    assert np.all(np.isfinite(np.array(hist[0]["loss"])))
+    assert hist[-1]["map50"] is not None  # eval over the 3 val-dir images
+    assert os.path.exists(os.path.join(out, "last.npz"))
