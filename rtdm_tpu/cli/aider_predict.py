@@ -63,6 +63,12 @@ def main(argv=None):
                    choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
     p.add_argument("--weights", help="weights: our .npz or torch .pt state_dict")
     p.add_argument("--engine", help="serialized rtdm_tpu engine dir")
+    p.add_argument("--quant", default=None,
+                   choices=["fp32", "bf16", "fp16", "int8"],
+                   help="with --weights: build an in-memory engine at this "
+                        "precision and predict through it (the --trt "
+                        "--quant path, aider-predict.py:36-41,90-96); "
+                        "with --engine: assert the engine matches")
     p.add_argument("--compare-engine",
                    help="ALSO run this engine and print both predictions "
                         "side by side (aider-predict.py --trt comparison)")
@@ -79,11 +85,35 @@ def main(argv=None):
     if args.engine:
         from rtdm_tpu.export.engine import Engine
         engine = Engine.load(args.engine)
+        norm = {"fp16": "bf16", "half": "bf16"}
+        if args.quant and engine.spec.normalized_quant() != \
+                norm.get(args.quant, args.quant):
+            raise SystemExit(
+                f"--quant {args.quant} does not match the engine's "
+                f"precision ({engine.spec.quant}) — pass the matching "
+                f"engine dir (reference loads model_trt_<quant>.pth)")
         t0 = time.time()
         probs = engine(image)[0]
         dt = time.time() - t0
         import numpy as np
         probs = np.asarray(probs, dtype=np.float32)
+        idx = int(np.argmax(probs))
+    elif args.quant:
+        # --trt --quant analogue without a prebuilt engine: convert the
+        # raw weights to an engine at the requested precision in-process
+        # (aider-predict.py:36-41 loads the torch2trt module; here the
+        # conversion is a fresh XLA compile, so it happens inline)
+        import numpy as np
+        from rtdm_tpu.export.engine import build_engine
+        from rtdm_tpu.models.io import load_variables
+        variables = load_variables(args.weights)
+        calib = np.repeat(image, 8, axis=0) if args.quant == "int8" else None
+        engine = build_engine(args.model, variables, quant=args.quant,
+                              batch_size=1, calib_images=calib,
+                              verify=False)
+        t0 = time.time()
+        probs = np.asarray(engine(image), np.float32)[0]
+        dt = time.time() - t0
         idx = int(np.argmax(probs))
     else:
         from rtdm_tpu.models.io import load_variables

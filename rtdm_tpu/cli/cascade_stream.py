@@ -81,6 +81,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         description="Fused classifier+detector stream on TPU")
     p.add_argument("--source", required=True)
+    p.add_argument("--video-looping", action="store_true",
+                   help="replay a finite source forever (reference camera "
+                        "--video_looping)")
+    p.add_argument("--width", type=int, default=0,
+                   help="capture resize width (reference --do_resize)")
+    p.add_argument("--height", type=int, default=0)
     p.add_argument("--det-cfg", required=True,
                    help="darknet .cfg or v5 .yaml")
     p.add_argument("--det-weights")
@@ -111,7 +117,8 @@ def main(argv=None):
                        args.cls_weights, args.img_size, args.conf_thres,
                        args.iou_thres, args.quant)
 
-    src = FrameSource.open(args.source).start()
+    src = FrameSource.open(args.source, loop=args.video_looping,
+                           width=args.width, height=args.height).start()
     fps = FpsMeter()
     timer = StepTimer()
     if args.save_dir:

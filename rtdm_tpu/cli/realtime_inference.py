@@ -23,9 +23,18 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="Real-time AIDER classification")
-    p.add_argument("--source", required=True,
+    p.add_argument("--source", "--video", dest="source", required=True,
                    help="webcam id | /dev/videoN | rtsp:// | video file | "
-                        "image dir")
+                        "image dir (--video is the reference alias, "
+                        "real-time-inference.py:34)")
+    p.add_argument("--video-looping", action="store_true",
+                   help="replay a finite source forever (reference "
+                        "camera --video_looping)")
+    p.add_argument("--width", type=int, default=0,
+                   help="capture resize width (with --height; reference "
+                        "--do_resize --width)")
+    p.add_argument("--height", type=int, default=0,
+                   help="capture resize height (with --width)")
     p.add_argument("--model", default="squeeze-ernet",
                    choices=["ernet", "squeeze-ernet", "squeeze-redconv"])
     p.add_argument("--weights")
@@ -118,7 +127,9 @@ def main(argv=None):
                           interpolation=cv2.INTER_LINEAR)
 
     src = FrameSource.open(
-        int(args.source) if args.source.isdigit() else args.source).start()
+        int(args.source) if args.source.isdigit() else args.source,
+        loop=args.video_looping, width=args.width,
+        height=args.height).start()
     fps = FpsMeter()
     timer = StepTimer()
     power = PowerMonitor() if args.power else None

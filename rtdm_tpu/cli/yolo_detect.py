@@ -1,9 +1,12 @@
-"""YOLO folder/image inference CLI.
+"""YOLO folder/image/stream inference CLI.
 
 Parity with yolov3/detect.py:9-155 and tensorrt_inference/trt_yolo.py's
 --detect-images mode (:54-127): letterbox -> one fused device program
 (forward+decode+NMS) -> un-letterbox coords -> annotated images + per-image
-detection txts in mAP-tool format (`cls conf x1 y1 x2 y2`).
+detection txts in mAP-tool format (`cls conf x1 y1 x2 y2`). Non-file
+sources (video/webcam/rtsp/.streams) run the camera loop with an EMA FPS
+readout — trt_yolo.py's loop_and_detect (:130-162) / v5 detect.py's
+webcam branch.
 
 Run: python -m rtdm_tpu.cli.yolo_detect --cfg .../yolov4-tiny-aider-416.cfg
          --weights model.weights --source <dir-or-image> --output out/
@@ -94,7 +97,19 @@ def main(argv=None):
     p.add_argument("--engine", help="saved detector engine dir "
                    "(build with build_engine --cfg)")
     p.add_argument("--weights", help=".weights | torch .pt | .npz")
-    p.add_argument("--source", required=True, help="image file or directory")
+    p.add_argument("--source", required=True,
+                   help="image file | directory | video file | webcam id | "
+                        "rtsp:// | .streams list (live sources run the "
+                        "trt_yolo.py loop_and_detect / v5 detect.py webcam "
+                        "path with an EMA FPS readout)")
+    p.add_argument("--max-frames", type=int, default=0,
+                   help="stop a stream after N frames (0 = run to end)")
+    p.add_argument("--video-looping", action="store_true",
+                   help="replay a finite stream forever (reference camera "
+                        "--video_looping)")
+    p.add_argument("--width", type=int, default=0,
+                   help="capture resize width (reference --do_resize)")
+    p.add_argument("--height", type=int, default=0)
     p.add_argument("--output", default="runs/detect")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--conf-thres", type=float, default=0.25)
@@ -173,10 +188,34 @@ def main(argv=None):
     from PIL import Image
     import jax.numpy as jnp
 
+    is_files = (os.path.isdir(args.source)
+                or args.source.lower().endswith(IMG_EXTS))
+
+    def frames():
+        if is_files:
+            for path in list_images(args.source):
+                yield path, np.asarray(Image.open(path).convert("RGB"),
+                                       np.uint8)
+            return
+        # live/stream path: camera loop with EMA FPS, the trt_yolo.py
+        # loop_and_detect analogue (:130-162) / v5 detect.py webcam branch
+        from rtdm_tpu.data.camera import FrameSource
+        src = FrameSource.open(
+            int(args.source) if args.source.isdigit() else args.source,
+            loop=args.video_looping, width=args.width,
+            height=args.height).start()
+        try:
+            for i, frame in enumerate(src):
+                yield f"frame_{i:05d}", frame
+                if args.max_frames and i + 1 >= args.max_frames:
+                    break
+        finally:
+            src.stop()
+
     times = []
     results = []
-    for path in list_images(args.source):
-        img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    fps_ema = 0.0
+    for path, img in frames():
         boxed, _, _ = letterbox_image(img, args.img_size)
         t0 = time.perf_counter()
         det, count = detector(boxed[None])
@@ -187,7 +226,8 @@ def main(argv=None):
             tuple(img.shape[:2])))[0][:n]
         results.append((path, det))
 
-        stem = os.path.splitext(os.path.basename(path))[0]
+        stem = (os.path.splitext(os.path.basename(path))[0] if is_files
+                else path)
         if not args.nosave:
             annotated = draw_detections(img, det, names,
                                         args.line_thickness,
@@ -218,8 +258,16 @@ def main(argv=None):
                              else str(int(cls)))
                     f.write(f"{cname} {conf:.4f} {x1:.1f} {y1:.1f} "
                             f"{x2:.1f} {y2:.1f}\n")
-        print(f"{path}: {n} detections "
-              f"({times[-1] * 1e3:.1f} ms)")
+        if is_files:
+            print(f"{path}: {n} detections ({times[-1] * 1e3:.1f} ms)")
+        else:
+            # EMA FPS, the show_fps readout (trt_yolo.py:150-158 curr_fps
+            # decay 0.95/0.05; display.py:26 draws it on-frame)
+            inst = 1.0 / max(times[-1], 1e-9)
+            fps_ema = inst if fps_ema == 0.0 else \
+                0.95 * fps_ema + 0.05 * inst
+            print(f"{path}: {n} detections ({times[-1] * 1e3:.1f} ms, "
+                  f"FPS {fps_ema:.1f})")
     if len(times) > 1:
         steady = np.mean(times[1:])
         print(f"avg {steady * 1e3:.1f} ms/frame ({1 / steady:.1f} FPS)")

@@ -294,9 +294,29 @@ def main(argv=None):
     p.add_argument("--plot-dir", default="",
                    help="write test_batch{i}_{labels,pred}.jpg panels for "
                         "the first 3 batches here (yolov5/test.py:215-218)")
+    p.add_argument("--project", default=None,
+                   help="v5 run-dir convention: outputs go to "
+                        "project/name{,2,3...} (yolov5/test.py:61-63)")
+    p.add_argument("--name", default=None, help="run name under --project")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="reuse project/name without incrementing")
     args = p.parse_args(argv)
     from rtdm_tpu.utils.checks import check_img_size
     args.img_size = check_img_size(args.img_size)
+
+    if args.project is not None or args.name is not None:
+        # v5 save-dir convention (test.py:73 increment_path(project/name)):
+        # batch panels land in the run dir, --save-txt/--save-hybrid labels
+        # under its labels/ subdir, unless explicitly routed elsewhere
+        from rtdm_tpu.utils.paths import increment_path
+        save_dir = increment_path(
+            os.path.join(args.project or "runs/test", args.name or "exp"),
+            exist_ok=args.exist_ok)
+        os.makedirs(save_dir, exist_ok=True)
+        args.plot_dir = args.plot_dir or save_dir
+        if (args.save_hybrid or args.save_conf) and not args.save_txt:
+            args.save_txt = os.path.join(save_dir, "labels")
+        print(f"run dir: {save_dir}")
 
     if args.task == "speed":
         # speed benchmark (yolov5/test.py:309-311): each weight runs the

@@ -27,6 +27,21 @@ IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
 VID_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".m4v")
 
 
+def _resize_frame(frame: np.ndarray, wh) -> np.ndarray:
+    """Host-side resize to (w, h) — the --do_resize path. cv2 INTER_LINEAR
+    (what the reference's cv2.resize default does), PIL fallback."""
+    w, h = wh
+    if frame.shape[1] == w and frame.shape[0] == h:
+        return frame
+    try:
+        import cv2
+        return cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.fromarray(frame).resize((w, h),
+                                                        Image.BILINEAR))
+
+
 class FrameSource:
     def __init__(self, uri, live: bool, queue_size: int = 64):
         self.uri = uri
@@ -36,12 +51,28 @@ class FrameSource:
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.frames_read = 0
+        self.loop = False      # --video_looping analogue (camera.py:31-32)
+        self.resize = None     # (w, h) --do_resize/--width/--height analogue
 
     # -- construction ---------------------------------------------------
     @staticmethod
-    def open(uri) -> "FrameSource":
+    def open(uri, loop: bool = False, width: int = 0,
+             height: int = 0) -> "FrameSource":
+        """`loop` replays finite sources forever (the reference's
+        --video_looping, camera.py:31-32 / grab_img loop); `width`/`height`
+        (both > 0) resize every frame on the host before it enters the
+        mailbox (--do_resize --width --height, camera.py:46-51)."""
+        src = FrameSource._open(uri, loop=loop)
+        src.loop = bool(loop)
+        if width > 0 and height > 0:
+            src.resize = (int(width), int(height))
+        return src
+
+    @staticmethod
+    def _open(uri, loop: bool = False) -> "FrameSource":
         if isinstance(uri, (list, tuple)):
-            return _MultiSource([FrameSource.open(u) for u in uri])
+            return _MultiSource([FrameSource.open(u, loop=loop)
+                                 for u in uri])
         if isinstance(uri, int) or (isinstance(uri, str)
                                     and uri.startswith("/dev/video")):
             return _CvSource(uri, live=True)
@@ -66,7 +97,8 @@ class FrameSource:
                     for ln in lines if ln and not ln.startswith("#")]
             if not uris:
                 raise ValueError(f"no sources listed in {uri}")
-            return _MultiSource([FrameSource.open(u) for u in uris])
+            return _MultiSource([FrameSource.open(u, loop=loop)
+                                 for u in uris])
         raise ValueError(f"unrecognized source: {uri!r}")
 
     # -- threaded producer ----------------------------------------------
@@ -76,16 +108,24 @@ class FrameSource:
         return self
 
     def _run(self) -> None:
-        for frame in self._produce():
-            if self._stop.is_set():
+        while True:
+            for frame in self._produce():
+                if self._stop.is_set():
+                    self._queue.put(None)
+                    return
+                if self.resize is not None:
+                    frame = _resize_frame(frame, self.resize)
+                if self.live:
+                    # latest-frame mailbox: drop stale
+                    try:
+                        self._queue.get_nowait()
+                    except queue.Empty:
+                        pass
+                self._queue.put(frame)
+            # finite source exhausted: replay if looping (--video_looping),
+            # else signal end-of-stream
+            if not self.loop or self.live or self._stop.is_set():
                 break
-            if self.live:
-                # latest-frame mailbox: drop stale
-                try:
-                    self._queue.get_nowait()
-                except queue.Empty:
-                    pass
-            self._queue.put(frame)
         self._queue.put(None)  # sentinel
 
     def _produce(self) -> Iterator[np.ndarray]:

@@ -85,6 +85,36 @@ def test_predict_cli(trained, aider_dir, capsys):
     assert 0 <= idx <= 4
 
 
+def test_predict_cli_quant(trained, aider_dir, capsys):
+    """--quant without --engine builds an in-memory engine at that
+    precision — the reference's --trt --quant path
+    (aider-predict.py:36-41,90-96)."""
+    from rtdm_tpu.cli.aider_predict import main
+    config = trained[0]
+    idx = main(["--image", str(aider_dir / "img_35.jpg"),
+                "--model", "squeeze-ernet", "--weights", config.weights,
+                "--quant", "bf16"])
+    out = capsys.readouterr().out
+    assert "prediction:" in out
+    assert 0 <= idx <= 4
+
+
+def test_predict_cli_quant_engine_mismatch(trained, aider_dir, tmp_path,
+                                           capsys):
+    from rtdm_tpu.cli.aider_predict import main as predict_main
+    from rtdm_tpu.cli.build_engine import main as build_main
+    config = trained[0]
+    eng_dir = str(tmp_path / "eng_fp32")
+    build_main(["--model", "squeeze-ernet", "--weights", config.weights,
+                "--quant", "fp32", "--batch-size", "2",
+                "--output", eng_dir])
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="does not match"):
+        predict_main(["--image", str(aider_dir / "img_35.jpg"),
+                      "--model", "squeeze-ernet", "--engine", eng_dir,
+                      "--quant", "int8"])
+
+
 def test_evaluate_cli(trained, aider_dir, capsys):
     from rtdm_tpu.cli.evaluate_classification import main
     config = trained[0]

@@ -179,6 +179,26 @@ def test_yolo_detect_cli_flags(tmp_path):
 
 
 @needs_reference
+def test_yolo_detect_cli_stream_mode(tmp_path, capsys):
+    """Non-file sources run the camera loop (trt_yolo.py loop_and_detect
+    :130-162): .streams listing, frame_{i} stems, EMA FPS readout,
+    --max-frames bound."""
+    from rtdm_tpu.cli.yolo_detect import main
+
+    streams = tmp_path / "cams.streams"
+    streams.write_text(f"{YOLO_DATA / 'custom/test/images'}\n")
+    out = str(tmp_path / "det")
+    results = main([
+        "--cfg", str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--source", str(streams), "--output", out, "--img-size", "192",
+        "--quant", "fp32", "--max-frames", "4", "--nosave",
+    ])
+    assert len(results) == 4
+    assert results[0][0] == "frame_00000"
+    assert "FPS" in capsys.readouterr().out
+
+
+@needs_reference
 def test_yolo_test_save_txt_hybrid_verbose(capsys, tmp_path):
     """--save-txt/--save-conf/--save-hybrid write per-image normalized
     prediction txts with GT rows prepended (yolov5/test.py:120,145-151),
@@ -221,6 +241,34 @@ V5_ROOT = REFERENCE_ROOT / "code/victim_localization/yolov5"
 
 
 @needs_reference
+def test_yolo_test_project_name_run_dir(tmp_path, monkeypatch, capsys):
+    """--project/--name/--exist-ok route outputs through the v5
+    increment_path run-dir convention (yolov5/test.py:61-73) without
+    changing the eval itself."""
+    import rtdm_tpu.cli.yolo_test as yt
+
+    seen = {}
+
+    def fake_evaluate(*a, **kw):
+        seen.update(kw)
+        return {}
+
+    monkeypatch.setattr(yt, "evaluate", fake_evaluate)
+    base = tmp_path / "runs"
+    for expected in ("exp", "exp2"):
+        yt.main(["--cfg", "x.yaml", "--data", "d.yaml",
+                 "--project", str(base), "--name", "exp", "--save-hybrid"])
+        assert seen["plot_dir"] == str(base / expected)
+        assert seen["save_txt_dir"] == str(base / expected / "labels")
+        assert (base / expected).is_dir()
+    # --exist-ok reuses exp instead of bumping to exp3
+    yt.main(["--cfg", "x.yaml", "--data", "d.yaml", "--project", str(base),
+             "--name", "exp", "--exist-ok"])
+    assert seen["plot_dir"] == str(base / "exp")
+    out = capsys.readouterr().out
+    assert "run dir:" in out
+
+
 def test_load_data_spec_both_formats():
     """load_data_spec unifies darknet .data (parse_config.py:55-71) and
     the v5 data yaml (data/aider.yaml consumed by train.py:71-77)."""

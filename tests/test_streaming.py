@@ -60,6 +60,25 @@ def test_multi_source_streams_file(image_dir, tmp_path):
     assert len(list(src2)) == 15
 
 
+def test_frame_source_loop_and_resize(image_dir):
+    """--video_looping / --do_resize analogues (reference camera.py:31-51):
+    loop replays a finite source past its length; width/height resize every
+    frame before the mailbox."""
+    from rtdm_tpu.data.camera import FrameSource
+
+    src = FrameSource.open(image_dir, loop=True, width=64,
+                           height=48).start()
+    frames = [src.read() for _ in range(12)]  # > 2x the 5-image dir
+    src.stop()
+    assert all(f is not None and f.shape == (48, 64, 3) for f in frames)
+
+    # loop off: still ends at 5; resize alone applies
+    src2 = FrameSource.open(image_dir, width=80, height=60).start()
+    frames2 = list(src2)
+    assert len(frames2) == 5
+    assert frames2[0].shape == (60, 80, 3)
+
+
 def test_frame_source_rejects_unknown():
     from rtdm_tpu.data.camera import FrameSource
 
