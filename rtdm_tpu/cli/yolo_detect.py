@@ -111,6 +111,16 @@ def main(argv=None):
                    help="capture resize width (reference --do_resize)")
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--output", default="runs/detect")
+    p.add_argument("--project", default=None,
+                   help="v5 run-dir convention: outputs go to "
+                        "project/name{,2,3...} instead of --output "
+                        "(yolov5/detect.py:171-173)")
+    p.add_argument("--name", default=None, help="run name under --project")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="reuse project/name without incrementing")
+    p.add_argument("--fourcc", default="mp4v",
+                   help="codec for the annotated output video written for "
+                        "video-file sources (yolov3/detect.py:131-137)")
     p.add_argument("--img-size", type=int, default=416)
     p.add_argument("--conf-thres", type=float, default=0.25)
     p.add_argument("--iou-thres", type=float, default=0.45)
@@ -153,6 +163,12 @@ def main(argv=None):
     args = p.parse_args(argv)
     from rtdm_tpu.utils.checks import check_img_size
     args.img_size = check_img_size(args.img_size)
+    if args.project is not None or args.name is not None:
+        from rtdm_tpu.utils.paths import increment_path
+        args.output = increment_path(
+            os.path.join(args.project or "runs/detect", args.name or "exp"),
+            exist_ok=args.exist_ok)
+        print(f"run dir: {args.output}")
 
     import numpy as np
 
@@ -188,8 +204,28 @@ def main(argv=None):
     from PIL import Image
     import jax.numpy as jnp
 
+    from rtdm_tpu.data.camera import VID_EXTS
     is_files = (os.path.isdir(args.source)
                 or args.source.lower().endswith(IMG_EXTS))
+    is_video = args.source.lower().endswith(VID_EXTS)
+    vid_writer = [None]  # lazily opened cv2.VideoWriter for video sources
+
+    def write_video_frame(annotated):
+        # annotated video output for video sources, the reference's
+        # save_path vid_writer branch (yolov3/detect.py:131-137: fourcc
+        # codec, source fps, frame size from the first frame)
+        import cv2
+        if vid_writer[0] is None:
+            cap = cv2.VideoCapture(args.source)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            cap.release()
+            stem = os.path.splitext(os.path.basename(args.source))[0]
+            path = os.path.join(args.output, f"{stem}.mp4")
+            vid_writer[0] = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*args.fourcc),
+                max(fps, 1.0), (annotated.shape[1], annotated.shape[0]))
+            print(f"writing annotated video: {path}")
+        vid_writer[0].write(annotated[:, :, ::-1])  # RGB -> BGR
 
     def frames():
         if is_files:
@@ -232,8 +268,11 @@ def main(argv=None):
             annotated = draw_detections(img, det, names,
                                         args.line_thickness,
                                         args.hide_labels, args.hide_conf)
-            Image.fromarray(annotated).save(
-                os.path.join(args.output, f"{stem}.jpg"))
+            if is_video:
+                write_video_frame(annotated)
+            else:
+                Image.fromarray(annotated).save(
+                    os.path.join(args.output, f"{stem}.jpg"))
         if args.save_crop:
             save_crops(img, det, names,
                        os.path.join(args.output, "crops"), stem)
@@ -268,6 +307,8 @@ def main(argv=None):
                 0.95 * fps_ema + 0.05 * inst
             print(f"{path}: {n} detections ({times[-1] * 1e3:.1f} ms, "
                   f"FPS {fps_ema:.1f})")
+    if vid_writer[0] is not None:
+        vid_writer[0].release()
     if len(times) > 1:
         steady = np.mean(times[1:])
         print(f"avg {steady * 1e3:.1f} ms/frame ({1 / steady:.1f} FPS)")

@@ -1,6 +1,8 @@
 """Detection data + mAP pipeline tests, using the reference's bundled
 mini-dataset (10 real images + labels) as fixtures."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -196,6 +198,44 @@ def test_yolo_detect_cli_stream_mode(tmp_path, capsys):
     assert len(results) == 4
     assert results[0][0] == "frame_00000"
     assert "FPS" in capsys.readouterr().out
+
+
+@needs_reference
+def test_yolo_detect_cli_video_source(tmp_path, capsys):
+    """A video-file source writes ONE annotated output video (fourcc codec,
+    yolov3/detect.py:131-137) instead of per-frame jpgs, and
+    --project/--name route the run dir through increment_path."""
+    import glob as g
+
+    import cv2
+    from PIL import Image
+
+    from rtdm_tpu.cli.yolo_detect import main
+
+    imgs = sorted(g.glob(str(YOLO_DATA / "custom/test/images/*.jpg")))[:4]
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (160, 120))
+    for p in imgs:
+        frame = np.asarray(Image.open(p).convert("RGB").resize((160, 120)))
+        w.write(frame[:, :, ::-1])
+    w.release()
+
+    results = main([
+        "--cfg", str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--source", vid, "--img-size", "192", "--quant", "fp32",
+        "--project", str(tmp_path / "runs"), "--name", "exp",
+    ])
+    assert len(results) == 4
+    out_vid = str(tmp_path / "runs" / "exp" / "in.mp4")
+    assert os.path.exists(out_vid)
+    assert not g.glob(str(tmp_path / "runs" / "exp" / "*.jpg"))
+    cap = cv2.VideoCapture(out_vid)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 4
+    assert "run dir:" in capsys.readouterr().out
 
 
 @needs_reference
