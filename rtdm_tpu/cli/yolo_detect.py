@@ -157,6 +157,12 @@ def main(argv=None):
                    help="box outline width px (yolov5/detect.py:174)")
     p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--classify", metavar="MODEL",
+                   help="second-stage classifier veto over detection "
+                        "crops (apply_classifier, detect.py:43-44): "
+                        "classifier model name, e.g. squeeze-ernet")
+    p.add_argument("--classifier-weights",
+                   help=".pt state_dict | .npz for --classify")
     p.add_argument("--single-label", action="store_true",
                    help="best-class-only rows (the reference's detect path "
                    "defaults to multi-label whenever nc>1, utils.py:488)")
@@ -199,6 +205,13 @@ def main(argv=None):
         raise SystemExit("provide --cfg or --engine")
     names = (load_names(args.names) if args.names
              else default_names(detector.num_classes))
+    second = None
+    if args.classify:
+        from rtdm_tpu.export.second_stage import build_second_stage
+        second = build_second_stage(
+            args.classify, args.classifier_weights,
+            (args.img_size, args.img_size), detector.spec.max_det,
+            quant=args.quant if args.quant != "int8" else "bf16")
 
     os.makedirs(args.output, exist_ok=True)
     from PIL import Image
@@ -255,6 +268,8 @@ def main(argv=None):
         boxed, _, _ = letterbox_image(img, args.img_size)
         t0 = time.perf_counter()
         det, count = detector(boxed[None])
+        if second is not None:  # apply_classifier veto (detect.py:78-79)
+            det, count = second(boxed[None], det, count)
         times.append(time.perf_counter() - t0)
         n = int(count[0])
         det = np.asarray(scale_coords(

@@ -181,6 +181,33 @@ def test_yolo_detect_cli_flags(tmp_path):
 
 
 @needs_reference
+def test_yolo_detect_cli_classify_veto(tmp_path):
+    """--classify runs the apply_classifier second-stage veto
+    (yolov5/detect.py:43-44,78-79): the run completes and every frame's
+    surviving count is <= the unfiltered run's."""
+    import os
+
+    from rtdm_tpu.cli.yolo_detect import main
+
+    cfg = str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg")
+    src = sorted((YOLO_DATA / "custom/test/images").glob("*.jpg"))[0]
+    common = ["--cfg", cfg, "--source", str(src), "--img-size", "192",
+              "--conf-thres", "0.05", "--quant", "fp32", "--max-det", "8",
+              "--nosave"]
+    base = main(common + ["--output", str(tmp_path / "a")])
+    cls_w = ("/root/reference/code/disaster_detection/weights/"
+             "squeeze-ernet-state_dict.pt")
+    if not os.path.exists(cls_w):
+        import pytest
+        pytest.skip("classifier checkpoint unavailable")
+    veto = main(common + ["--output", str(tmp_path / "b"),
+                          "--classify", "squeeze-ernet",
+                          "--classifier-weights", cls_w])
+    assert len(veto) == len(base) == 1
+    assert len(veto[0][1]) <= len(base[0][1])
+
+
+@needs_reference
 def test_yolo_detect_cli_stream_mode(tmp_path, capsys):
     """Non-file sources run the camera loop (trt_yolo.py loop_and_detect
     :130-162): .streams listing, frame_{i} stems, EMA FPS readout,
