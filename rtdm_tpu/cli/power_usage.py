@@ -54,15 +54,20 @@ def main(argv=None):
     from rtdm_tpu.models import create_model
     from rtdm_tpu.utils.profiler import PowerMonitor
 
-    model = create_model(args.model)
-    size = model.image_size
     if args.engine:
         from rtdm_tpu.export.engine import Engine
         engine = Engine.load(args.engine)
+        # the engine's spec is authoritative — its compiled program is
+        # pinned to (batch, size, size, 3); ignoring it in favour of the
+        # --model default would fail deep in XLA with a shape mismatch
+        size = engine.spec.image_size
+        args.batch_size = min(args.batch_size, engine.spec.batch_size)
 
         def forward(u8):
             return engine(u8)
     else:
+        model = create_model(args.model)
+        size = model.image_size
         policy = policy_from_name(args.precision)
         from rtdm_tpu.models.io import load_variables
         variables = load_variables(args.weights)

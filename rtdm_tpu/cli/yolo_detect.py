@@ -163,6 +163,11 @@ def main(argv=None):
                         "classifier model name, e.g. squeeze-ernet")
     p.add_argument("--classifier-weights",
                    help=".pt state_dict | .npz for --classify")
+    p.add_argument("--class-map", nargs="+", metavar="DET:CLS",
+                   help="detector-class -> classifier-class id pairs for "
+                        "--classify, e.g. `0:3 1:4` (required when the two "
+                        "label spaces differ; without it the veto compares "
+                        "raw ids)")
     p.add_argument("--single-label", action="store_true",
                    help="best-class-only rows (the reference's detect path "
                    "defaults to multi-label whenever nc>1, utils.py:488)")
@@ -185,7 +190,26 @@ def main(argv=None):
 
     if args.engine:
         from rtdm_tpu.export.detector import load_detector
-        detector = load_detector(args.engine)
+        # NMS-shaping flags the user explicitly moved off their defaults
+        # override the engine's baked spec (an engine stores the build-time
+        # thresholds; the reference's TrtYOLO likewise takes conf_thres at
+        # run time, trt_yolo.py:38-40) — without this, `--engine --classes 0`
+        # would silently drop the filter
+        overrides = {}
+        for flag, field in (("conf_thres", "conf_thres"),
+                            ("iou_thres", "iou_thres"),
+                            ("nms_method", "nms_method"),
+                            ("max_det", "max_det"),
+                            ("augment", "tta")):
+            if getattr(args, flag) != p.get_default(flag):
+                overrides[field] = getattr(args, flag)
+        if args.single_label:
+            overrides["multi_label"] = False
+        if args.agnostic_nms:
+            overrides["class_agnostic"] = True
+        if args.classes:
+            overrides["classes"] = tuple(args.classes)
+        detector = load_detector(args.engine, spec_overrides=overrides)
         args.img_size = detector.spec.img_size
     elif args.cfg:
         model, variables = load_weights_for_cfg(args.cfg, args.weights,
@@ -208,10 +232,17 @@ def main(argv=None):
     second = None
     if args.classify:
         from rtdm_tpu.export.second_stage import build_second_stage
+        class_map = None
+        if args.class_map:
+            class_map = {}
+            for pair in args.class_map:
+                det_c, cls_c = pair.split(":")
+                class_map[int(det_c)] = int(cls_c)
         second = build_second_stage(
             args.classify, args.classifier_weights,
             (args.img_size, args.img_size), detector.spec.max_det,
-            quant=args.quant if args.quant != "int8" else "bf16")
+            quant=args.quant if args.quant != "int8" else "bf16",
+            class_map=class_map)
 
     os.makedirs(args.output, exist_ok=True)
     from PIL import Image
@@ -261,21 +292,34 @@ def main(argv=None):
         finally:
             src.stop()
 
-    times = []
+    # Unbounded live streams (--max-frames 0 on a webcam/rtsp/.streams
+    # source or a looping video) must not accumulate per-frame state, or a
+    # multi-hour run leaks one det array per frame; finite runs (file
+    # lists, finite videos, --max-frames) keep the full list — it is the
+    # CLI's return value.
+    bounded = (is_files or args.max_frames > 0
+               or (is_video and not args.video_looping))
     results = []
     fps_ema = 0.0
+    dt = 0.0
+    t_steady = 0.0  # cumulative time excluding the first (compile) frame
+    n_frames = 0
     for path, img in frames():
         boxed, _, _ = letterbox_image(img, args.img_size)
         t0 = time.perf_counter()
         det, count = detector(boxed[None])
         if second is not None:  # apply_classifier veto (detect.py:78-79)
             det, count = second(boxed[None], det, count)
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        n_frames += 1
+        if n_frames > 1:
+            t_steady += dt
         n = int(count[0])
         det = np.asarray(scale_coords(
             jnp.asarray(det), (args.img_size, args.img_size),
             tuple(img.shape[:2])))[0][:n]
-        results.append((path, det))
+        if bounded:
+            results.append((path, det))
 
         stem = (os.path.splitext(os.path.basename(path))[0] if is_files
                 else path)
@@ -313,19 +357,19 @@ def main(argv=None):
                     f.write(f"{cname} {conf:.4f} {x1:.1f} {y1:.1f} "
                             f"{x2:.1f} {y2:.1f}\n")
         if is_files:
-            print(f"{path}: {n} detections ({times[-1] * 1e3:.1f} ms)")
+            print(f"{path}: {n} detections ({dt * 1e3:.1f} ms)")
         else:
             # EMA FPS, the show_fps readout (trt_yolo.py:150-158 curr_fps
             # decay 0.95/0.05; display.py:26 draws it on-frame)
-            inst = 1.0 / max(times[-1], 1e-9)
+            inst = 1.0 / max(dt, 1e-9)
             fps_ema = inst if fps_ema == 0.0 else \
                 0.95 * fps_ema + 0.05 * inst
-            print(f"{path}: {n} detections ({times[-1] * 1e3:.1f} ms, "
+            print(f"{path}: {n} detections ({dt * 1e3:.1f} ms, "
                   f"FPS {fps_ema:.1f})")
     if vid_writer[0] is not None:
         vid_writer[0].release()
-    if len(times) > 1:
-        steady = np.mean(times[1:])
+    if n_frames > 1:
+        steady = t_steady / (n_frames - 1)  # excludes the compile frame
         print(f"avg {steady * 1e3:.1f} ms/frame ({1 / steady:.1f} FPS)")
     return results
 

@@ -118,7 +118,13 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
                 scores=d6[:, :, 4])
         for i in range(valid):
             n = int(count[i])
-            d = det[i][:n]
+            d = np.asarray(det[i][:n], np.float32)
+            if single_cls:
+                # collapse the prediction class column like the GT side
+                # (yolov5/test.py:139-140 `pred[:, 5] = 0`): without this a
+                # multi-class model's non-0 detections could never match
+                d = d.copy()
+                d[:, 5] = 0.0
             nl = int(batch["num_labels"][i])
             lab = batch["labels"][i][:nl]
             gt_boxes = np.asarray(xywh_to_xyxy(jnp.asarray(lab[:, 1:5])))
@@ -315,7 +321,9 @@ def main(argv=None):
         os.makedirs(save_dir, exist_ok=True)
         args.plot_dir = args.plot_dir or save_dir
         if (args.save_hybrid or args.save_conf) and not args.save_txt:
-            args.save_txt = os.path.join(save_dir, "labels")
+            # evaluate() appends the labels/ leaf itself, so pass the run
+            # dir — txts land at save_dir/labels (not labels/labels)
+            args.save_txt = save_dir
         print(f"run dir: {save_dir}")
 
     if args.task == "speed":

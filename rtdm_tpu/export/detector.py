@@ -347,7 +347,13 @@ def save_detector(det: Detector, directory: str,
     return directory
 
 
-def load_detector(directory: str, mesh=None) -> Detector:
+def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
+    """Rebuild a saved engine. `spec_overrides` replaces selected
+    DetectorSpec fields (run-time NMS shaping: conf/iou thresholds,
+    classes filter, max_det, ...) before the program is compiled — the
+    engine stores build-time defaults, like TrtYOLO taking conf_thres at
+    construction (trt_yolo.py:38-40)."""
+    import dataclasses
     import json
 
     from rtdm_tpu.models.darknet import Darknet
@@ -361,6 +367,8 @@ def load_detector(directory: str, mesh=None) -> Detector:
     batch_size = raw.pop("batch_size", 1)
     spec = DetectorSpec(**{k: v for k, v in raw.items()
                            if k in DetectorSpec.__dataclass_fields__})
+    if spec_overrides:
+        spec = dataclasses.replace(spec, **spec_overrides)
     with open(os.path.join(directory, "model.txt")) as f:
         model_text = f.read()
     model = (YoloV5(yaml_text=model_text, num_classes=num_classes)

@@ -111,9 +111,11 @@ def check_anchors(dataset, anchors_px: np.ndarray, img_size: int,
     if not len(wh):
         return anchors_px, 1.0, False
     bpr = best_possible_recall(flat, wh, thr)
-    if bpr >= bpr_threshold or len(wh) < flat.shape[0]:
-        # too few labels to cluster: keep the current set (kmeans needs
-        # at least one label per anchor)
+    # too few labels to cluster: keep the current set (kmeans needs at
+    # least one label per anchor). Count AFTER the >=2px filter
+    # kmean_anchors applies, or it can still raise at startup.
+    n_clusterable = int(((wh >= 2.0).any(1)).sum())
+    if bpr >= bpr_threshold or n_clusterable < flat.shape[0]:
         return anchors_px, bpr, False
     new = kmean_anchors(wh, n=flat.shape[0], img_size=img_size, thr=thr,
                         gen=gen)

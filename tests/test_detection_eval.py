@@ -326,7 +326,9 @@ def test_yolo_test_project_name_run_dir(tmp_path, monkeypatch, capsys):
         yt.main(["--cfg", "x.yaml", "--data", "d.yaml",
                  "--project", str(base), "--name", "exp", "--save-hybrid"])
         assert seen["plot_dir"] == str(base / expected)
-        assert seen["save_txt_dir"] == str(base / expected / "labels")
+        # evaluate() appends the labels/ leaf itself, so main must hand it
+        # the run dir (txts land at save_dir/labels, not labels/labels)
+        assert seen["save_txt_dir"] == str(base / expected)
         assert (base / expected).is_dir()
     # --exist-ok reuses exp instead of bumping to exp3
     yt.main(["--cfg", "x.yaml", "--data", "d.yaml", "--project", str(base),
@@ -414,3 +416,72 @@ def test_log_dataset_cli(capsys, tmp_path):
     logs = g.glob(os.path.join(proj, "dataset.jsonl"))
     assert logs and any(json.loads(ln).get("event") == "artifact"
                         for ln in open(logs[0]))
+
+
+def test_yolo_test_single_cls_collapses_pred_classes(tmp_path, monkeypatch):
+    """--single-cls must zero the prediction class column like the GT side
+    (yolov5/test.py:139-140 `pred[:, 5] = 0`): a pixel-perfect class-1
+    detection on a (collapsed) class-0 GT scores mAP 1.0, not 0."""
+    from PIL import Image
+
+    import rtdm_tpu.cli.yolo_detect as yd
+    import rtdm_tpu.export.detector as ed
+    from rtdm_tpu.cli.yolo_test import evaluate
+
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+        img_dir / "a.jpg")
+    (lab_dir / "a.txt").write_text("0 0.5 0.5 0.5 0.5\n")
+    (tmp_path / "valid.txt").write_text(str(img_dir / "a.jpg") + "\n")
+    (tmp_path / "x.names").write_text("person\nvehicle\n")
+    (tmp_path / "x.data").write_text(
+        f"classes=2\nvalid={tmp_path / 'valid.txt'}\n"
+        f"names={tmp_path / 'x.names'}\n")
+
+    class FakeDetector:
+        def __init__(self, model, variables, spec, batch_size=8, **kw):
+            self.spec = spec
+            self.num_classes = 2
+
+        def __call__(self, images):
+            b = images.shape[0]
+            det = np.zeros((b, 8, 6), np.float32)
+            det[:, 0] = [16, 16, 48, 48, 0.9, 1.0]  # exact GT box, class 1
+            return det, np.ones((b,), np.int32)
+
+    monkeypatch.setattr(ed, "Detector", FakeDetector)
+    monkeypatch.setattr(yd, "load_weights_for_cfg",
+                        lambda *a, **kw: (None, None))
+    res = evaluate("fake.cfg", str(tmp_path / "x.data"), None, img_size=64,
+                   batch_size=1, num_workers=0, single_cls=True)
+    assert res["map50"] > 0.9, res
+
+
+def test_check_anchors_survives_subpixel_labels():
+    """The too-few-labels guard must count labels AFTER kmean_anchors'
+    >=2px filter: 8 labels of which only 5 survive vs 6 anchors keeps the
+    current set instead of raising at training startup."""
+    from rtdm_tpu.train.autoanchor import check_anchors
+
+    class TinyDs:
+        # 5 clusterable labels + 3 sub-2px ones, normalized at img 416
+        labels = [np.array([[0, .5, .5, .10, .12],
+                            [0, .5, .5, .20, .18],
+                            [0, .5, .5, .30, .25],
+                            [0, .5, .5, .002, .002],
+                            [0, .5, .5, .001, .003]], np.float32),
+                  np.array([[0, .5, .5, .40, .35],
+                            [0, .5, .5, .45, .50],
+                            [0, .5, .5, .001, .001]], np.float32)]
+
+        def __len__(self):
+            return 2
+
+    bad = np.array([[400, 10], [10, 400], [5, 5],
+                    [416, 416], [1, 50], [50, 1]], np.float32)
+    out, bpr, evolved = check_anchors(TinyDs(), bad, 416, gen=10)
+    assert not evolved
+    np.testing.assert_array_equal(out, bad)

@@ -146,6 +146,19 @@ def test_detector_engine_save_load(tmp_path):
     assert det2.spec.conf_thres == 0.3 and det2.spec.img_size == 224
     # nc rides along so CLIs can pick default class names (get_cls_dict)
     assert det.num_classes == 2 and det2.num_classes == 2
+    # run-time NMS shaping overrides the baked spec (TrtYOLO takes
+    # conf_thres at construction, trt_yolo.py:38-40) — yolo_detect
+    # --engine --classes/--max-det must not be silently dropped
+    det3 = load_detector(str(tmp_path / "deteng"),
+                         spec_overrides={"conf_thres": 0.9, "max_det": 7,
+                                         "classes": (0,)})
+    assert det3.spec.conf_thres == 0.9 and det3.spec.max_det == 7
+    d3, c3 = det3(frames)
+    assert d3.shape[1] == 7
+    for i in range(2):
+        assert int(c3[i]) <= 7
+        kept = np.asarray(d3[i][:int(c3[i])])
+        assert np.all(kept[:, 4] >= 0.9) and np.all(kept[:, 5] == 0)
 
 
 def test_int8_detector_calibrated_engine(tmp_path):
