@@ -87,7 +87,10 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     else:
         iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
                 else np.array([map_iou]))
-    ev = DetectionEvaluator(nc, iouv)
+    # per-family metric conventions (AP sentinels + reported-P/R operating
+    # point): yolov3 vs yolov5 diverge — see eval/map.py ap_per_class
+    family = "v5" if cfg.endswith((".yaml", ".yml")) else "v3"
+    ev = DetectionEvaluator(nc, iouv, family=family)
     from rtdm_tpu.eval.map import DetectionConfusionMatrix
     cm = DetectionConfusionMatrix(nc) if confusion else None
     t_infer = 0.0

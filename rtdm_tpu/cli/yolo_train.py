@@ -680,7 +680,8 @@ def train(args):
             # darknet fitness only reads mAP@0.5 (yolov3/test.py:53-54)
             ev = DetectionEvaluator(
                 nc, np.linspace(0.5, 0.95, 10) if is_v5
-                else np.array([0.5]))
+                else np.array([0.5]),
+                family="v5" if is_v5 else "v3")
             for batch, valid in val_loader:
                 det, count = jax.device_get(eval_step(
                     ev_params, ev_stats, jnp.asarray(batch["image"])))

@@ -36,7 +36,12 @@ def match_predictions(pred: np.ndarray, gt_boxes: np.ndarray,
                       gt_cls: np.ndarray,
                       iouv: np.ndarray) -> np.ndarray:
     """Greedy per-class matching. pred: (P,6) x1y1x2y2,conf,cls (sorted by
-    conf desc). Returns tp: (P, len(iouv)) bool."""
+    conf desc, as NMS emits). Returns tp: (P, len(iouv)) bool.
+
+    Reference-exact (yolov3/test.py:144-161 == yolov5/test.py:190-208):
+    walk predictions of class c in row order, match each to its best-IoU
+    unconsumed target; strict `ious > iouv` for both the match gate and
+    the per-threshold correctness vector."""
     tp = np.zeros((len(pred), len(iouv)), bool)
     if len(pred) == 0 or len(gt_boxes) == 0:
         return tp
@@ -49,22 +54,31 @@ def match_predictions(pred: np.ndarray, gt_boxes: np.ndarray,
         best_t = ious.argmax(1)
         best_iou = ious.max(1)
         used = set()
-        for j in np.argsort(-pred[pi, 4]):
-            if best_iou[j] >= iouv[0] and best_t[j] not in used:
+        for j in range(len(pi)):
+            if best_iou[j] > iouv[0] and best_t[j] not in used:
                 used.add(best_t[j])
-                tp[pi[j]] = best_iou[j] >= iouv
+                tp[pi[j]] = best_iou[j] > iouv
                 if len(used) == len(ti):
                     break
     return tp
 
 
 def compute_ap(recall: Sequence[float], precision: Sequence[float],
-               method: str = "interp101") -> float:
-    """AP from raw PR points. 'interp101' = 101-point interpolation
-    (utils.py:208-233's default); 'continuous' = exact area under the
-    monotone envelope (v5 metrics.py behaviour)."""
-    mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
-    mpre = np.concatenate(([1.0], precision, [0.0]))
+               method: str = "interp101", family: str = "v5") -> float:
+    """AP from raw PR points. 'interp101' = 101-point interpolation (both
+    references' default); 'continuous' = exact area under the monotone
+    envelope. The two references use DIFFERENT sentinel points:
+    family='v5' (metrics.py:88-91) prepends precision 1.0 and extends the
+    recall tail by 0.01; family='v3' (utils.py:218-220) prepends precision
+    0.0 (envelope start = max precision) and caps the recall tail at
+    min(recall[-1]+1e-3, 1)."""
+    if family == "v3":
+        mrec = np.concatenate(
+            ([0.0], recall, [min(recall[-1] + 1e-3, 1.0)]))
+        mpre = np.concatenate(([0.0], precision, [0.0]))
+    else:
+        mrec = np.concatenate(([0.0], recall, [recall[-1] + 0.01]))
+        mpre = np.concatenate(([1.0], precision, [0.0]))
     mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
     if method == "interp101":
         x = np.linspace(0, 1, 101)
@@ -75,41 +89,65 @@ def compute_ap(recall: Sequence[float], precision: Sequence[float],
 
 def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
                  target_cls: np.ndarray, num_classes: int,
-                 method: str = "interp101"
+                 method: str = "interp101", family: str = "v5"
                  ) -> Dict[str, np.ndarray]:
     """Aggregate AP/P/R per class over the dataset.
 
     tp: (N, K) bool over K IoU thresholds; conf/pred_cls: (N,);
     target_cls: all ground-truth class ids concatenated.
     Returns dict with p, r, ap (C, K), f1 (C,), classes present.
+
+    The P/R operating point differs between the two references:
+    family='v5' (metrics.py:41-79) interpolates each class's P/R curve
+    onto a shared 1000-point confidence grid and reports every class at
+    the single grid index maximizing the class-mean F1; family='v3'
+    (utils.py:165-186) reports each class's P/R interpolated at
+    confidence 0.1. AP is unaffected (but see compute_ap's per-family
+    sentinels).
     """
-    order = np.argsort(-conf)
+    order = np.argsort(-conf, kind="stable")
     tp, conf, pred_cls = tp[order], conf[order], pred_cls[order]
     k = tp.shape[1] if tp.ndim > 1 else 1
     classes = np.unique(target_cls).astype(int)
     p = np.zeros((num_classes, k))
     r = np.zeros((num_classes, k))
     ap = np.zeros((num_classes, k))
+    px = np.linspace(0, 1, 1000)
+    p_curve = np.zeros((num_classes, 1000))
+    r_curve = np.zeros((num_classes, 1000))
+    scored = []
     for c in classes:
         mask = pred_cls == c
         n_gt = int((target_cls == c).sum())
         n_p = int(mask.sum())
         if n_p == 0 or n_gt == 0:
             continue
+        scored.append(c)
         fpc = np.cumsum(~tp[mask], axis=0)
         tpc = np.cumsum(tp[mask], axis=0)
         recall = tpc / (n_gt + 1e-16)
         precision = tpc / np.maximum(tpc + fpc, 1e-16)
         for ki in range(k):
-            ap[c, ki] = compute_ap(recall[:, ki], precision[:, ki], method)
-        # P/R reported at the max-F1 confidence of the 0.5-IoU column
-        # (the reference reports final-point values; we use the same
-        # convention as v5: value at best F1)
-        f1c = 2 * precision[:, 0] * recall[:, 0] / \
-            np.maximum(precision[:, 0] + recall[:, 0], 1e-16)
-        best = int(np.argmax(f1c))
-        p[c] = precision[best]
-        r[c] = recall[best]
+            ap[c, ki] = compute_ap(recall[:, ki], precision[:, ki],
+                                   method, family)
+        if family == "v3":
+            # P/R at confidence 0.1 (utils.py:165,183-186; negated x
+            # because np.interp needs increasing xp)
+            p[c] = np.interp(-0.1, -conf[mask], precision[:, 0])
+            r[c] = np.interp(-0.1, -conf[mask], recall[:, 0])
+        else:
+            r_curve[c] = np.interp(-px, -conf[mask], recall[:, 0], left=0)
+            p_curve[c] = np.interp(-px, -conf[mask], precision[:, 0],
+                                   left=1)
+    if family != "v3" and scored:
+        # single global operating point: grid index maximizing the mean F1
+        # over scored classes (metrics.py:78 `i = f1.mean(0).argmax()`)
+        f1_curve = 2 * p_curve[scored] * r_curve[scored] / np.maximum(
+            p_curve[scored] + r_curve[scored], 1e-16)
+        best = int(np.argmax(f1_curve.mean(axis=0)))
+        for c in scored:
+            p[c] = p_curve[c, best]
+            r[c] = r_curve[c, best]
     f1 = 2 * p[:, 0] * r[:, 0] / np.maximum(p[:, 0] + r[:, 0], 1e-16)
     return {"p": p, "r": r, "ap": ap, "f1": f1, "classes": classes}
 
@@ -143,9 +181,15 @@ class DetectionConfusionMatrix:
             vals = iou[matches[:, 0], matches[:, 1]]
             order = np.argsort(-vals)
             matches = matches[order]
-            # unique per detection then per gt (metrics.py:128-133)
+            # unique per detection then per gt, re-sorting by IoU desc
+            # between the passes (metrics.py:135-139 — np.unique returns
+            # rows ordered by value, so without the second sort the per-gt
+            # dedup would keep the lowest-detection-index match, not the
+            # highest-IoU one)
             matches = matches[np.unique(matches[:, 1],
                                         return_index=True)[1]]
+            vals = iou[matches[:, 0], matches[:, 1]]
+            matches = matches[np.argsort(-vals)]
             matches = matches[np.unique(matches[:, 0],
                                         return_index=True)[1]]
         matched_gt = set(matches[:, 0]) if len(matches) else set()
@@ -199,11 +243,12 @@ class DetectionEvaluator:
 
     def __init__(self, num_classes: int,
                  iouv: Optional[np.ndarray] = None,
-                 method: str = "interp101"):
+                 method: str = "interp101", family: str = "v5"):
         self.num_classes = num_classes
         self.iouv = (iouv if iouv is not None
                      else np.linspace(0.5, 0.95, 10))
         self.method = method
+        self.family = family  # per-family AP sentinels + P/R convention
         self._tp: List[np.ndarray] = []
         self._conf: List[np.ndarray] = []
         self._cls: List[np.ndarray] = []
@@ -228,7 +273,7 @@ class DetectionEvaluator:
         stats = ap_per_class(np.concatenate(self._tp),
                              np.concatenate(self._conf),
                              np.concatenate(self._cls), tcls,
-                             self.num_classes, self.method)
+                             self.num_classes, self.method, self.family)
         present = stats["classes"]
         if len(present) == 0:
             return {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0,

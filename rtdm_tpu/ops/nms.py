@@ -134,6 +134,11 @@ def batched_nms(pred: jax.Array,
     yolov5 general.py:536: rows filtered on the FINAL class column, after
     best-class/multi-label assignment).
     """
+    if method not in ("greedy", "or", "vision_batch", "merge", "soft",
+                      "and"):
+        # user-facing (spec.json nms_method / --nms-method); an unknown
+        # string must not silently run greedy semantics
+        raise ValueError(f"unknown NMS method {method!r}")
     nc = pred.shape[-1] - 5
     multi = multi_label and nc > 1
     allowed = None
@@ -187,14 +192,28 @@ def batched_nms(pred: jax.Array,
         iou = box_iou_matrix(nms_boxes, nms_boxes)
 
         if method == "soft":
-            # soft-NMS (utils.py:585-597's variant): instead of killing
-            # overlapped boxes, decay their score by prod(1 - iou) with
-            # all higher-scoring boxes, then re-threshold.
-            upper = jnp.triu(iou, k=1)  # iou with higher-scored j<i is
-            decay = jnp.prod(1.0 - jnp.where(upper > iou_thres, upper, 0.0),
-                             axis=0)
-            soft_scores = top_scores * decay
-            keep = valid & (soft_scores > conf_thres)
+            # soft-NMS, reference-exact (utils.py:610-618, arXiv
+            # 1704.04503): walk candidates in original score order; each
+            # emitted box Gaussian-decays every later same-class box by
+            # exp(-iou^2/0.5) (ANY overlap, not just > iou_thres — the
+            # class-offset boxes make cross-class iou 0, i.e. decay 1);
+            # boxes whose decayed score falls <= conf_thres are dropped
+            # and decay nobody. Emitted confidences are the decayed ones.
+            sigma = 0.5
+            kk = iou.shape[0]
+            pos = jnp.arange(kk)
+
+            def soft_body(i, carry):
+                scores, keep = carry
+                alive = valid[i] & (scores[i] > conf_thres)
+                decay = jnp.exp(-jnp.square(iou[i]) / sigma)
+                scores = jnp.where((pos > i) & alive, scores * decay,
+                                   scores)
+                return scores, keep.at[i].set(alive)
+
+            soft_scores, keep = jax.lax.fori_loop(
+                0, kk, soft_body,
+                (top_scores, jnp.zeros((kk,), bool)))
             top_scores = jnp.where(keep, soft_scores, 0.0)
         elif method == "and":
             keep = _and_keep(iou, valid,

@@ -32,7 +32,10 @@ def decode_head(p: jax.Array, anchors_px: jax.Array, img_size: int,
     b, ny, nx, _ = p.shape
     na = anchors_px.shape[0]
     no = num_classes + 5
-    stride = img_size / max(nx, ny)
+    # per-axis stride (yolo_layer.cu derives x/y scale from input w/h vs
+    # yolo w/h independently); identical for the square heads every square
+    # input produces, correct for ny != nx
+    stride = jnp.array([img_size / nx, img_size / ny], jnp.float32)
     p = p.reshape(b, ny, nx, na, no).astype(jnp.float32)
 
     gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)

@@ -485,3 +485,63 @@ def test_check_anchors_survives_subpixel_labels():
     out, bpr, evolved = check_anchors(TinyDs(), bad, 416, gen=10)
     assert not evolved
     np.testing.assert_array_equal(out, bad)
+
+
+def test_compute_ap_family_sentinels():
+    """v3 and v5 use different AP sentinels (utils.py:218-220 vs
+    metrics.py:88-91): with a top-ranked FP, v3's envelope starts at the
+    max achieved precision while v5's starts at 1.0."""
+    # [FP conf .9, TP conf .8], 1 GT -> recall [0, 1], precision [0, .5]
+    recall, precision = [0.0, 1.0], [0.0, 0.5]
+    ap_v3 = compute_ap(recall, precision, family="v3")
+    ap_v5 = compute_ap(recall, precision, family="v5")
+    assert ap_v5 > ap_v3  # v5's 1.0-precision sentinel inflates the head
+    # both are ~0.5 (the TP segment), differing by the head/tail points
+    assert 0.45 < ap_v3 < 0.55 and 0.45 < ap_v5 < 0.55
+    # reference-exact values (transcribed sentinel formulas, 101-pt trapz)
+    def ref_ap(mrec, mpre):
+        mpre = np.flip(np.maximum.accumulate(np.flip(mpre)))
+        x = np.linspace(0, 1, 101)
+        return float(np.trapezoid(np.interp(x, mrec, mpre), x))
+    want_v3 = ref_ap(np.array([0.0, 0.0, 1.0, 1.0]),
+                     np.array([0.0, 0.0, 0.5, 0.0]))
+    want_v5 = ref_ap(np.array([0.0, 0.0, 1.0, 1.01]),
+                     np.array([1.0, 0.0, 0.5, 0.0]))
+    assert ap_v3 == pytest.approx(want_v3, abs=1e-9)
+    assert ap_v5 == pytest.approx(want_v5, abs=1e-9)
+    # perfect detector: both conventions agree at ~1
+    assert compute_ap([1.0], [1.0], family="v3") == pytest.approx(1.0,
+                                                                  abs=0.02)
+
+
+def test_ap_per_class_family_operating_points():
+    """family='v3' reports P/R interpolated at conf 0.1 (utils.py:165),
+    family='v5' at the shared best-mean-F1 grid point (metrics.py:78)."""
+    # class 0: TP at conf .9, FP at conf .05 -> at conf 0.1: P=1, R=1
+    tp = np.array([[True], [False]])
+    conf = np.array([0.9, 0.05])
+    cls = np.array([0, 0])
+    tcls = np.array([0])
+    v3 = ap_per_class(tp, conf, cls, tcls, 1, family="v3")
+    # reference formula: P interpolated at conf 0.1 between the curve
+    # points (conf .9, P 1.0) and (conf .05, P 0.5) -> ~0.529; R stays 1.0
+    want_p = float(np.interp(-0.1, -conf, np.array([1.0, 0.5])))
+    assert v3["p"][0, 0] == pytest.approx(want_p, abs=1e-9)
+    assert v3["r"][0, 0] == pytest.approx(1.0)
+    v5 = ap_per_class(tp, conf, cls, tcls, 1, family="v5")
+    # v5's best-F1 grid point lands just before the FP enters: P~1, R=1
+    # (1e-3 slack: the 1000-point conf grid interpolates, metrics.py:41)
+    assert v5["p"][0, 0] == pytest.approx(1.0, abs=1e-3)
+    assert v5["r"][0, 0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_match_predictions_strict_threshold():
+    """TP matching uses strict > (both references: `ious > iouv`): IoU
+    exactly at the threshold is NOT a match."""
+    gt = np.array([[0.0, 0.0, 1.0, 2.0]])
+    # overlap box [0,0,1,1] vs gt [0,0,1,2]: inter 1, union 2 -> IoU 0.5
+    pred = np.array([[0.0, 0.0, 1.0, 1.0, 0.9, 0.0]])
+    tp = match_predictions(pred, gt, np.array([0]), np.array([0.5]))
+    assert not tp.any()
+    tp = match_predictions(pred, gt, np.array([0]), np.array([0.499]))
+    assert tp.all()

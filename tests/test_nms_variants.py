@@ -88,3 +88,83 @@ def test_fuse_conv_bn_matches_separate(rng):
     fk, fb = fuse_conv_bn(np.asarray(k), None, gamma, beta, mean, var, eps)
     got = conv2d(x, jnp.asarray(fk), jnp.asarray(fb), padding=1)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def _ref_soft_nms(rows, iou_thres, conf_thres, sigma=0.5):
+    """Reference soft-NMS loop, transcribed semantics (utils.py:610-618):
+    emit head in original conf order, Gaussian-decay later boxes by
+    exp(-iou^2/sigma) for ANY overlap, drop below conf_thres."""
+    def iou_vec(a, b):
+        lt = np.maximum(a[:2], b[:, :2])
+        rb = np.minimum(a[2:4], b[:, 2:4])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        area_a = (a[2] - a[0]) * (a[3] - a[1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / np.maximum(area_a + area_b - inter, 1e-9)
+
+    out = []
+    dc = rows.copy()
+    while len(dc):
+        out.append(dc[0].copy())
+        if len(dc) == 1:
+            break
+        iou = iou_vec(dc[0], dc[1:])
+        dc = dc[1:].copy()
+        dc[:, 4] *= np.exp(-iou ** 2 / sigma)
+        dc = dc[dc[:, 4] > conf_thres]
+    out = np.stack(out)
+    return out[np.argsort(-out[:, 4], kind="stable")]
+
+
+def test_soft_nms_matches_reference_loop():
+    """method='soft' reproduces the reference's Gaussian soft-NMS exactly
+    (decay for ANY overlap, iterative, emitted conf = decayed conf,
+    conf_thres dropout mid-chain)."""
+    rng = np.random.default_rng(3)
+    n = 24
+    pred = np.zeros((1, n, 6), np.float32)
+    cx = rng.uniform(40, 160, n)
+    cy = rng.uniform(40, 160, n)
+    wh = rng.uniform(20, 60, (n, 2))
+    conf = np.sort(rng.uniform(0.2, 0.95, n))[::-1].copy()
+    pred[0, :, 0], pred[0, :, 1] = cx, cy
+    pred[0, :, 2:4] = wh
+    pred[0, :, 4] = conf
+    pred[0, :, 5] = 1.0  # single class, prob 1 -> score == obj
+
+    conf_thres, iou_thres = 0.15, 0.5
+    det, cnt = batched_nms(jnp.asarray(pred), conf_thres, iou_thres,
+                           n, n, method="soft")
+    got = np.asarray(det)[0][: int(cnt[0])]
+
+    xyxy = np.concatenate([pred[0, :, :2] - wh / 2,
+                           pred[0, :, :2] + wh / 2,
+                           conf[:, None]], axis=1)
+    want = _ref_soft_nms(xyxy, iou_thres, conf_thres)
+    assert len(got) == len(want), (len(got), len(want))
+    np.testing.assert_allclose(got[:, 4], want[:, 4], rtol=1e-5)
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-4)
+
+
+def test_batched_nms_rejects_unknown_method():
+    pred = _two_overlapping_one_far()
+    with pytest.raises(ValueError, match="unknown NMS method"):
+        batched_nms(jnp.asarray(pred), 0.1, 0.5, 8, 3, method="vision")
+
+
+def test_confusion_matrix_keeps_highest_iou_match():
+    """A GT overlapping two detections must be matched to the higher-IoU
+    one (metrics.py:135-139's double sort), not the lower detection
+    index."""
+    gt = np.array([[0.0, 0.0, 10.0, 10.0]])
+    gt_cls = np.array([0])
+    det = np.array([
+        [0.0, 0.0, 10.0, 16.0, 0.9, 1.0],   # class 1, IoU 0.625
+        [0.0, 0.0, 10.0, 10.5, 0.8, 0.0],   # class 0, IoU ~0.95
+    ], np.float32)
+    cm = DetectionConfusionMatrix(2, conf=0.25, iou_thres=0.45)
+    cm.process_batch(det, gt, gt_cls)
+    assert cm.matrix[0, 0] == 1       # best-IoU det (class 0) matches gt
+    assert cm.matrix[1, 2] == 1       # class-1 det is a background FP
+    assert cm.matrix[2, 0] == 0       # gt is NOT counted as a miss
