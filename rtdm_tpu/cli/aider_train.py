@@ -261,7 +261,8 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
                               config=dataclasses.asdict(config))
 
     stopper = EarlyStopping(config.patience)
-    plateau = (PlateauScaler(patience=max(config.epochs // 3, 1))
+    plateau = (PlateauScaler(patience=max(config.epochs // 3, 1),
+                             base_lr=config.lr, min_lr=config.min_lr)
                if config.scheduler == "reduce" else None)
     base_rng = jax.random.key(config.seed + 1)
     best_val = float("inf")

@@ -93,9 +93,11 @@ class AiderDataset:
         return np.array([lbl for _, lbl in self.samples], np.int32)
 
     def class_weights(self) -> np.ndarray:
-        counts = np.bincount(self.labels, minlength=len(CLASS_NAMES))
-        counts = np.maximum(counts, 1)
-        return (counts.sum() / (len(CLASS_NAMES) * counts)).astype(np.float32)
+        # one implementation: the reference-normalized inverse-frequency
+        # weights (model/focal_loss.py:51-63 — sums to 1)
+        from rtdm_tpu.train.losses import inverse_frequency_class_weights
+        return inverse_frequency_class_weights(self.labels,
+                                               len(CLASS_NAMES))
 
     # ------------------------------------------------------------------
     def load(self, idx: int, rng: Optional[np.random.Generator] = None

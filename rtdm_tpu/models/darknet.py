@@ -181,7 +181,11 @@ class Darknet(nn.Module):
                 stride = int(d.get("stride", 1))
                 pad = (k - 1) // 2 if d.get("pad", 0) else 0
                 bn = bool(d.get("batch_normalize", 0))
+                # grouped conv (models.py:33 passes mdef['groups']); the
+                # .weights loader needs no change — counts follow the
+                # (kh,kw,cin/g,cout) kernel shape
                 x = Conv(int(d["filters"]), k, stride, pad,
+                         groups=int(d.get("groups", 1)),
                          use_bias=not bn, name=f"l{i}_conv")(x)
                 if bn:
                     x = BatchNorm(momentum=0.003, epsilon=1e-4,

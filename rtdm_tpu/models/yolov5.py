@@ -246,16 +246,23 @@ class SPP(nn.Module):
 
 
 class DWConv(nn.Module):
+    """Depthwise Conv (common.py DWConv subclasses Conv, so its torch keys
+    are conv/bn at its OWN level — params here mirror that flat layout so
+    checkpoint keys map 1:1)."""
     c2: int
     k: int = 1
     s: int = 1
+    act: bool = True
     bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train=False):
         g = math.gcd(x.shape[-1], self.c2)
-        return ConvBnSiLU(self.c2, self.k, self.s, g=g,
-                          bn_axis=self.bn_axis, name="conv")(x, train)
+        x = RawConv(self.c2, self.k, self.s, autopad(self.k, None),
+                    groups=g, use_bias=False, name="conv")(x)
+        x = BatchNorm(momentum=0.03, epsilon=1e-3, axis_name=self.bn_axis,
+                      name="bn")(x, train)
+        return jax.nn.silu(x) if self.act else x
 
 
 class CrossConv(nn.Module):
@@ -283,19 +290,25 @@ class GhostConv(nn.Module):
     c2: int
     k: int = 1
     s: int = 1
+    act: bool = True  # reference GhostConv threads act to BOTH convs
     bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c_ = self.c2 // 2
-        y = ConvBnSiLU(c_, self.k, self.s, bn_axis=self.bn_axis,
-                       name="cv1")(x, train)
-        y2 = ConvBnSiLU(c_, 5, 1, g=c_, bn_axis=self.bn_axis,
-                        name="cv2")(y, train)
+        y = ConvBnSiLU(c_, self.k, self.s, act=self.act,
+                       bn_axis=self.bn_axis, name="cv1")(x, train)
+        y2 = ConvBnSiLU(c_, 5, 1, g=c_, act=self.act,
+                        bn_axis=self.bn_axis, name="cv2")(y, train)
         return jnp.concatenate([y, y2], -1)
 
 
 class GhostBottleneck(nn.Module):
+    """Reference-exact (experimental.py:58-71): pw GhostConv (SiLU) ->
+    [s==2 only] DWConv act=False -> pw-linear GhostConv act=False; the
+    learned DWConv+Conv shortcut exists ONLY for s==2 (s==1 adds the
+    input directly, so c1 must equal c2 there — same constraint torch
+    enforces by shape error)."""
     c2: int
     k: int = 3
     s: int = 1
@@ -306,14 +319,14 @@ class GhostBottleneck(nn.Module):
         c_ = self.c2 // 2
         y = GhostConv(c_, 1, 1, bn_axis=self.bn_axis, name="conv0")(x, train)
         if self.s == 2:
-            y = DWConv(c_, self.k, self.s, bn_axis=self.bn_axis,
-                       name="conv1")(y, train)
-        y = GhostConv(self.c2, 1, 1, bn_axis=self.bn_axis,
+            y = DWConv(c_, self.k, self.s, act=False,
+                       bn_axis=self.bn_axis, name="conv1")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=False, bn_axis=self.bn_axis,
                       name="conv2")(y, train)
-        if self.s == 1 and x.shape[-1] == self.c2:
+        if self.s != 2:
             return x + y
-        sc = DWConv(x.shape[-1], self.k, self.s, bn_axis=self.bn_axis,
-                    name="sc_dw")(x, train)
+        sc = DWConv(x.shape[-1], self.k, self.s, act=False,
+                    bn_axis=self.bn_axis, name="sc_dw")(x, train)
         sc = ConvBnSiLU(self.c2, 1, act=False, bn_axis=self.bn_axis,
                         name="sc_pw")(sc, train)
         return y + sc
@@ -462,9 +475,6 @@ class YoloV5(nn.Module):
 
     def setup(self):
         d = parse_v5_yaml(self.yaml_text, self.num_classes)
-        self.cfg = d
-        self.plan = tuple(
-            tuple(sorted(e.items())) for e in build_plan(d))  # hashable
         anchors = d["anchors"]
         self.nc = d["nc"]
         self.anchors_px = np.array(anchors, np.float32).reshape(
@@ -492,21 +502,28 @@ class YoloV5(nn.Module):
                 else [x if j == -1 else outputs[j] for j in f]
             name = f"m{i}"
             ax = self.bn_axis
-            if m == "Focus":
-                x = Focus(args[0], *args[1:], bn_axis=ax, name=name)(
-                    src, train)
-            elif m == "Conv":
-                x = ConvBnSiLU(args[0], *args[1:], bn_axis=ax,
-                               name=name)(src, train)
-            elif m == "DWConv":
-                x = DWConv(args[0], *args[1:], bn_axis=ax, name=name)(
-                    src, train)
-            elif m == "Bottleneck":
-                x = src
+
+            def repeat(build, src=None, name=name, n=n):
+                # n>1 on a non-C3/CSP module is nn.Sequential repetition
+                # (yolo.py parse_model:278 `nn.Sequential(*[m(*args) ...])`;
+                # torch keys model.{i}.{j}.* -> params m{i}_{j})
+                y = src
                 for j in range(n):
-                    x = Bottleneck(args[0], *args[1:], bn_axis=ax,
-                                   name=f"{name}_{j}" if n > 1 else name)(
-                        x, train)
+                    y = build(f"{name}_{j}" if n > 1 else name)(y, train)
+                return y
+
+            if m == "Focus":
+                x = repeat(lambda nm: Focus(args[0], *args[1:], bn_axis=ax,
+                                            name=nm), src)
+            elif m == "Conv":
+                x = repeat(lambda nm: ConvBnSiLU(args[0], *args[1:],
+                                                 bn_axis=ax, name=nm), src)
+            elif m == "DWConv":
+                x = repeat(lambda nm: DWConv(args[0], *args[1:], bn_axis=ax,
+                                             name=nm), src)
+            elif m == "Bottleneck":
+                x = repeat(lambda nm: Bottleneck(args[0], *args[1:],
+                                                 bn_axis=ax, name=nm), src)
             elif m == "C3":
                 sc = args[1] if len(args) > 1 else True
                 x = C3(args[0], n=n, shortcut=sc, bn_axis=ax,
@@ -521,21 +538,23 @@ class YoloV5(nn.Module):
                                   name=name)(src, train)
             elif m == "SPP":
                 ks = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
-                x = SPP(args[0], ks, bn_axis=ax, name=name)(src, train)
+                x = repeat(lambda nm: SPP(args[0], ks, bn_axis=ax,
+                                          name=nm), src)
             elif m == "CrossConv":
-                x = CrossConv(args[0], *args[1:], bn_axis=ax,
-                              name=name)(src, train)
+                x = repeat(lambda nm: CrossConv(args[0], *args[1:],
+                                                bn_axis=ax, name=nm), src)
             elif m == "GhostConv":
-                x = GhostConv(args[0], *args[1:], bn_axis=ax,
-                              name=name)(src, train)
+                x = repeat(lambda nm: GhostConv(args[0], *args[1:],
+                                                bn_axis=ax, name=nm), src)
             elif m == "GhostBottleneck":
-                x = GhostBottleneck(args[0], *args[1:], bn_axis=ax,
-                                    name=name)(src, train)
+                x = repeat(lambda nm: GhostBottleneck(args[0], *args[1:],
+                                                      bn_axis=ax, name=nm),
+                           src)
             elif m == "MixConv2d":
                 ks = tuple(args[1]) if len(args) > 1 else (1, 3)
                 s_ = int(args[2]) if len(args) > 2 else 1
-                x = MixConv2d(args[0], ks, s_, bn_axis=ax,
-                              name=name)(src, train)
+                x = repeat(lambda nm: MixConv2d(args[0], ks, s_, bn_axis=ax,
+                                                name=nm), src)
             elif m == "Sum":
                 x = Sum(len(src), bool(args[0]) if args else False,
                         name=name)(src, train)
@@ -690,9 +709,25 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
         # generic module path: rename m.{j} -> m{j}
         mapped = [f"m{i}"]
         j = 0
+        if rest and rest[0].isdigit():
+            # nn.Sequential repetition (parse_model:278): model.{i}.{j}.*
+            # -> our top-level m{i}_{j}
+            mapped = [f"m{i}_{rest[0]}"]
+            j = 1
         while j < len(rest) - 1:
             if rest[j] == "m" and rest[j + 1].isdigit():
                 mapped.append(f"m{rest[j + 1]}")
+                j += 2
+            elif (rest[j] == "conv" and j + 1 < len(rest) - 1
+                    and rest[j + 1].isdigit()):
+                # GhostBottleneck's nn.Sequential branches
+                # (experimental.py:63-68): conv.{0,1,2} -> conv{0,1,2},
+                # shortcut.{0,1} -> sc_dw/sc_pw
+                mapped.append(f"conv{rest[j + 1]}")
+                j += 2
+            elif (rest[j] == "shortcut" and j + 1 < len(rest) - 1
+                    and rest[j + 1] in ("0", "1")):
+                mapped.append("sc_dw" if rest[j + 1] == "0" else "sc_pw")
                 j += 2
             else:
                 mapped.append(rest[j])

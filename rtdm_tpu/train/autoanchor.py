@@ -44,16 +44,30 @@ def best_possible_recall(anchors: np.ndarray, wh: np.ndarray,
 def collect_label_wh(dataset, img_size: int,
                      jitter: bool = True,
                      seed: int = 0) -> np.ndarray:
-    """Label wh in pixels at img_size scale, with the reference's +-10%
-    scale augmentation (autoanchor.py:28-30)."""
+    """Label wh in pixels at LETTERBOXED img_size scale, with the
+    reference's +-10% scale augmentation (autoanchor.py:27-29:
+    `shapes = imgsz * dataset.shapes / shapes.max(1)` — per-axis, so a
+    non-square frame scales w and h by the same gain, not to a square).
+    Falls back to square scaling when the dataset exposes no image
+    paths (synthetic datasets in tests)."""
     rng = np.random.default_rng(seed)
+    paths = getattr(dataset, "image_paths", None)
     whs = []
     for i in range(len(dataset)):
         raw = dataset.labels[i]  # normalized cls,x,y,w,h
         if not len(raw):
             continue
+        shape = np.array([img_size, img_size], np.float32)
+        if paths is not None:
+            try:  # header-only size read; no pixel decode
+                from PIL import Image
+                with Image.open(paths[i]) as im:
+                    w, h = im.size
+                shape = img_size * np.array([w, h], np.float32) / max(w, h)
+            except Exception:
+                pass
         scale = rng.uniform(0.9, 1.1) if jitter else 1.0
-        whs.append(raw[:, 3:5] * img_size * scale)
+        whs.append(raw[:, 3:5] * shape * scale)
     if not whs:
         return np.zeros((0, 2), np.float32)
     return np.concatenate(whs).astype(np.float32)

@@ -28,7 +28,7 @@ def mixup_batch(rng: jax.Array, images: jax.Array, alpha: float
 def cutmix_batch(rng: jax.Array, images: jax.Array, alpha: float
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Random box from a permuted batch; lam = 1 - box_area/image_area."""
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     b, h, w, _ = images.shape
     lam0 = jax.random.beta(k1, alpha, alpha)
     cut = jnp.sqrt(1.0 - lam0)
@@ -42,7 +42,8 @@ def cutmix_batch(rng: jax.Array, images: jax.Array, alpha: float
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     box = ((yy >= y1) & (yy < y2) & (xx >= x1) & (xx < x2))[None, :, :, None]
-    perm = jax.random.permutation(k2, b)
+    perm = jax.random.permutation(k4, b)  # own key: the cut position and
+    # the pairing permutation must be independent draws
     mixed = jnp.where(box, images[perm], images)
     lam = 1.0 - ((y2 - y1) * (x2 - x1)) / (h * w)
     return mixed.astype(images.dtype), perm, lam.astype(jnp.float32)

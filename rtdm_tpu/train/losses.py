@@ -81,10 +81,15 @@ def focal_loss(logits: jax.Array, labels: jax.Array,
 
 def inverse_frequency_class_weights(labels: Sequence[int],
                                     num_classes: int) -> np.ndarray:
-    """total / (num_classes * count_c), the reference's weighting scheme."""
-    counts = np.bincount(np.asarray(labels), minlength=num_classes).astype(np.float64)
+    """total / (num_classes * count_c), NORMALIZED to sum 1 — the
+    reference's get_class_weights (model/focal_loss.py:51-63 ends with
+    `weights / weights.sum()`; omitting it scales focal loss ~num_classes
+    times larger than the reference)."""
+    counts = np.bincount(np.asarray(labels),
+                         minlength=num_classes).astype(np.float64)
     counts = np.maximum(counts, 1.0)
-    return (counts.sum() / (num_classes * counts)).astype(np.float32)
+    w = counts.sum() / (num_classes * counts)
+    return (w / w.sum()).astype(np.float32)
 
 
 def make_classification_loss(name: str,

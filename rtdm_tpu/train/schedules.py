@@ -119,22 +119,27 @@ class PlateauScaler:
     """
 
     def __init__(self, factor: float = 0.1, patience: int = 10,
-                 min_lr: float = 1e-7):
+                 min_lr: float = 1e-7, base_lr: float = 1.0,
+                 threshold: float = 1e-4):
         self.factor = factor
         self.patience = patience
-        self.min_lr = min_lr
+        # torch floors the LR itself (`max(lr*factor, min_lr)`), so the
+        # scale floor is min_lr relative to the schedule's base lr
+        self.min_scale = min_lr / max(base_lr, 1e-30)
+        self.threshold = threshold  # relative, torch's 'rel' default
         self.best = float("inf")
         self.stale = 0
         self.scale = 1.0
 
     def update(self, metric: float) -> float:
         """Feed the epoch val loss; returns the current lr scale."""
-        if metric < self.best - 1e-8:
+        # rel-mode improvement test: metric < best * (1 - threshold)
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.stale = 0
         else:
             self.stale += 1
             if self.stale > self.patience:
-                self.scale = max(self.scale * self.factor, self.min_lr)
+                self.scale = max(self.scale * self.factor, self.min_scale)
                 self.stale = 0
         return self.scale

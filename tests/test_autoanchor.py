@@ -69,3 +69,42 @@ def test_ema_ramp():
     e2 = ema_update(ema, new, jnp.asarray(100_000))
     # late in training decay ~0.9999 -> tiny step
     assert float(e2["w"][0]) < 0.01
+
+
+def test_collect_label_wh_letterboxes_nonsquare(tmp_path):
+    """Non-square frames scale label wh by ONE per-image gain to the
+    letterboxed shape (v5 autoanchor.py:27-29 `imgsz*shapes/shapes.max`),
+    not independently per axis to a square."""
+    from PIL import Image
+
+    from rtdm_tpu.train.autoanchor import collect_label_wh
+
+    p = tmp_path / "wide.jpg"
+    Image.new("RGB", (200, 100)).save(p)  # w=200, h=100
+
+    class Ds:
+        image_paths = [str(p)]
+        labels = [np.array([[0, 0.5, 0.5, 0.1, 0.1]], np.float32)]
+
+        def __len__(self):
+            return 1
+
+    wh = collect_label_wh(Ds(), 416, jitter=False)
+    # letterboxed shape: 416 * (200,100)/200 = (416, 208)
+    np.testing.assert_allclose(wh[0], [41.6, 20.8], rtol=1e-5)
+
+
+def test_plateau_scaler_min_lr_is_lr_floor():
+    """torch ReduceLROnPlateau semantics: min_lr floors the LR itself
+    (base_lr * scale >= min_lr) and improvement is relative (1e-4)."""
+    from rtdm_tpu.train.schedules import PlateauScaler
+
+    ps = PlateauScaler(factor=0.1, patience=0, min_lr=1e-4, base_lr=1e-3)
+    scale = 1.0
+    for _ in range(10):  # stagnant metric -> repeated reductions
+        scale = ps.update(1.0)
+    assert 1e-3 * scale == pytest.approx(1e-4)  # floored at min_lr, not below
+    # relative threshold: a 1e-8 wiggle is NOT an improvement
+    ps2 = PlateauScaler(factor=0.1, patience=0, base_lr=1.0)
+    ps2.update(1.0)
+    assert ps2.update(1.0 - 1e-8) < 1.0  # still counts as stale -> reduce

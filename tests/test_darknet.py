@@ -213,3 +213,75 @@ def test_all_reference_cfgs_build(rng):
         assert len(raw) == len(bound.heads) >= 2, name
         for p, h in zip(raw, bound.heads):
             assert p.shape[-1] == h.na * h.no, name
+
+
+GROUPED_CFG = """
+[net]
+width=32
+height=32
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+pad=1
+groups=4
+activation=leaky
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=4
+activation=linear
+"""
+
+
+def test_grouped_convolutional_block(tmp_path):
+    """[convolutional] groups=N builds a grouped conv (models.py:33) with
+    the grouped param count, matches a torch grouped-conv oracle, and
+    round-trips through the darknet .weights binary."""
+    import torch
+    import torch.nn.functional as F
+
+    from rtdm_tpu.models.darknet import (Darknet, load_darknet_weights,
+                                         save_darknet_weights)
+
+    model = Darknet(cfg_text=GROUPED_CFG)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    k1 = variables["params"]["l1_conv"]["kernel"]
+    assert k1.shape == (3, 3, 4, 16)  # cin/groups = 16/4
+
+    # torch oracle for the grouped layer alone
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 8, 8)).astype(np.float32)
+    kr = rng.normal(size=(3, 3, 4, 16)).astype(np.float32) * 0.2
+    from rtdm_tpu.ops.convpool import conv2d
+    got = conv2d(jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                 jnp.asarray(kr), None, 1, 1, 1, 4)
+    with torch.no_grad():
+        want = F.conv2d(torch.from_numpy(x),
+                        torch.from_numpy(np.transpose(kr, (3, 2, 0, 1))),
+                        None, 1, 1, groups=4).numpy()
+    np.testing.assert_allclose(np.asarray(got),
+                               np.transpose(want, (0, 2, 3, 1)),
+                               rtol=1e-4, atol=1e-4)
+
+    # .weights binary round trip preserves every tensor
+    w = str(tmp_path / "g.weights")
+    save_darknet_weights(variables, GROUPED_CFG, w)
+    blank = model.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+    back = load_darknet_weights(blank, GROUPED_CFG, w)
+    for name in ("l0_conv", "l1_conv", "l2_conv"):
+        np.testing.assert_allclose(
+            back["params"][name]["kernel"],
+            np.asarray(variables["params"][name]["kernel"]), rtol=1e-6)

@@ -90,7 +90,11 @@ def test_ignore_index(batch):
 
 
 def test_inverse_frequency_weights():
+    """Reference-exact get_class_weights (model/focal_loss.py:51-63):
+    total/(nc*count), then normalized to sum 1."""
     labels = [0] * 80 + [1] * 10 + [2] * 10
     w = inverse_frequency_class_weights(labels, 3)
     assert w[0] < w[1] == w[2]
-    np.testing.assert_allclose(w[0], 100 / (3 * 80), rtol=1e-6)
+    raw = np.array([100 / (3 * 80), 100 / (3 * 10), 100 / (3 * 10)])
+    np.testing.assert_allclose(w, raw / raw.sum(), rtol=1e-6)
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)

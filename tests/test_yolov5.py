@@ -343,3 +343,78 @@ def test_intersect_checkpoint_load(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(loaded["params"]["m10_m0"]["kernel"]),
         np.asarray(variables["params"]["m10_m0"]["kernel"]))
+
+
+GHOST_YAML = """
+nc: 2
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+backbone:
+  [[-1, 1, Conv, [16, 3, 2]],
+   [-1, 1, GhostConv, [32, 3, 2]],
+   [-1, 1, GhostBottleneck, [32, 3, 1]],
+   [-1, 2, Bottleneck, [32]],
+   [-1, 1, GhostBottleneck, [64, 3, 2]],
+   [-1, 1, DWConv, [64, 3, 1]],
+  ]
+head:
+  [[[-1], 1, Detect, [nc, anchors]],
+  ]
+"""
+
+
+class TorchGhostMini(nn.Module):
+    """torch mirror of GHOST_YAML with ultralytics key layout (including
+    nn.Sequential repetition keys model.3.{j}.* for the n=2 Bottleneck)."""
+
+    def __init__(self, nc=2, na=3):
+        super().__init__()
+        no = na * (nc + 5)
+        self.model = nn.Sequential(
+            tvr.Conv(3, 16, 3, 2),                       # 0
+            tvr.GhostConv(16, 32, 3, 2),                 # 1
+            tvr.GhostBottleneck(32, 32, 3, 1),           # 2
+            nn.Sequential(tvr.Bottleneck(32, 32),        # 3 (n=2)
+                          tvr.Bottleneck(32, 32)),
+            tvr.GhostBottleneck(32, 64, 3, 2),           # 4
+            tvr.DWConv(64, 64, 3, 1),                    # 5
+        )
+        det = nn.Module()
+        det.m = nn.ModuleList([nn.Conv2d(64, no, 1)])
+        self.model.add_module("6", det)
+
+    def forward(self, x):
+        for i, m in enumerate(self.model):
+            if i == 6:
+                return [m.m[0](x)]
+            x = m(x)
+
+
+def test_ghost_blocks_forward_parity_and_import(rng, tmp_path):
+    """GhostConv/GhostBottleneck(s=1,s=2)/DWConv/repeated-Bottleneck
+    forward parity + checkpoint import vs the transcribed torch oracle
+    (experimental.py:45-71): act=False on the pw-linear/dw convs, learned
+    shortcut only at s==2, Sequential-repetition key mapping."""
+    tm = TorchGhostMini().eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    path = str(tmp_path / "ghostmini.pt")
+    torch.save({"model": tm, "ema": None}, path)
+
+    model = YoloV5(yaml_text=GHOST_YAML)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    variables = load_yolov5_torch_checkpoint(variables, path)
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32) * 0.4
+    with torch.no_grad():
+        want = [t.numpy() for t in tm(torch.from_numpy(x))]
+    got = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(got) == len(want) == 1
+    np.testing.assert_allclose(np.asarray(got[0]),
+                               np.transpose(want[0], (0, 2, 3, 1)),
+                               rtol=5e-4, atol=5e-4)

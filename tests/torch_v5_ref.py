@@ -140,3 +140,46 @@ def parse_model_param_count(d):
             ch = []
         ch.append(c2)
     return total
+
+
+class DWConv(Conv):
+    """Depthwise Conv oracle (common.py:26-29: Conv with g=gcd(c1,c2))."""
+
+    def __init__(self, c1, c2, k=1, s=1, act=True):
+        import math
+        super().__init__(c1, c2, k, s, g=math.gcd(c1, c2), act=act)
+
+
+class GhostConv(nn.Module):
+    """GhostConv oracle (experimental.py:45-55): act threads to BOTH
+    convs; cv2 is a 5x5 depthwise over the hidden half."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1, act=True):
+        super().__init__()
+        c_ = c2 // 2
+        self.cv1 = Conv(c1, c_, k, s, None, g, act)
+        self.cv2 = Conv(c_, c_, 5, 1, None, c_, act)
+
+    def forward(self, x):
+        y = self.cv1(x)
+        return torch.cat([y, self.cv2(y)], 1)
+
+
+class GhostBottleneck(nn.Module):
+    """GhostBottleneck oracle (experimental.py:58-71): pw GhostConv ->
+    [s==2] DWConv act=False -> pw-linear GhostConv act=False; learned
+    DWConv+Conv shortcut only for s==2, Identity otherwise."""
+
+    def __init__(self, c1, c2, k=3, s=1):
+        super().__init__()
+        c_ = c2 // 2
+        self.conv = nn.Sequential(
+            GhostConv(c1, c_, 1, 1),
+            DWConv(c_, c_, k, s, act=False) if s == 2 else nn.Identity(),
+            GhostConv(c_, c2, 1, 1, act=False))
+        self.shortcut = nn.Sequential(
+            DWConv(c1, c1, k, s, act=False),
+            Conv(c1, c2, 1, 1, act=False)) if s == 2 else nn.Identity()
+
+    def forward(self, x):
+        return self.conv(x) + self.shortcut(x)
