@@ -50,6 +50,7 @@ class FrameSource:
                                                  else queue_size)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self.error: Optional[BaseException] = None  # producer failure
         self.frames_read = 0
         self.loop = False      # --video_looping analogue (camera.py:31-32)
         self.resize = None     # (w, h) --do_resize/--width/--height analogue
@@ -108,25 +109,46 @@ class FrameSource:
         return self
 
     def _run(self) -> None:
+        # try/finally: a producer exception must still deliver the
+        # end-of-stream sentinel (else consumers block the full read
+        # timeout and mistake the failure for a clean end); the error is
+        # kept for read() to re-raise.
+        try:
+            while True:
+                for frame in self._produce():
+                    if self._stop.is_set():
+                        return
+                    if self.resize is not None:
+                        frame = _resize_frame(frame, self.resize)
+                    if self.live:
+                        # latest-frame mailbox: drop stale
+                        try:
+                            self._queue.get_nowait()
+                        except queue.Empty:
+                            pass
+                    self._queue.put(frame)
+                # finite source exhausted: replay if looping
+                # (--video_looping), else signal end-of-stream
+                if not self.loop or self.live or self._stop.is_set():
+                    break
+        except BaseException as e:  # noqa: BLE001 — stored, re-raised in read()
+            self.error = e
+        finally:
+            self._put_sentinel()
+
+    def _put_sentinel(self) -> None:
+        """Enqueue the end sentinel without ever blocking: if the mailbox
+        is full and the consumer is gone, drop a stale frame instead of
+        wedging the daemon thread (and its open capture) forever."""
         while True:
-            for frame in self._produce():
-                if self._stop.is_set():
-                    self._queue.put(None)
-                    return
-                if self.resize is not None:
-                    frame = _resize_frame(frame, self.resize)
-                if self.live:
-                    # latest-frame mailbox: drop stale
-                    try:
-                        self._queue.get_nowait()
-                    except queue.Empty:
-                        pass
-                self._queue.put(frame)
-            # finite source exhausted: replay if looping (--video_looping),
-            # else signal end-of-stream
-            if not self.loop or self.live or self._stop.is_set():
-                break
-        self._queue.put(None)  # sentinel
+            try:
+                self._queue.put_nowait(None)
+                return
+            except queue.Full:
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    pass
 
     def _produce(self) -> Iterator[np.ndarray]:
         raise NotImplementedError
@@ -137,6 +159,9 @@ class FrameSource:
             frame = self._queue.get(timeout=timeout)
         except queue.Empty:
             return None
+        if frame is None and self.error is not None:
+            raise RuntimeError(
+                f"frame source {self.uri!r} failed") from self.error
         if frame is not None:
             self.frames_read += 1
         return frame
@@ -198,10 +223,21 @@ class _MultiSource(FrameSource):
         return super().start()
 
     def _produce(self):
+        import sys
         alive = list(self.children)
         while alive:
             for c in list(alive):
-                frame = c.read(timeout=self.child_timeout)
+                try:
+                    frame = c.read(timeout=self.child_timeout)
+                except RuntimeError as e:
+                    # a failed camera is logged and dropped; the others
+                    # keep streaming (LoadStreams keeps going when one
+                    # cam hiccups)
+                    print(f"dropping failed source {c.uri!r}: {e}",
+                          file=sys.stderr)
+                    alive.remove(c)
+                    c.stop()
+                    continue
                 if frame is None:
                     # distinguish ENDED (producer thread exited — drop)
                     # from a transient stall (thread alive — keep

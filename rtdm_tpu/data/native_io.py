@@ -13,6 +13,7 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -25,6 +26,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "librtdm_io.so")
 
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -42,6 +44,18 @@ def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    # serialized: the loader thread pool hits the first decode together —
+    # without the lock, two threads can race into two concurrent
+    # `make clean all` builds (the second clean deletes the first's .so)
+    # and late arrivals during the compile silently fall back to PIL
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked():
+    global _lib, _tried
     _tried = True
     # rebuild when absent OR stale (source newer than the .so): a
     # pre-built .so from an older checkout may lack newer symbols, and

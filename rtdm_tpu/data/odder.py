@@ -67,7 +67,9 @@ def collect_image_paths(source, base_dir) -> List[str]:
     if not p.is_absolute():
         p = base_dir / p
     if p.is_dir():
-        return sorted(str(f) for f in p.iterdir()
+        # recursive, like the v5 loader's `glob(p/'**'/'*.*', recursive)`
+        # (datasets.py:368-384) — images may live in per-scene subdirs
+        return sorted(str(f) for f in p.rglob("*")
                       if f.suffix.lower() in IMAGE_SUFFIXES)
     with open(p) as f:
         rels = [ln.strip() for ln in f if ln.strip()]
@@ -192,8 +194,13 @@ class DetectionDataset:
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
         if isinstance(list_file, (str, os.PathLike)):
+            # default base = two levels above the list (the darknet layout
+            # data/custom/test-min.txt -> data/..); shallower paths fall
+            # back to cwd instead of raising IndexError
+            parents = Path(str(list_file)).parents
             self.base_dir = (Path(base_dir) if base_dir
-                             else Path(str(list_file)).parents[2])
+                             else parents[2] if len(parents) > 2
+                             else Path.cwd())
         else:  # list-of-sources spelling needs an explicit base
             self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         self.image_paths = collect_image_paths(list_file, self.base_dir)

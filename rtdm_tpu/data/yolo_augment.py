@@ -228,7 +228,8 @@ def cutout(img: np.ndarray, labels_xyxy: np.ndarray,
     whose boxes are >60%% obscured are dropped."""
     h, w = img.shape[:2]
     img = img.copy()
-    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    scales = ([0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+              + [0.03125] * 16)  # full reference ladder (datasets.py:728)
     keep = np.ones(len(labels_xyxy), bool)
     for s in scales:
         mh, mw = int(h * s * rng.uniform(0.5, 1.0)), \

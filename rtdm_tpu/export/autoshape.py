@@ -122,8 +122,13 @@ class AutoShape:
             from rtdm_tpu.export.detector import load_detector
             detector = load_detector(detector)
         self.detector = detector
-        self.names = list(names) if names else [
-            str(i) for i in range(1000)]
+        if names:
+            self.names = list(names)
+        else:
+            # same nc-driven fallback the detect CLI uses (get_cls_dict
+            # semantics): person/vehicle for 2, COCO for 80, CLS{i} else
+            from rtdm_tpu.data.odder import default_names
+            self.names = default_names(detector.num_classes)
 
     def __call__(self, imgs: Union[ImageLike, Sequence[ImageLike]]
                  ) -> Detections:

@@ -124,7 +124,8 @@ class Engine:
         os.makedirs(directory, exist_ok=True)
         with open(os.path.join(directory, "spec.json"), "w") as f:
             json.dump(dataclasses.asdict(self.spec), f, indent=2)
-        flat = _flatten("", self.variables)
+        from rtdm_tpu.models.io import flatten_tree
+        flat = flatten_tree(self.variables)
         np.savez(os.path.join(directory, "params.npz"),
                  **{k: np.asarray(v) for k, v in flat.items()})
         if self.act_scales:
@@ -136,33 +137,12 @@ class Engine:
     def load(cls, directory: str, mesh=None) -> "Engine":
         with open(os.path.join(directory, "spec.json")) as f:
             spec = EngineSpec(**json.load(f))
-        flat = dict(np.load(os.path.join(directory, "params.npz")))
-        variables = _unflatten(flat)
+        from rtdm_tpu.models.io import load_variables
+        variables = load_variables(os.path.join(directory, "params.npz"))
         scales_path = os.path.join(directory, "act_scales.npz")
         act_scales = (dict(np.load(scales_path))
                       if os.path.exists(scales_path) else None)
         return cls(spec, variables, act_scales, mesh=mesh)
-
-
-def _flatten(prefix: str, tree: Any) -> Dict[str, np.ndarray]:
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(_flatten(f"{prefix}{k}/", v))
-    else:
-        out[prefix.rstrip("/")] = tree
-    return out
-
-
-def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
-    tree: Dict[str, Any] = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = val
-    return tree
 
 
 def build_engine(model_name: str, variables: Dict[str, Any],

@@ -130,8 +130,13 @@ class SecondStageClassifier:
                                  apply_softmax=False)
             pred2 = jnp.argmax(logits.astype(jnp.float32), axis=-1)
             cls1 = det[:, 5].astype(jnp.int32)
-            want = lut[jnp.clip(cls1, 0, lut.shape[0] - 1)] \
-                if lut is not None else cls1
+            if lut is not None:
+                # ids beyond the mapped range pass through as identity —
+                # the clamp alone would remap them through lut's last row
+                mapped = lut[jnp.clip(cls1, 0, lut.shape[0] - 1)]
+                want = jnp.where(cls1 < lut.shape[0], mapped, cls1)
+            else:
+                want = cls1
             valid = jnp.arange(det.shape[0]) < count
             keep = valid & (pred2 == want)
             order = jnp.argsort(~keep, stable=True)   # stable compaction

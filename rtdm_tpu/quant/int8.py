@@ -205,13 +205,23 @@ def int8_classifier_forward(model, variables: Dict[str, Any],
 def quantize_classifier_apply(model, variables: Dict[str, Any],
                               act_scales: Optional[Dict[str, np.ndarray]]):
     """Build an int8 apply(u8_batch) -> probs function."""
+    import jax
     import jax.numpy as jnp
     from flax import linen as nn
 
     from rtdm_tpu.data.aider import normalize_batch
     from rtdm_tpu.models.layers import Conv, Dense, DepthwiseConv
 
-    qvars = {"params": quantize_params(variables["params"]),
+    # QDQ-on-bf16 (CLAUDE.md measured conclusion; mirrors the bf16 engine
+    # branch engine.py and the detector int8 path): the QDQ'd weights are
+    # CAST to bfloat16 so the convs run the bf16 MXU path — leaving them
+    # fp32 would run the "int8" engine at half throughput for no fidelity
+    # gain (the quantization error is already baked in by the QDQ).
+    qparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, quantize_params(variables["params"]))
+    qvars = {"params": qparams,
              "batch_stats": variables.get("batch_stats", {})}
     scales = {k: float(v) for k, v in (act_scales or {}).items()}
 
@@ -225,7 +235,7 @@ def quantize_classifier_apply(model, variables: Dict[str, Any],
         return next_fun(*args, **kwargs)
 
     def apply_fn(u8):
-        x = normalize_batch(u8)
+        x = normalize_batch(u8).astype(jnp.bfloat16)
         with nn.intercept_methods(interceptor):
             out = model.apply(qvars, x, train=False)
         return out.astype(jnp.float32)

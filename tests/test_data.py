@@ -202,3 +202,51 @@ def test_cache_images_same_samples():
     r2 = hot.load_raw(2)
     assert r1 is r2
     assert cold.load_raw(2) is not cold.load_raw(2)
+
+
+def test_detection_dataset_shallow_list_path(tmp_path, monkeypatch):
+    """A list file fewer than 3 path components deep must fall back to
+    cwd as base_dir, not raise IndexError."""
+    from PIL import Image
+
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img = tmp_path / "im.jpg"
+    Image.new("RGB", (16, 16)).save(img)
+    lst = tmp_path / "train.txt"
+    lst.write_text(str(img) + "\n")  # absolute path inside
+    monkeypatch.chdir(tmp_path)
+    ds = DetectionDataset("train.txt", 32)  # single-component list path
+    assert len(ds) == 1
+
+
+def test_collect_image_paths_recursive_dir(tmp_path):
+    """Directory sources are walked recursively (v5 datasets.py:368-384
+    `glob('**/*.*')`): images in per-scene subdirs are found."""
+    from PIL import Image
+
+    from rtdm_tpu.data.odder import collect_image_paths
+
+    (tmp_path / "sceneA").mkdir()
+    (tmp_path / "sceneB" / "sub").mkdir(parents=True)
+    Image.new("RGB", (8, 8)).save(tmp_path / "top.jpg")
+    Image.new("RGB", (8, 8)).save(tmp_path / "sceneA" / "a.jpg")
+    Image.new("RGB", (8, 8)).save(tmp_path / "sceneB" / "sub" / "b.png")
+    (tmp_path / "sceneA" / "notes.txt").write_text("skip")
+    got = collect_image_paths(str(tmp_path), tmp_path)
+    assert [p.split(str(tmp_path) + "/")[1] for p in got] == [
+        "sceneA/a.jpg", "sceneB/sub/b.png", "top.jpg"]
+
+
+def test_frame_source_error_raises_not_silent_eos(tmp_path):
+    """A producer failure (unopenable video) raises from read() instead
+    of masquerading as a clean end-of-stream."""
+    import pytest as _pytest
+
+    from rtdm_tpu.data.camera import FrameSource
+
+    bad = tmp_path / "missing.mp4"  # never created
+    src = FrameSource.open(str(bad)).start()
+    with _pytest.raises(RuntimeError, match="failed"):
+        src.read(timeout=30.0)
+    src.stop()

@@ -130,3 +130,20 @@ def test_second_stage_respects_count(frame_and_dets):
                                   normalize=False, quant="fp32")
     _, count2 = stage(img[None], det, np.array([1], np.int32))
     assert count2[0] == 1  # rows beyond count never considered
+
+
+def test_second_stage_class_map_identity_above_range(frame_and_dets):
+    """Detector ids above the largest mapped key pass through as identity
+    instead of being clamped through the LUT's last row."""
+    img, det, count = frame_and_dets
+    # map only class 0 -> 0 (identity); class 1 ids are ABOVE the lut
+    # range and must still compare against classifier class 1
+    stage = SecondStageClassifier(_ColorNet(), {"params": {}}, (64, 64),
+                                  max_det=8, batch_size=1,
+                                  normalize=False, quant="fp32",
+                                  class_map={0: 0})
+    det2, count2 = stage(img[None], det, count)
+    # same outcome as no map at all: rows 0 (red/cls0) and 1 (green/cls1)
+    assert count2[0] == 2
+    np.testing.assert_allclose(det2[0, 0], det[0, 0])
+    np.testing.assert_allclose(det2[0, 1], det[0, 1])
