@@ -102,6 +102,12 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = error_exit;
+  // Buffers are declared BEFORE setjmp: longjmp must not skip the
+  // constructor/destructor of a live std::vector (UB + a leak of the
+  // decode buffer on every corrupt JPEG); declared here, they unwind
+  // normally when the handler returns.
+  std::vector<uint8_t> decoded;
+  std::vector<uint8_t> resized;
   if (setjmp(err.jump)) {
     jpeg_destroy_decompress(&cinfo);
     return 1;
@@ -117,7 +123,12 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   *orig_w = static_cast<int>(cinfo.image_width);
 
   // DCT prescale: decode at the smallest n/8 >= target coverage.
-  const int big = std::max(*orig_h, *orig_w);
+  // Letterbox scales by the LONG side (max dim must reach size); stretch
+  // mode resizes both axes to size, so the SHORT side drives coverage —
+  // keying on max there would decode extreme-aspect images far below
+  // target on the short axis and upscale (blur).
+  const int big = letterbox ? std::max(*orig_h, *orig_w)
+                            : std::min(*orig_h, *orig_w);
   int num = 8;
   while (num > 1 && (big * (num - 1)) / 8 >= size) --num;
   cinfo.scale_num = num;
@@ -126,7 +137,7 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   jpeg_start_decompress(&cinfo);
   const int dh = static_cast<int>(cinfo.output_height);
   const int dw = static_cast<int>(cinfo.output_width);
-  std::vector<uint8_t> decoded(static_cast<size_t>(dh) * dw * 3);
+  decoded.resize(static_cast<size_t>(dh) * dw * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = decoded.data() +
                    static_cast<size_t>(cinfo.output_scanline) * dw * 3;
@@ -148,7 +159,7 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
                            static_cast<float>(size) / *orig_w);
   const int nw = std::max(static_cast<int>(*orig_w * g + 0.5f), 1);
   const int nh = std::max(static_cast<int>(*orig_h * g + 0.5f), 1);
-  std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+  resized.resize(static_cast<size_t>(nh) * nw * 3);
   resize_bilinear(decoded.data(), dh, dw, resized.data(), nh, nw);
   std::memset(out, pad_value, static_cast<size_t>(size) * size * 3);
   const int pw = (size - nw) / 2;

@@ -238,6 +238,10 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     config.checkpoint_dir = increment_path(config.checkpoint_dir,
                                            exist_ok=config.resume)
     config.log_dir = increment_path(config.log_dir, exist_ok=config.resume)
+    # config.json lands in the RESOLVED run dir (saving before the
+    # increment would both create the dir — forcing the bump — and strand
+    # the json outside the actual run)
+    config.save()
     ckpt = CheckpointManager(config.checkpoint_dir)
     history: Dict[str, List[float]] = {k: [] for k in
                                        ("train_loss", "train_acc", "val_loss",
@@ -383,8 +387,7 @@ def main(argv=None):
         print(summarize_classifier(name))
         return None
     config = parse_args(argv)
-    config.save()
-    train_model(config)
+    train_model(config)  # saves config.json into the resolved run dir
 
 
 if __name__ == "__main__":

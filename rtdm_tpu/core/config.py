@@ -33,7 +33,7 @@ class TrainingConfig:
     train_split: str = "dataloaders/aider_train.csv"
     val_split: str = "dataloaders/aider_val.csv"
     test_split: str = "dataloaders/aider_test.csv"
-    image_size: int = 240
+    image_size: Optional[int] = None  # None -> inferred from the model
     augment: bool = True
     use_albumentations: bool = True   # False -> torchvision-style augs
     num_workers: int = 8
@@ -76,14 +76,22 @@ class TrainingConfig:
     debug: bool = False
     log_dir: str = "logs"
 
+    # marker so the squeeze batch-doubling happens exactly once (the
+    # reference re-doubles on every __post_init__, which makes
+    # dataclasses.replace() a footgun)
+    batch_doubled: bool = False
+
     def __post_init__(self):
         # Reference semantics: ernet -> 240 input, squeeze variants -> 140
-        # with doubled batch (config.py:85-94).
-        if self.model == "ernet":
-            self.image_size = 240
-        else:
-            self.image_size = 140
+        # with doubled batch (config.py:85-94). Unlike the reference, an
+        # EXPLICIT image_size is respected, the model-name check is
+        # case-insensitive (models/__init__ lowercases), and the doubling
+        # is idempotent across replace()/load().
+        if self.image_size is None:
+            self.image_size = 240 if self.model.lower() == "ernet" else 140
+        if self.model.lower() != "ernet" and not self.batch_doubled:
             self.batch_size *= 2
+            self.batch_doubled = True
         if self.weights is None:
             self.weights = os.path.join(self.checkpoint_dir, f"{self.model}.npz")
 

@@ -33,6 +33,19 @@ def distributed_init(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    import os
+    env_driven = (coordinator_address
+                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                  or os.environ.get("COORDINATOR_ADDRESS")
+                  or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in
+                  ("", "1")
+                  or os.environ.get("NUM_PROCESSES", "1") not in ("", "1"))
+    if env_driven:
+        # cluster env detected: let jax auto-resolve (SLURM / Cloud TPU /
+        # explicit JAX_* vars) — silently skipping here would run N
+        # independent single-host jobs instead of one distributed job
+        jax.distributed.initialize(coordinator_address=coordinator_address)
 
 
 def create_mesh(axis_shapes: Optional[Sequence[int]] = None,

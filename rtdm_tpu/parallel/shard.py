@@ -7,8 +7,11 @@ Two things the implicit GSPMD path doesn't show directly:
    hand-placed collectives: lax.pmean for gradients (the DDP allreduce,
    yolov3/train.py:169-170) and cross-replica BatchNorm via the models'
    `bn_axis` (SyncBatchNorm, yolov3/models.py:36). Numerically identical
-   to the GSPMD step; exists so the collective structure is explicit,
-   testable, and extensible.
+   to the GSPMD step when dropout is off (tests/test_parallel.py); with
+   dropout on, each replica folds its axis index into the key for an
+   independent stream — DDP semantics, deliberately unlike the
+   single-global-mask GSPMD step. Exists so the collective structure is
+   explicit, testable, and extensible.
 
 2. `spatial_shard_conv` — halo-exchange convolution over a 'spatial' mesh
    axis via lax.ppermute: the TPU-native answer to "the frame is too large
@@ -41,6 +44,11 @@ def make_shard_map_train_step(model, tx, loss_fn, mesh: Mesh,
     """
 
     def per_device(params, batch_stats, opt_state, images, labels, rng):
+        # independent per-replica dropout streams (DDP semantics): the
+        # replicated key folded with the device index — identical masks on
+        # every shard would correlate the regularization across replicas
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
         def loss_of(p):
             variables = {"params": p, "batch_stats": batch_stats}
             logits, mutated = model.apply(
@@ -73,13 +81,19 @@ def spatial_shard_conv(x_sharded: jax.Array, kernel: jax.Array,
     """SAME conv over an H-sharded NHWC tensor with ppermute halo exchange.
 
     x_sharded: (N, H, W, C) with H split over `axis`. kernel: HWIO with odd
-    kH. Result matches the unsharded conv2d(x, kernel, padding=k//2).
+    kH. Result matches the unsharded
+    conv2d(x, kernel, padding=(kH//2, kW//2)).
     """
-    kh = kernel.shape[0]
+    kh, kw = kernel.shape[0], kernel.shape[1]
     halo = kh // 2
+    pad_w = kw // 2  # horizontal SAME padding follows kW, not the halo
     n_dev = mesh.shape[axis]
 
     def per_device(xs, k, b):
+        if halo == 0:
+            # 1-row kernels need no exchange (and xs[:, -0:] would slice
+            # the WHOLE shard, doubling the padded height)
+            return conv2d(xs, k, b, stride=1, padding=(0, pad_w))
         idx = jax.lax.axis_index(axis)
         up = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         down = [(i, (i - 1) % n_dev) for i in range(n_dev)]
@@ -91,7 +105,7 @@ def spatial_shard_conv(x_sharded: jax.Array, kernel: jax.Array,
         top_halo = jnp.where(idx == 0, zeros, top_halo)
         bot_halo = jnp.where(idx == n_dev - 1, zeros, bot_halo)
         padded = jnp.concatenate([top_halo, xs, bot_halo], axis=1)
-        out = conv2d(padded, k, b, stride=1, padding=(0, halo))
+        out = conv2d(padded, k, b, stride=1, padding=(0, pad_w))
         return out
 
     mapped = jax.shard_map(

@@ -46,8 +46,13 @@ class ExperimentLogger:
                                          name=self.run_name,
                                          id=self.run_id, resume="allow",
                                          config=config or {})
-            except ImportError:
-                self._wandb = None  # fall back to JSONL below
+            except Exception as e:  # noqa: BLE001 — wandb.init raises
+                # CommError/UsageError on offline/unauthenticated hosts,
+                # not just ImportError; all of them fall back to JSONL
+                import logging
+                logging.getLogger(__name__).info(
+                    "wandb unavailable (%s); logging to JSONL", e)
+                self._wandb = None
 
         self._jsonl_path = os.path.join(log_dir, f"{self.run_name}.jsonl")
         if config:

@@ -120,13 +120,18 @@ class PowerMonitor:
                                         self.idle_watts))
 
     def get_total_energy(self) -> float:
-        """Joules, trapezoidal over the sampled trace
-        (calculate-power-usage.py getTotalEnergy:200-208)."""
+        """Joules over the modelled step trace (same reporting surface as
+        calculate-power-usage.py getTotalEnergy:200-208, which trapezoids
+        REAL sensor samples). Ours is an idle/busy STEP model — each
+        sample's wattage holds until the next sample (the where='post'
+        plot) — so the integral is sum(w[i] * dt[i]), not a trapezoid:
+        a trapezoid would ramp idle->busy linearly over every host-side
+        gap and overcount it at the (idle+busy)/2 average."""
         if len(self.samples) < 2:
             return 0.0
         t = np.array([s.t for s in self.samples])
         w = np.array([s.watts for s in self.samples])
-        return float(np.trapezoid(w, t))
+        return float(np.sum(w[:-1] * np.diff(t)))
 
     def energy_per_frame(self, frames: int) -> float:
         """mJ per frame over the busy spans only."""

@@ -164,3 +164,23 @@ def test_data_parallel_detector_matches_single_device(mesh8):
     # the two programs tile convs differently -> ~1e-6 relative fp32
     # rounding on raw logits; same boxes, sub-0.01px coordinates
     np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-2)
+
+
+def test_spatial_shard_conv_degenerate_kernels(mesh8):
+    """halo=0 (1-row kernels) and non-square kernels: the halo follows kH
+    and the horizontal SAME padding follows kW."""
+    from rtdm_tpu.ops.convpool import conv2d
+    from rtdm_tpu.parallel.shard import spatial_shard_conv
+
+    mesh = create_mesh((8,), ("spatial",))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 8)), jnp.float32)
+    for kh, kw in ((1, 1), (1, 3), (3, 1), (5, 3)):
+        k = jnp.asarray(rng.normal(size=(kh, kw, 8, 4)) * 0.1, jnp.float32)
+        want = conv2d(x, k, padding=(kh // 2, kw // 2))
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "spatial")))
+        got = spatial_shard_conv(xs, k, mesh)
+        assert got.shape == want.shape, (kh, kw, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"k=({kh},{kw})")

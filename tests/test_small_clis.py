@@ -143,3 +143,34 @@ def test_pth_to_weights_roundtrip(tmp_path):
         np.testing.assert_allclose(flat_g[jax.tree_util.keystr(k)], v,
                                    rtol=1e-6, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(k))
+
+
+def test_power_monitor_step_energy_not_trapezoid():
+    """Energy integrates the idle/busy STEP trace: a host-side gap between
+    busy spans is charged at idle watts, not the (idle+busy)/2 ramp a
+    trapezoid would give."""
+    from rtdm_tpu.utils.profiler import PowerMonitor, PowerSample
+
+    mon = PowerMonitor(chip_watts=170.0, idle_watts=30.0)
+    # hand-built trace: 1s busy, 10s idle gap, 1s busy
+    mon.samples = [PowerSample(0.0, 170.0), PowerSample(1.0, 30.0),
+                   PowerSample(11.0, 170.0), PowerSample(12.0, 30.0)]
+    want = 170.0 * 1 + 30.0 * 10 + 170.0 * 1
+    assert mon.get_total_energy() == pytest.approx(want)
+
+
+def test_training_config_explicit_values_and_replace():
+    """Explicit image_size is respected, squeeze batch-doubling happens
+    exactly once (dataclasses.replace must not re-double), and model-name
+    matching is case-insensitive."""
+    import dataclasses
+
+    from rtdm_tpu.core.config import TrainingConfig
+
+    c = TrainingConfig(model="squeeze-ernet", image_size=320, batch_size=16)
+    assert c.image_size == 320           # explicit value kept
+    assert c.batch_size == 32            # doubled once (reference config.py)
+    c2 = dataclasses.replace(c, epochs=5)
+    assert c2.batch_size == 32           # NOT re-doubled
+    assert TrainingConfig(model="ERNET").image_size == 240  # case-insens.
+    assert TrainingConfig(model="squeeze-ernet").image_size == 140
