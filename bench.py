@@ -21,7 +21,49 @@ import time
 import numpy as np
 
 
+def _wait_for_device(max_wait_s: float = 1800.0,
+                     probe_timeout_s: float = 120.0) -> bool:
+    """Block until the JAX backend is reachable (bounded).
+
+    The dev TPU sits behind a single-tenant tunnel that goes down for
+    stretches; when it is down `jax.devices()` HANGS instead of raising,
+    which would hang the whole bench run. Probe in a subprocess with a
+    timeout and retry for up to RTDM_BENCH_WAIT_S seconds so a transient
+    outage at bench time doesn't cost the measurement. Explicit-CPU runs
+    (JAX_PLATFORMS=cpu, used by tests) skip the probe.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return True
+    max_wait_s = float(os.environ.get("RTDM_BENCH_WAIT_S", max_wait_s))
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print(f"bench: device probe attempt {attempt} failed (tunnel "
+              f"down?); retrying for up to "
+              f"{int(deadline - time.monotonic())}s more", file=sys.stderr)
+        time.sleep(60)
+
+
 def main() -> None:
+    if not _wait_for_device():
+        raise SystemExit("bench: no JAX device became reachable within the "
+                         "wait budget (TPU tunnel down) — refusing to "
+                         "benchmark a fallback platform")
     import jax
     import jax.numpy as jnp
 
