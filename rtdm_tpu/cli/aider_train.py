@@ -149,6 +149,8 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from rtdm_tpu.core.mesh import local_mesh
+    from rtdm_tpu.export.exec_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs skip XLA for unchanged steps
     from rtdm_tpu.core.precision import policy_from_name
     from rtdm_tpu.data.aider import AiderDataset, BatchLoader, normalize_batch
     from rtdm_tpu.eval.classification import ClassificationMetrics

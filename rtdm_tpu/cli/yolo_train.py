@@ -177,6 +177,9 @@ def train(args):
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from rtdm_tpu.export.exec_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs skip XLA for unchanged steps
+
     if args.notest:
         args.eval_every = 0  # final epoch still evals (train loop contract)
 

@@ -118,21 +118,28 @@ class Detector:
     def __init__(self, model, variables: Dict[str, Any], spec: DetectorSpec,
                  batch_size: int = 1, heads=None,
                  act_scales: Optional[Dict[str, float]] = None,
-                 mesh=None):
+                 mesh=None, precompiled=None):
         """`mesh` (a jax.sharding.Mesh with a 'data' axis) compiles a
         MULTI-CHIP serving engine: the frame batch is sharded over the
         axis, every stage (normalize, backbone, decode, NMS) runs
         shard-locally with no cross-device traffic, and GSPMD handles the
         placement — data-parallel inference the reference cannot express
-        (one TRT engine binds one GPU)."""
+        (one TRT engine binds one GPU).
+
+        `precompiled` (internal, used by `load_detector`) is a deserialized
+        XLA executable for exactly this spec+params+batch — the TRT
+        deserialize_cuda_engine fast path (yolo_with_plugins.py:269-272);
+        when given, no compilation happens here."""
         import jax
         import jax.numpy as jnp
         from flax import linen as nn
 
+        from rtdm_tpu.export.exec_cache import enable_persistent_cache
         from rtdm_tpu.models.layers import Conv, Dense, DepthwiseConv
         from rtdm_tpu.ops.nms import batched_nms
         from rtdm_tpu.ops.yolo import decode_all
 
+        enable_persistent_cache()
         self.spec = spec
         self.model = model  # unfused — engine serialization stays canonical
         self.batch_size = batch_size
@@ -140,6 +147,10 @@ class Detector:
                            if act_scales else None)
         heads = heads if heads is not None else model_heads(model, variables)
         self.num_classes = int(heads[0].num_classes)
+        self.loaded_from_exec = precompiled is not None
+        if precompiled is not None:
+            self._fn = precompiled
+            return
         quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
 
@@ -344,7 +355,32 @@ def save_detector(det: Detector, directory: str,
         # the calibration cache (calib_cache/*.bin analogue)
         np.savez(os.path.join(directory, "act_scales.npz"),
                  **{k: np.float32(v) for k, v in det.act_scales.items()})
+    # Sealed executable alongside the params: load_detector deserializes it
+    # in ms instead of recompiling (~20-60s over the TPU tunnel), exactly
+    # the .trt deserialize_cuda_engine property. Guarded by a fingerprint
+    # of the artifact files so a swapped params.npz forces a recompile.
+    if not det.loaded_from_exec:
+        from rtdm_tpu.export.exec_cache import save_executable
+        s = det.spec.img_size
+        save_executable(os.path.join(directory, "exec.xla"), det._fn,
+                        _artifact_fingerprint(directory),
+                        example_args=(np.zeros((det.batch_size, s, s, 3),
+                                               np.uint8),))
     return directory
+
+
+def _artifact_fingerprint(directory: str) -> str:
+    """Content hash of every file the compiled program bakes in."""
+    from rtdm_tpu.export.exec_cache import fingerprint
+    parts = []
+    for name in ("spec.json", "model.txt", "params.npz", "act_scales.npz"):
+        path = os.path.join(directory, name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                parts.append(f.read())
+        else:
+            parts.append(b"")
+    return fingerprint(*parts)
 
 
 def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
@@ -379,8 +415,15 @@ def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
     if os.path.exists(scales_path):
         with np.load(scales_path) as z:
             act_scales = {k: float(z[k]) for k in z.files}
+    precompiled = None
+    if mesh is None and not spec_overrides:
+        # overrides change the compiled program; mesh binds it to a
+        # topology — both invalidate the single-device exec artifact
+        from rtdm_tpu.export.exec_cache import load_executable
+        precompiled = load_executable(os.path.join(directory, "exec.xla"),
+                                      _artifact_fingerprint(directory))
     det = Detector(model, variables, spec, batch_size,
                    model_heads(model, variables), act_scales=act_scales,
-                   mesh=mesh)
+                   mesh=mesh, precompiled=precompiled)
     det._variables = variables
     return det

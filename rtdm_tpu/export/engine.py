@@ -49,23 +49,34 @@ class Engine:
 
     def __init__(self, spec: EngineSpec, variables: Dict[str, Any],
                  act_scales: Optional[Dict[str, np.ndarray]] = None,
-                 mesh=None):
+                 mesh=None, precompiled=None):
         """`mesh` (a jax.sharding.Mesh with a 'data' axis) makes this a
         MULTI-CHIP serving engine: the batch is sharded over the axis and
         GSPMD runs each shard on its own device — the inference-side
         counterpart of the data-parallel trainer (the reference has no
         analogue; TRT engines are single-GPU). The engine file format is
         unchanged — mesh is a load/build-time choice, like the chip the
-        engine is compiled for."""
+        engine is compiled for.
+
+        `precompiled` (internal, used by `load`) is a deserialized XLA
+        executable for exactly this spec+params — the TRT
+        deserialize_cuda_engine fast path; when given, no compilation
+        happens here."""
         import jax
         import jax.numpy as jnp
 
         from rtdm_tpu.data.aider import normalize_batch
+        from rtdm_tpu.export.exec_cache import enable_persistent_cache
         from rtdm_tpu.models import create_model
 
+        enable_persistent_cache()
         self.spec = spec
         self.variables = variables
         self.act_scales = act_scales
+        self.loaded_from_exec = precompiled is not None
+        if precompiled is not None:
+            self._compiled = precompiled
+            return
         model = create_model(spec.model)
         quant = spec.normalized_quant()
 
@@ -120,6 +131,16 @@ class Engine:
         return np.asarray(self.dispatch(images_u8))[:n]
 
     # ------------------------------------------------------------------
+    def _content_fingerprint(self) -> str:
+        """Hash of everything the compiled program bakes in as constants
+        (spec + params + calibration scales) — guards the serialized
+        executable against stale-weight reuse."""
+        from rtdm_tpu.export.exec_cache import fingerprint_tree
+        extra = json.dumps(dataclasses.asdict(self.spec), sort_keys=True)
+        if self.act_scales:
+            extra += fingerprint_tree(dict(self.act_scales))
+        return fingerprint_tree(self.variables, extra=extra)
+
     def save(self, directory: str) -> str:
         os.makedirs(directory, exist_ok=True)
         with open(os.path.join(directory, "spec.json"), "w") as f:
@@ -131,6 +152,15 @@ class Engine:
         if self.act_scales:
             np.savez(os.path.join(directory, "act_scales.npz"),
                      **{k: np.asarray(v) for k, v in self.act_scales.items()})
+        # TRT-style sealed executable: loads in ms instead of a recompile.
+        # Best-effort and device-kind-bound; skipped for mesh engines
+        # (device-topology-specific) and on backends that can't serialize.
+        if not self.loaded_from_exec:
+            from rtdm_tpu.export.exec_cache import save_executable
+            b, s = self.spec.batch_size, self.spec.image_size
+            save_executable(os.path.join(directory, "exec.xla"),
+                            self._compiled, self._content_fingerprint(),
+                            example_args=(np.zeros((b, s, s, 3), np.uint8),))
         return directory
 
     @classmethod
@@ -142,7 +172,17 @@ class Engine:
         scales_path = os.path.join(directory, "act_scales.npz")
         act_scales = (dict(np.load(scales_path))
                       if os.path.exists(scales_path) else None)
-        return cls(spec, variables, act_scales, mesh=mesh)
+        precompiled = None
+        if mesh is None:  # exec artifacts are single-device programs
+            from rtdm_tpu.export.exec_cache import load_executable
+            probe = cls.__new__(cls)
+            probe.spec, probe.variables = spec, variables
+            probe.act_scales = act_scales
+            precompiled = load_executable(
+                os.path.join(directory, "exec.xla"),
+                probe._content_fingerprint())
+        return cls(spec, variables, act_scales, mesh=mesh,
+                   precompiled=precompiled)
 
 
 def build_engine(model_name: str, variables: Dict[str, Any],

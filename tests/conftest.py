@@ -17,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Hermetic tests: never touch (or depend on the state of) the user-level
+# persistent XLA compile cache — a cache-warm engine build legitimately
+# skips writing its exec.xla artifact (see export/exec_cache.py), which
+# would make the exec-cache tests pass or fail based on ~/.cache contents.
+os.environ["RTDM_XLA_CACHE"] = "0"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
