@@ -1,0 +1,188 @@
+"""rtdm-serve — micro-batching HTTP inference server over saved engines.
+
+Beyond-reference serving front end (the reference's deployment loops are
+local-display only: real-time-inference.py, trt_yolo.py). Concurrent
+single-image requests are coalesced into the engine's fixed batch shape by
+`serve.MicroBatcher`, with double-buffered device dispatch.
+
+Endpoints (body = raw JPEG/PNG bytes):
+  POST /v1/classify  -> {"label", "confidence", "probs"}
+  POST /v1/detect    -> {"count", "detections": [{"box" (orig px), "conf",
+                         "cls", "name"}]}
+  GET  /healthz      -> {"ok": true, ...}
+  GET  /stats        -> per-batcher request/batch/latency stats
+
+Usage:
+  python -m rtdm_tpu.cli.serve --engine engines/se-bf16 \
+      [--detector engines/v4t-int8] [--port 8000] [--max-wait-ms 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from rtdm_tpu.models.ernet import CLASS_NAMES
+
+
+def _decode_image(body: bytes) -> np.ndarray:
+    """Image bytes -> RGB HWC uint8 (PIL; server-side decode is not the
+    hot path — the letterbox/resize for each engine happens below)."""
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"), np.uint8)
+
+
+class _ClassifyService:
+    def __init__(self, engine_dir: str, max_wait_ms: float, depth: int):
+        from rtdm_tpu.export.engine import Engine
+        from rtdm_tpu.serve.batcher import MicroBatcher
+        self.engine = Engine.load(engine_dir)
+        self.size = self.engine.spec.image_size
+        self.batcher = MicroBatcher(self.engine.dispatch,
+                                    self.engine.spec.batch_size,
+                                    max_wait_ms=max_wait_ms, depth=depth)
+
+    def __call__(self, body: bytes) -> dict:
+        from rtdm_tpu.cli.aider_predict import preprocess
+        frame = preprocess(_decode_image(body), self.size)[0]
+        probs = np.asarray(self.batcher(frame), np.float32)
+        idx = int(np.argmax(probs))
+        return {"label": CLASS_NAMES[idx] if idx < len(CLASS_NAMES)
+                else str(idx),
+                "confidence": float(probs[idx]),
+                "probs": {CLASS_NAMES[i]: float(p)
+                          for i, p in enumerate(probs)
+                          if i < len(CLASS_NAMES)}}
+
+
+class _DetectService:
+    def __init__(self, engine_dir: str, max_wait_ms: float, depth: int,
+                 names: Optional[list] = None):
+        import jax.numpy as jnp
+        from rtdm_tpu.export.detector import load_detector
+        from rtdm_tpu.serve.batcher import MicroBatcher
+        self.det = load_detector(engine_dir)
+        self.size = self.det.spec.img_size
+        self.names = names or ["person", "vehicle"]
+        b = self.det.batch_size
+
+        def dispatch(frames: np.ndarray):
+            n = frames.shape[0]
+            if n < b:
+                frames = np.concatenate(
+                    [frames, np.zeros((b - n,) + frames.shape[1:],
+                                      frames.dtype)])
+            return self.det._fn(jnp.asarray(frames))
+
+        self.batcher = MicroBatcher(dispatch, b, max_wait_ms=max_wait_ms,
+                                    depth=depth)
+
+    def __call__(self, body: bytes) -> dict:
+        from rtdm_tpu.data.odder import letterbox_image
+        img = _decode_image(body)
+        oh, ow = img.shape[:2]
+        boxed, gain, (pad_w, pad_h) = letterbox_image(img, self.size)
+        det, count = self.batcher(boxed)
+        det, count = np.asarray(det, np.float32), int(count)
+        # un-letterbox into original pixels (scale_coords semantics),
+        # using the exact gain/pad the letterbox applied
+        out = []
+        for i in range(count):
+            x1, y1, x2, y2, conf, cls = det[i, :6]
+            box = [(x1 - pad_w) / gain, (y1 - pad_h) / gain,
+                   (x2 - pad_w) / gain, (y2 - pad_h) / gain]
+            box = [float(np.clip(v, 0, [ow, oh, ow, oh][j]))
+                   for j, v in enumerate(box)]
+            c = int(cls)
+            out.append({"box": box, "conf": float(conf), "cls": c,
+                        "name": self.names[c] if c < len(self.names)
+                        else str(c)})
+        return {"count": count, "detections": out}
+
+
+def make_server(port: int, classify: Optional[_ClassifyService],
+                detect: Optional[_DetectService]) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "classify": classify is not None,
+                                 "detect": detect is not None})
+            elif self.path == "/stats":
+                stats = {}
+                if classify:
+                    stats["classify"] = classify.batcher.stats().as_dict()
+                if detect:
+                    stats["detect"] = detect.batcher.stats().as_dict()
+                self._json(200, stats)
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            svc = {"/v1/classify": classify, "/v1/detect": detect}.get(
+                self.path)
+            if svc is None:
+                self._json(404, {"error": f"no service at {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                result = svc(self.rfile.read(n))
+                self._json(200, result)
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--engine", help="classifier engine dir (Engine.save)")
+    ap.add_argument("--detector", help="detector engine dir (save_detector)")
+    ap.add_argument("--names", help="comma-separated detector class names")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0,
+                    help="micro-batch deadline after the first request")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="in-flight batches (double buffering)")
+    args = ap.parse_args(argv)
+    if not args.engine and not args.detector:
+        ap.error("need --engine and/or --detector")
+    classify = (_ClassifyService(args.engine, args.max_wait_ms, args.depth)
+                if args.engine else None)
+    names = args.names.split(",") if args.names else None
+    detect = (_DetectService(args.detector, args.max_wait_ms, args.depth,
+                             names) if args.detector else None)
+    server = make_server(args.port, classify, detect)
+    print(f"rtdm-serve listening on :{server.server_address[1]} "
+          f"(classify={bool(classify)}, detect={bool(detect)})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        if classify:
+            classify.batcher.close()
+        if detect:
+            detect.batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Serving layer: MicroBatcher semantics + HTTP server end-to-end.
+
+The batcher is exercised with a fake engine (numpy, deterministic row
+transform) so coalescing, row-alignment, error propagation, and shutdown
+draining are pinned without device compiles; the HTTP test drives a real
+(tiny) classifier engine through POST /v1/classify.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rtdm_tpu.serve import MicroBatcher
+
+
+def test_batcher_row_alignment_under_load():
+    calls = []
+
+    def dispatch(frames):
+        calls.append(frames.shape[0])
+        time.sleep(0.01)  # force queue buildup -> coalescing
+        return frames.astype(np.float32).sum(axis=(1, 2, 3), keepdims=False)
+
+    mb = MicroBatcher(dispatch, batch_size=8, max_wait_ms=20.0)
+    frames = [np.full((4, 4, 3), i, np.uint8) for i in range(25)]
+    futs = [mb.submit(f) for f in frames]
+    got = [f.result(timeout=30) for f in futs]
+    mb.close()
+    want = [f.astype(np.float32).sum() for f in frames]
+    np.testing.assert_allclose(got, want)
+    stats = mb.stats()
+    assert stats.requests == 25
+    assert stats.batches == len(calls)
+    assert max(calls) > 1  # coalescing actually happened
+    assert all(c <= 8 for c in calls)
+    assert stats.p99_ms >= stats.p50_ms > 0
+
+
+def test_batcher_tuple_outputs_align_rows():
+    def dispatch(frames):
+        n = frames.shape[0]
+        return (frames.astype(np.float32) * 2.0,
+                np.arange(n, dtype=np.int32))
+
+    mb = MicroBatcher(dispatch, batch_size=4, max_wait_ms=5.0)
+    futs = [mb.submit(np.full((2, 2, 3), i, np.uint8)) for i in range(6)]
+    for i, fut in enumerate(futs):
+        arr, idx = fut.result(timeout=30)
+        np.testing.assert_array_equal(arr, np.full((2, 2, 3), 2.0 * i))
+        assert 0 <= idx < 4
+    mb.close()
+
+
+def test_batcher_propagates_engine_errors():
+    def dispatch(frames):
+        raise RuntimeError("engine on fire")
+
+    mb = MicroBatcher(dispatch, batch_size=4, max_wait_ms=1.0)
+    fut = mb.submit(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="engine on fire"):
+        fut.result(timeout=30)
+    mb.close()
+
+
+def test_batcher_drains_on_close():
+    def dispatch(frames):
+        time.sleep(0.02)
+        return frames.astype(np.float32)
+
+    mb = MicroBatcher(dispatch, batch_size=4, max_wait_ms=1.0, depth=2)
+    futs = [mb.submit(np.full((1,), i, np.uint8)) for i in range(8)]
+    mb.close()
+    done = [f for f in futs if f.done()]
+    assert len(done) == 8  # every future resolved (result or exception)
+    resolved = [f for f in futs if f.exception() is None]
+    for f in resolved:
+        assert f.result().shape == (1,)
+    assert resolved, "close() must flush at least the in-flight work"
+
+
+def test_batcher_resolves_last_batch_when_idle():
+    """A quiet server must not hold the final in-flight batch hostage."""
+    def dispatch(frames):
+        return frames.astype(np.float32)
+
+    mb = MicroBatcher(dispatch, batch_size=8, max_wait_ms=1.0, depth=2)
+    t0 = time.perf_counter()
+    out = mb(np.ones((2, 2, 3), np.uint8), timeout=10)
+    dt = time.perf_counter() - t0
+    mb.close()
+    assert out.shape == (2, 2, 3)
+    assert dt < 5.0
+
+
+@pytest.fixture(scope="module")
+def classify_server(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+    from rtdm_tpu.cli.serve import _ClassifyService, make_server
+    from rtdm_tpu.export.engine import build_engine
+    from rtdm_tpu.models import create_model
+
+    model = create_model("squeeze-ernet")
+    v = jax.device_get(model.init(jax.random.key(0),
+                                  jnp.zeros((1, 140, 140, 3))))
+    eng = build_engine("squeeze-ernet", v, "fp32", 4)
+    d = str(tmp_path_factory.mktemp("serve") / "eng")
+    eng.save(d)
+    svc = _ClassifyService(d, max_wait_ms=5.0, depth=2)
+    server = make_server(0, svc, None)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    svc.batcher.close()
+
+
+def _jpeg_bytes(rng) -> bytes:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (200, 300, 3)).astype(np.uint8)
+                    ).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def test_http_classify_end_to_end(classify_server, rng):
+    body = _jpeg_bytes(rng)
+    # health
+    with urllib.request.urlopen(classify_server + "/healthz") as r:
+        assert json.load(r)["ok"] is True
+    # concurrent classify requests (coalesced into engine batches)
+    results = []
+
+    def hit():
+        req = urllib.request.Request(classify_server + "/v1/classify",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            results.append(json.load(r))
+
+    threads = [threading.Thread(target=hit) for _ in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert len(results) == 6
+    first = results[0]
+    assert set(first) == {"label", "confidence", "probs"}
+    assert abs(sum(first["probs"].values()) - 1.0) < 1e-3
+    for r in results[1:]:  # same image -> same answer
+        assert r["label"] == first["label"]
+    with urllib.request.urlopen(classify_server + "/stats") as r:
+        stats = json.load(r)["classify"]
+    assert stats["requests"] >= 6
+
+
+def test_http_bad_body_is_a_client_error(classify_server):
+    req = urllib.request.Request(classify_server + "/v1/classify",
+                                 data=b"not an image", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        assert e.code == 400
+        assert "error" in json.load(e)
+    assert raised
