@@ -86,24 +86,29 @@ class _DetectService:
     def __call__(self, body: bytes) -> dict:
         from rtdm_tpu.data.odder import letterbox_image
         img = _decode_image(body)
-        oh, ow = img.shape[:2]
-        boxed, gain, (pad_w, pad_h) = letterbox_image(img, self.size)
+        boxed, gain, pads = letterbox_image(img, self.size)
         det, count = self.batcher(boxed)
-        det, count = np.asarray(det, np.float32), int(count)
-        # un-letterbox into original pixels (scale_coords semantics),
-        # using the exact gain/pad the letterbox applied
-        out = []
-        for i in range(count):
-            x1, y1, x2, y2, conf, cls = det[i, :6]
-            box = [(x1 - pad_w) / gain, (y1 - pad_h) / gain,
-                   (x2 - pad_w) / gain, (y2 - pad_h) / gain]
-            box = [float(np.clip(v, 0, [ow, oh, ow, oh][j]))
-                   for j, v in enumerate(box)]
-            c = int(cls)
-            out.append({"box": box, "conf": float(conf), "cls": c,
-                        "name": self.names[c] if c < len(self.names)
-                        else str(c)})
-        return {"count": count, "detections": out}
+        return detections_to_json(np.asarray(det, np.float32), int(count),
+                                  gain, pads, img.shape[:2], self.names)
+
+
+def detections_to_json(det: np.ndarray, count: int, gain: float,
+                       pads: tuple, orig_hw: tuple, names: list) -> dict:
+    """(max_det, 6)+count -> JSON dict with boxes un-letterboxed into
+    original pixels (scale_coords semantics, using the exact gain/pad the
+    letterbox applied)."""
+    (oh, ow), (pad_w, pad_h) = orig_hw, pads
+    out = []
+    for i in range(count):
+        x1, y1, x2, y2, conf, cls = det[i, :6]
+        box = [(x1 - pad_w) / gain, (y1 - pad_h) / gain,
+               (x2 - pad_w) / gain, (y2 - pad_h) / gain]
+        box = [float(np.clip(v, 0, [ow, oh, ow, oh][j]))
+               for j, v in enumerate(box)]
+        c = int(cls)
+        out.append({"box": box, "conf": float(conf), "cls": c,
+                    "name": names[c] if c < len(names) else str(c)})
+    return {"count": count, "detections": out}
 
 
 def make_server(port: int, classify: Optional[_ClassifyService],

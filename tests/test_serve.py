@@ -167,3 +167,27 @@ def test_http_bad_body_is_a_client_error(classify_server):
         assert e.code == 400
         assert "error" in json.load(e)
     assert raised
+
+
+def test_detections_to_json_unletterboxes_exactly():
+    """Boxes in letterbox space map back to original pixels with the same
+    gain/pad the letterbox applied (scale_coords semantics)."""
+    from rtdm_tpu.cli.serve import detections_to_json
+    from rtdm_tpu.data.odder import letterbox_image
+    img = np.zeros((300, 400, 3), np.uint8)  # oh=300, ow=400
+    _, gain, pads = letterbox_image(img, 416)
+    # a box covering orig pixels (40,30)-(200,150), mapped INTO letterbox
+    x1, y1, x2, y2 = (40 * gain + pads[0], 30 * gain + pads[1],
+                      200 * gain + pads[0], 150 * gain + pads[1])
+    det = np.zeros((10, 6), np.float32)
+    det[0] = [x1, y1, x2, y2, 0.9, 1]
+    out = detections_to_json(det, 1, gain, pads, (300, 400),
+                             ["person", "vehicle"])
+    assert out["count"] == 1
+    d = out["detections"][0]
+    np.testing.assert_allclose(d["box"], [40, 30, 200, 150], atol=1e-3)
+    assert d["name"] == "vehicle" and abs(d["conf"] - 0.9) < 1e-6
+    # clipping: a box poking past the original frame is clamped
+    det[1] = [0.0, 0.0, 416.0, 416.0, 0.5, 0]
+    out2 = detections_to_json(det, 2, gain, pads, (300, 400), ["p", "v"])
+    assert out2["detections"][1]["box"] == [0.0, 0.0, 400.0, 300.0]
