@@ -95,6 +95,8 @@ def main(argv=None):
         size = model.image_size
         policy = policy_from_name(
             {"int8": "bf16"}.get(args.quant, args.quant))
+        if not args.weights:
+            p.error("--weights is required unless --engine is given")
         variables = load_variables(args.weights)
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables.get("batch_stats", {})}

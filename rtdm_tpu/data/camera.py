@@ -19,6 +19,7 @@ import glob
 import os
 import queue
 import threading
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -137,9 +138,21 @@ class FrameSource:
             self._put_sentinel()
 
     def _put_sentinel(self) -> None:
-        """Enqueue the end sentinel without ever blocking: if the mailbox
-        is full and the consumer is gone, drop a stale frame instead of
-        wedging the daemon thread (and its open capture) forever."""
+        """Enqueue the end sentinel WITHOUT losing frames: a full queue
+        usually means the consumer is merely lagging (it will drain), so
+        block politely first; only a consumer that stays gone past the
+        grace period (or one that called stop()) forfeits frames — then
+        stale ones are dropped so the daemon thread (and its open capture)
+        can exit instead of wedging forever."""
+        grace_s = 0.0 if self._stop.is_set() else 60.0
+        deadline = time.monotonic() + grace_s
+        while True:
+            try:
+                self._queue.put(None, timeout=0.25)
+                return
+            except queue.Full:
+                if self._stop.is_set() or time.monotonic() >= deadline:
+                    break
         while True:
             try:
                 self._queue.put_nowait(None)
@@ -239,14 +252,18 @@ class _MultiSource(FrameSource):
                     c.stop()
                     continue
                 if frame is None:
-                    # distinguish ENDED (producer thread exited — drop)
-                    # from a transient stall (thread alive — keep
-                    # retrying, as the reference's LoadStreams does for
-                    # hiccuping cameras)
+                    # distinguish ENDED (producer thread exited AND its
+                    # queue fully drained — drop) from a transient stall
+                    # (keep retrying, as the reference's LoadStreams does
+                    # for hiccuping cameras). The drained check matters:
+                    # a read() timeout under host load also returns None,
+                    # and the thread may have exited with frames still
+                    # queued — dropping then would lose them.
                     if c._thread is not None:
                         c._thread.join(0.05)  # close the tiny window
                         #   between the end-sentinel put and thread exit
-                    if c._thread is None or not c._thread.is_alive():
+                    if ((c._thread is None or not c._thread.is_alive())
+                            and c._queue.empty()):
                         alive.remove(c)
                         c.stop()
                     continue

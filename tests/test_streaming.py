@@ -173,3 +173,25 @@ def test_profiler_trace_smoke(tmp_path):
         _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     import glob
     assert glob.glob(str(tmp_path / "tb" / "**" / "*"), recursive=True)
+
+
+def test_multi_source_slow_consumer_loses_nothing(image_dir, tmp_path):
+    """End-of-stream with a lagging consumer: the sentinel must wait for
+    the queue to drain, not evict a real frame (regression: the aggregate
+    queue holds 2*N frames, so a consumer >4 frames behind at stream end
+    lost one frame to the sentinel's drop-stale path)."""
+    import time as _t
+    from rtdm_tpu.data.camera import FrameSource
+
+    streams = tmp_path / "cams.streams"
+    streams.write_text(f"{image_dir}\n{image_dir}\n")
+    src = FrameSource.open(str(streams)).start()
+    _t.sleep(0.5)  # let the producer finish with the queue full
+    frames = []
+    while True:
+        f = src.read()
+        if f is None:
+            break
+        frames.append(f)
+        _t.sleep(0.05)  # stay behind the producer the whole way
+    assert len(frames) == 10
