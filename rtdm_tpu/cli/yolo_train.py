@@ -292,6 +292,9 @@ def train(args):
                              else hyp_file.get("label_smoothing", 0.0)),
             fl_gamma=(args.fl_gamma if args.fl_gamma is not None
                       else hyp_file.get("fl_gamma", 0.0)))
+        from rtdm_tpu.train.yolo_loss import scale_v5_gains
+        hyp = scale_v5_gains(hyp, nl=len(heads), nc=nc,
+                             img_size=args.img_size)
         loss_impl = yolo_loss_v5
     else:
         hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain,

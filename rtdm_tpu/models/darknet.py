@@ -168,8 +168,7 @@ class Darknet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
-        blocks = parse_darknet_cfg(self.cfg_text)
-        defs = blocks[1:]
+        defs = self.defs  # parsed once in setup(); one interpretation site
         outputs: List[Optional[jax.Array]] = []
         needed = _route_targets(defs)
         yolo_raw: List[jax.Array] = []
@@ -415,7 +414,11 @@ def load_darknet_torch_checkpoint(variables: Dict[str, Any], cfg_text: str,
             continue
         i = int(parts[1])
         sub, leaf = parts[2], parts[-1]
-        if sub == "Conv2d":
+        if sub == "w":
+            # weightedFeatureFusion layer weights (models.py:126-138,
+            # parameter `self.w` -> key module_list.{i}.w)
+            params[f"l{i}_w"] = val.astype(np.float32)
+        elif sub == "Conv2d":
             tgt = params[f"l{i}_conv"]
             if leaf == "weight":
                 tgt["kernel"] = conv_kernel(val)

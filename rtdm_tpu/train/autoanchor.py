@@ -82,13 +82,19 @@ def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 416,
         raise ValueError(f"need >= {n} labels for {n} anchors, got {len(wh)}")
     rng = np.random.default_rng(seed)
 
-    # k-means seed in whitened space
-    std = wh.std(0)
+    # k-means seed in whitened space. scipy's kmeans DROPS empty clusters
+    # (returning < n rows, no exception) and a degenerate wh distribution
+    # can make std 0 in a dimension — both fall back to Lloyd's below.
+    std = np.maximum(wh.std(0), 1e-6)
+    k = None
     try:
         from scipy.cluster.vq import kmeans
-        k, _ = kmeans(wh / std, n, iter=30, seed=seed)
-        k = k * std
-    except Exception:  # scipy absent/failed -> simple Lloyd's
+        cand, _ = kmeans(wh / std, n, iter=30, seed=seed)
+        if cand.shape == (n, 2) and np.isfinite(cand).all():
+            k = cand * std
+    except Exception:
+        pass
+    if k is None:  # scipy absent/failed/short -> simple Lloyd's
         k = wh[rng.choice(len(wh), n, replace=False)].copy()
         for _ in range(30):
             d = ((wh[:, None] - k[None]) ** 2).sum(-1)

@@ -41,6 +41,10 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
     w = jnp.where(valid, w, 0.0)
     if reduction == "none":
         return nll * w
+    if reduction == "sum":
+        return jnp.sum(nll * w)
+    if reduction != "mean":
+        raise ValueError(f"unknown reduction '{reduction}'")
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
 
 
@@ -59,24 +63,39 @@ def label_smoothing_cross_entropy(logits: jax.Array, labels: jax.Array,
     per_example = jnp.where(valid, per_example, 0.0)
     if reduction == "none":
         return per_example
+    if reduction == "sum":
+        return jnp.sum(per_example)
+    if reduction != "mean":
+        raise ValueError(f"unknown reduction '{reduction}'")
     return jnp.sum(per_example) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def focal_loss(logits: jax.Array, labels: jax.Array,
                gamma: float = 2.0,
                alpha: Optional[jax.Array] = None,
+               ignore_index: int = -100,
                reduction: str = "mean") -> jax.Array:
-    """(1-pt)^gamma * CE, with optional per-class alpha weighting."""
+    """(1-pt)^gamma * CE, with optional per-class alpha weighting.
+    `ignore_index` rows are excluded, matching the CE/label-smoothing
+    siblings (the reference focal wraps nn.CrossEntropyLoss, which
+    honors ignore_index; model/focal_loss.py:6-63)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    nll = -jnp.take_along_axis(logp, safe_labels[:, None], axis=-1)[:, 0]
     pt = jnp.exp(-nll)
     focal = jnp.power(1.0 - pt, gamma) * nll
     if alpha is not None:
-        focal = focal * jnp.asarray(alpha, jnp.float32)[labels]
+        focal = focal * jnp.asarray(alpha, jnp.float32)[safe_labels]
+    focal = jnp.where(valid, focal, 0.0)
     if reduction == "none":
         return focal
-    return jnp.mean(focal)
+    if reduction == "sum":
+        return jnp.sum(focal)
+    if reduction != "mean":
+        raise ValueError(f"unknown reduction '{reduction}'")
+    return jnp.sum(focal) / jnp.maximum(jnp.sum(valid), 1)
 
 
 def inverse_frequency_class_weights(labels: Sequence[int],

@@ -115,7 +115,10 @@ def yolo_loss(raw_maps: Sequence[jax.Array], heads,
         vmask = valid.ravel()
         tcls = jnp.broadcast_to(labels[..., 0].astype(jnp.int32)[:, :, None],
                                 (bsz, m, na)).ravel()
-        txy = jnp.broadcast_to((gxy - jnp.floor(gxy))[:, :, None, :],
+        # offset relative to the CLIPPED cell (gi/gj above) so a center at
+        # the grid edge trains toward its assigned cell, not one past it
+        cell = jnp.stack([gi, gj], axis=-1).astype(jnp.float32)
+        txy = jnp.broadcast_to((gxy - cell)[:, :, None, :],
                                (bsz, m, na, 2)).reshape(-1, 2)
         twh = jnp.broadcast_to(gwh[:, :, None, :],
                                (bsz, m, na, 2)).reshape(-1, 2)
@@ -180,6 +183,19 @@ class YoloHypV5:
     fl_alpha: float = 0.25
     gr: float = 1.0
     label_smoothing: float = 0.0
+
+
+def scale_v5_gains(hyp: "YoloHypV5", nl: int, nc: int,
+                   img_size: int) -> "YoloHypV5":
+    """Mandatory v5 gain scaling (yolov5/train.py:225-227): the
+    hyp.scratch box/cls/obj values assume nl=3 detect layers, nc=80
+    classes and 640px input; real runs rescale box to layers, cls to
+    classes+layers, obj to image-size+layers."""
+    return dataclasses.replace(
+        hyp,
+        box=hyp.box * 3.0 / nl,
+        cls=hyp.cls * nc / 80.0 * 3.0 / nl,
+        obj=hyp.obj * (img_size / 640.0) ** 2 * 3.0 / nl)
 
 
 _V5_OFFSETS = ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (-0.5, 0.0), (0.0, -0.5))

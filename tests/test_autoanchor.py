@@ -108,3 +108,32 @@ def test_plateau_scaler_min_lr_is_lr_floor():
     ps2 = PlateauScaler(factor=0.1, patience=0, base_lr=1.0)
     ps2.update(1.0)
     assert ps2.update(1.0 - 1e-8) < 1.0  # still counts as stale -> reduce
+
+
+def test_kmeans_degenerate_wh_still_returns_n_anchors():
+    """All-identical (or near-identical) label sizes: scipy kmeans drops
+    empty clusters and whitening can divide by a 0 std — kmean_anchors
+    must still return (n, 2) finite anchors via the Lloyd's fallback."""
+    from rtdm_tpu.train.autoanchor import kmean_anchors
+    wh = np.full((50, 2), 37.0, np.float32)  # zero variance both dims
+    k = kmean_anchors(wh, n=6, img_size=416, gen=50)
+    assert k.shape == (6, 2)
+    assert np.isfinite(k).all()
+    wh2 = np.concatenate([np.full((40, 2), 20.0, np.float32),
+                          np.full((10, 2), 21.0, np.float32)])  # 2 clusters
+    k2 = kmean_anchors(wh2, n=9, img_size=416, gen=50)
+    assert k2.shape == (9, 2) and np.isfinite(k2).all()
+
+
+def test_scale_v5_gains_matches_reference_formula():
+    """yolov5/train.py:225-227: box *= 3/nl, cls *= nc/80*3/nl,
+    obj *= (imgsz/640)^2*3/nl."""
+    from rtdm_tpu.train.yolo_loss import YoloHypV5, scale_v5_gains
+    hyp = scale_v5_gains(YoloHypV5(), nl=3, nc=2, img_size=416)
+    np.testing.assert_allclose(hyp.box, 0.05)
+    np.testing.assert_allclose(hyp.cls, 0.5 * 2 / 80.0)
+    np.testing.assert_allclose(hyp.obj, (416 / 640.0) ** 2)
+    hyp2 = scale_v5_gains(YoloHypV5(), nl=2, nc=80, img_size=640)
+    np.testing.assert_allclose(hyp2.box, 0.05 * 1.5)
+    np.testing.assert_allclose(hyp2.cls, 0.5 * 1.5)
+    np.testing.assert_allclose(hyp2.obj, 1.5)

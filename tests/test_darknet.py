@@ -285,3 +285,32 @@ def test_grouped_convolutional_block(tmp_path):
         np.testing.assert_allclose(
             back["params"][name]["kernel"],
             np.asarray(variables["params"][name]["kernel"]), rtol=1e-6)
+
+
+def test_torch_checkpoint_imports_fusion_weights(tmp_path):
+    """weightedFeatureFusion layer weights (module_list.{i}.w,
+    ref models.py:126-138) must land in l{i}_w, not be silently dropped."""
+    import torch
+
+    from rtdm_tpu.models.darknet import Darknet, load_darknet_torch_checkpoint
+
+    cfg = "\n".join([
+        "[net]", "width=64", "height=64", "channels=3", "",
+        "[convolutional]", "filters=8", "size=3", "stride=1", "pad=1",
+        "activation=leaky", "",
+        "[convolutional]", "filters=8", "size=3", "stride=1", "pad=1",
+        "activation=leaky", "",
+        "[shortcut]", "from=-2", "activation=linear",
+        "weights_type=per_feature", ""])
+    model = Darknet(cfg_text=cfg)
+    variables = init_darknet(model, 64, seed=0)
+    assert "l2_w" in jax.device_get(variables["params"])
+
+    w = np.array([0.7, -0.3], np.float32)
+    path = str(tmp_path / "w.pt")
+    torch.save({"model": {"module_list.2.w": torch.from_numpy(w)}}, path)
+    restored = load_darknet_torch_checkpoint(variables, cfg, path)
+    np.testing.assert_allclose(np.asarray(restored["params"]["l2_w"]), w)
+    # and the weighted graph still runs
+    out = model.apply(restored, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

@@ -98,3 +98,31 @@ def test_inverse_frequency_weights():
     raw = np.array([100 / (3 * 80), 100 / (3 * 10), 100 / (3 * 10)])
     np.testing.assert_allclose(w, raw / raw.sum(), rtol=1e-6)
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+
+
+def test_focal_honors_ignore_index(batch):
+    """Padded (-100) rows must not contribute focal loss — same contract
+    as the CE/label-smoothing siblings (reference focal wraps
+    nn.CrossEntropyLoss, which honors ignore_index)."""
+    logits, labels = batch
+    from rtdm_tpu.train.losses import focal_loss
+    base = focal_loss(logits, labels, gamma=1.5)
+    padded_logits = np.concatenate([logits, logits[:3] * 7.0])
+    padded_labels = np.concatenate([labels, np.full(3, -100)])
+    with_pad = focal_loss(padded_logits, padded_labels, gamma=1.5)
+    np.testing.assert_allclose(with_pad, base, rtol=1e-6)
+
+
+def test_reduction_sum_is_real(batch):
+    """reduction='sum' must return the sum, not silently fall back to
+    mean, for all three losses."""
+    from rtdm_tpu.train.losses import (cross_entropy, focal_loss,
+                                       label_smoothing_cross_entropy)
+    logits, labels = batch
+    for fn in (cross_entropy, label_smoothing_cross_entropy, focal_loss):
+        none = np.asarray(fn(logits, labels, reduction="none"))
+        s = float(fn(logits, labels, reduction="sum"))
+        np.testing.assert_allclose(s, none.sum(), rtol=1e-6)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="reduction"):
+            fn(logits, labels, reduction="bogus")
