@@ -74,6 +74,8 @@ def main(argv=None):
                         "side by side (aider-predict.py --trt comparison)")
     p.add_argument("--visualize", help="write annotated PNG here")
     args = p.parse_args(argv)
+    if not args.engine and not args.weights:
+        p.error("--weights is required unless --engine is given")
 
     from rtdm_tpu.models import create_model
     from rtdm_tpu.models.ernet import CLASS_NAMES

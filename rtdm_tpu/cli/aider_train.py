@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import os
 import time
 from typing import Dict, List, Tuple
 
@@ -237,9 +238,16 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     # never clobbers an existing non-empty checkpoint/log dir; resume
     # lands in the same dirs by design (train.py:229-248)
     from rtdm_tpu.utils.paths import increment_path
+    weights_was_default = (config.weights == os.path.join(
+        config.checkpoint_dir, f"{config.model}.npz"))
     config.checkpoint_dir = increment_path(config.checkpoint_dir,
                                            exist_ok=config.resume)
     config.log_dir = increment_path(config.log_dir, exist_ok=config.resume)
+    if weights_was_default:
+        # keep the defaulted final-weights path inside THIS run's resolved
+        # dir — the pre-increment default would overwrite run 1's weights
+        config.weights = os.path.join(config.checkpoint_dir,
+                                      f"{config.model}.npz")
     # config.json lands in the RESOLVED run dir (saving before the
     # increment would both create the dir — forcing the bump — and strand
     # the json outside the actual run)
@@ -272,6 +280,12 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
                if config.scheduler == "reduce" else None)
     base_rng = jax.random.key(config.seed + 1)
     best_val = float("inf")
+    if start_epoch and history.get("val_loss"):
+        # a resumed run competes against the PRE-interrupt best — without
+        # this the first post-resume epoch always overwrote 'best'
+        # (reference resume restores best metrics, train.py:229-248)
+        best_val = float(min(history["val_loss"]))
+        stopper.best_loss = best_val
 
     # uint8 batches go to device as-is; /255 + ImageNet normalize runs on
     # device and XLA fuses it into the first conv of each step.

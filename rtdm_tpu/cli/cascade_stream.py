@@ -117,8 +117,10 @@ def main(argv=None):
                        args.cls_weights, args.img_size, args.conf_thres,
                        args.iou_thres, args.quant)
 
-    src = FrameSource.open(args.source, loop=args.video_looping,
-                           width=args.width, height=args.height).start()
+    src = FrameSource.open(
+        int(args.source) if args.source.isdigit() else args.source,
+        loop=args.video_looping,
+        width=args.width, height=args.height).start()
     fps = FpsMeter()
     timer = StepTimer()
     if args.save_dir:

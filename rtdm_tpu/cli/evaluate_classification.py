@@ -33,6 +33,8 @@ def main(argv=None):
                    "(mesh serving engine; single-device behavior is "
                    "unchanged on a 1-chip host)")
     args = p.parse_args(argv)
+    if not args.engine and not args.weights:
+        p.error("--weights is required unless --engine is given")
 
     import jax
     import jax.numpy as jnp
@@ -90,9 +92,12 @@ def main(argv=None):
     loader = BatchLoader(ds, args.batch_size, num_workers=args.num_workers)
     metrics = ClassificationMetrics(len(CLASS_NAMES), CLASS_NAMES)
     times = []
+    warm = False
     for images, labels, valid in loader:
         dev = jax.device_put(jnp.asarray(images))
-        np.asarray(forward(dev))  # warm (compile on first batch)
+        if not warm:
+            np.asarray(forward(dev))  # compile + warm-up, first batch only
+            warm = True
         t0 = time.perf_counter()
         probs = np.asarray(forward(dev))
         times.append(time.perf_counter() - t0)

@@ -43,6 +43,8 @@ def main(argv=None):
     p.add_argument("--plot", help="write the power-trace PNG here "
                    "(showDataTraces analogue, :159-185)")
     args = p.parse_args(argv)
+    if not args.engine and not args.weights:
+        p.error("--weights is required unless --engine is given")
 
     import jax
     import jax.numpy as jnp

@@ -113,11 +113,11 @@ def main(argv=None):
         _fwd = jax.jit(_fwd_impl, **jit_kwargs)
 
         def dispatch(u8_batch):
-            if mesh is not None and u8_batch.shape[0] < args.batch:
-                # tail micro-batch: ALWAYS pad to the full batch — even a
-                # shard-divisible short tail would otherwise trigger a
-                # fresh jit compile (20-60s over the dev tunnel); the
-                # consumer slices [:n]
+            if u8_batch.shape[0] < args.batch:
+                # tail micro-batch: ALWAYS pad to the full batch (mesh or
+                # not) — a short tail is a new input shape and would
+                # trigger a fresh jit compile (20-60s over the dev
+                # tunnel); the consumer slices [:n]
                 pad = np.zeros((args.batch - u8_batch.shape[0],)
                                + u8_batch.shape[1:], u8_batch.dtype)
                 u8_batch = np.concatenate([u8_batch, pad])

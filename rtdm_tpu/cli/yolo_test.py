@@ -134,17 +134,20 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             ev.add_image(d, gt_boxes, lab[:, 0].astype(np.int32))
             if cm is not None:
                 cm.process_batch(d, gt_boxes, lab[:, 0].astype(np.int32))
+            idx = int(batch["index"][i])
+            oh, ow = (int(batch["orig_hw"][i][0]),
+                      int(batch["orig_hw"][i][1]))
+            if (save_txt_dir or save_json) and n:
+                predn = np.asarray(scale_coords(
+                    jnp.asarray(d[None]), (img_size, img_size),
+                    (oh, ow)))[0]
+            else:
+                predn = d
             if save_txt_dir:
                 # per-image prediction txts in normalized native-frame
                 # `cls cx cy w h [conf]` rows (yolov5/test.py:145-151);
                 # --save-hybrid prepends the GT label rows — the
                 # auto-labelling union (test.py:120 'for autolabelling')
-                idx = int(batch["index"][i])
-                oh, ow = (int(batch["orig_hw"][i][0]),
-                          int(batch["orig_hw"][i][1]))
-                predn = np.asarray(scale_coords(
-                    jnp.asarray(d[None]), (img_size, img_size),
-                    (oh, ow)))[0] if n else d
                 lab_dir = os.path.join(save_txt_dir, "labels")
                 os.makedirs(lab_dir, exist_ok=True)
                 stem = os.path.splitext(
@@ -162,9 +165,13 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
                             line += f" {conf:g}"
                         f.write(line + "\n")
             if save_json:
-                # COCO-style detection records (yolov5/test.py --save-json)
-                img_id = int(batch["index"][i])
-                for x1, y1, x2, y2, conf, c in d:
+                # COCO-style detection records (yolov5/test.py:153-162):
+                # boxes scale_coords'd back to ORIGINAL pixels, image_id
+                # from the filename stem (int when numeric)
+                stem = os.path.splitext(
+                    os.path.basename(ds.image_paths[idx]))[0]
+                img_id = int(stem) if stem.isnumeric() else stem
+                for x1, y1, x2, y2, conf, c in predn:
                     json_records.append({
                         "image_id": img_id,
                         "category_id": int(c),
@@ -183,7 +190,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     res = ev.results()
     ms = t_infer / max(n_images, 1) * 1e3
     print(f"images {n_images}  P {res['mp']:.3f}  R {res['mr']:.3f}  "
-          f"mAP@{map_iou:g} {res['map50']:.3f}"
+          f"mAP@{iouv[0]:g} {res['map50']:.3f}"
           + (f"  mAP@0.5:0.95 {res['map']:.3f}" if full_map_range else "")
           + f"  {ms:.2f} ms/img ({1000 / max(ms, 1e-9):.1f} FPS)")
     if iouv_override is not None and len(iouv) > 1 and res["per_class"]:
@@ -219,21 +226,61 @@ def _build_ensemble(cfg, weight_list, spec, batch_size):
     from rtdm_tpu.ops.nms import batched_nms
     from rtdm_tpu.ops.yolo import decode_all
 
-    members = [load_detection_model(cfg, w, spec.img_size)
-               for w in weight_list]
+    if spec.quant == "int8":
+        raise SystemExit(
+            "--quant int8 is not supported for weight ENSEMBLES: "
+            "calibration scales are per-engine; build per-member int8 "
+            "engines with cli/build_engine instead")
     dtype = (jnp.bfloat16 if spec.quant in ("bf16", "fp16")
              else jnp.float32)
 
-    def fwd(u8):
-        x = u8.astype(dtype) / 255.0
+    def _cast(variables):  # bf16 members actually compute in bf16
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, variables)
+
+    members = []
+    for w in weight_list:
+        model, variables, heads = load_detection_model(cfg, w,
+                                                       spec.img_size)
+        members.append((model,
+                        {"params": _cast(variables["params"]),
+                         "batch_stats": variables.get("batch_stats", {})},
+                        heads))
+
+    def member_preds(x, size):
         preds = []
         for model, variables, heads in members:
-            raw = model.apply({"params": variables["params"],
-                               "batch_stats": variables.get("batch_stats",
-                                                            {})},
-                              x, train=False)
-            preds.append(decode_all(raw, heads, spec.img_size))
-        pred = jnp.concatenate(preds, axis=1)
+            raw = model.apply(variables, x, train=False)
+            preds.append(decode_all(raw, heads, size))
+        return jnp.concatenate(preds, axis=1)
+
+    def fwd(u8):
+        x = u8.astype(dtype) / 255.0
+        if spec.tta:
+            # same TTA pooling as the single-model Detector (the reference
+            # runs ensembles with augment=opt.augment, yolov5/test.py:105;
+            # scales/flips per yolo.py:123-134)
+            s0 = spec.img_size
+            preds = []
+            for scale, flip in ((1.0, False), (0.83, True), (0.67, False)):
+                si = max(int(round(s0 * scale / 32)) * 32, 32)
+                xi = (x if si == s0 else jax.image.resize(
+                    x, (x.shape[0], si, si, x.shape[3]), method="bilinear"))
+                if flip:
+                    xi = xi[:, :, ::-1]
+                p = member_preds(xi, si).astype(jnp.float32)
+                g = s0 / si
+                cx, cy = p[..., 0] * g, p[..., 1] * g
+                if flip:
+                    cx = s0 - cx
+                preds.append(jnp.concatenate(
+                    [cx[..., None], cy[..., None],
+                     p[..., 2:3] * g, p[..., 3:4] * g, p[..., 4:]], axis=-1))
+            pred = jnp.concatenate(preds, axis=1)
+        else:
+            pred = member_preds(x, spec.img_size)
         return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                            spec.max_det, spec.top_k,
                            multi_label=spec.multi_label,
@@ -347,8 +394,8 @@ def main(argv=None):
         res = evaluate(args.cfg, args.data, args.weights, args.img_size,
                        args.batch_size, args.conf_thres, args.iou_thres,
                        float(ious[0]), args.quant, iouv_override=ious)
-        pc = res["per_class"]
-        present = pc["classes"]
+        pc = res["per_class"]  # None when no image produced a detection
+        present = pc["classes"] if pc else []
         maps = (pc["ap"][present].mean(axis=0).tolist() if len(present)
                 else [0.0] * len(ious))
         import matplotlib

@@ -545,3 +545,62 @@ def test_match_predictions_strict_threshold():
     assert not tp.any()
     tp = match_predictions(pred, gt, np.array([0]), np.array([0.499]))
     assert tp.all()
+
+
+@needs_reference
+def test_yolo_test_ensemble_tta_save_json(tmp_path, capsys):
+    """Two-member ensemble (attempt_load analogue) with --augment (TTA)
+    and --save-json: members are pooled before one NMS pass, and the json
+    records carry scale_coords'd ORIGINAL-pixel boxes with filename-stem
+    image ids (yolov5/test.py:105,153-162)."""
+    import json
+
+    import jax
+
+    from rtdm_tpu.cli.yolo_test import main
+    from rtdm_tpu.models.darknet import (create_darknet, init_darknet,
+                                         save_darknet_weights)
+
+    cfg = str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg")
+    model = create_darknet(cfg)
+    paths = []
+    for seed in (1, 2):
+        variables = init_darknet(model, 192, seed=seed)
+        p = str(tmp_path / f"m{seed}.weights")
+        save_darknet_weights(variables, model.cfg_text, p)
+        paths.append(p)
+    del model, variables
+    jj = str(tmp_path / "det.json")
+    res = main(["--cfg", cfg, "--data", str(YOLO_DATA / "aider-min.data"),
+                "--weights", ",".join(paths), "--img-size", "192",
+                "--batch-size", "4", "--quant", "fp32",
+                "--conf-thres", "0.05", "--augment", "--save-json", jj])
+    out = capsys.readouterr().out
+    assert "images 10" in out
+    assert res["map50"] < 0.5  # random members can't be good
+    records = json.load(open(jj))
+    assert records, "random ensemble at conf 0.05 must emit detections"
+    for r in records:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        # non-numeric stems stay strings (fire_image0232, ...)
+        assert isinstance(r["image_id"], str)
+        assert r["image_id"][0].isalpha()
+    # boxes are in ORIGINAL pixels: the fixtures are ~500-620px wide, so
+    # detections spread over the frame must exceed the 192px network frame
+    assert max(r["bbox"][0] + r["bbox"][2] for r in records) > 192.0
+
+
+@needs_reference
+def test_yolo_test_ensemble_int8_rejected(tmp_path):
+    """int8 ensembles are refused loudly: calibration scales are
+    per-engine, so a silent weight-only fallback would misreport what
+    '--quant int8' measures."""
+    import pytest as _pytest
+
+    from rtdm_tpu.cli.yolo_test import main
+
+    cfg = str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg")
+    with _pytest.raises(SystemExit, match="ENSEMBLE"):
+        main(["--cfg", cfg, "--data", str(YOLO_DATA / "aider-min.data"),
+              "--weights", "a.weights,b.weights", "--img-size", "192",
+              "--quant", "int8"])
