@@ -60,7 +60,10 @@ def bbox_iou(box1: jax.Array, box2: jax.Array, xywh: bool = True,
 
 
 def wh_iou_matrix(wh1: jax.Array, wh2: jax.Array) -> jax.Array:
-    """(N,2) x (M,2) -> (N,M) IoU of co-centered boxes (utils.py:310-315)."""
-    inter = jnp.prod(jnp.minimum(wh1[:, None], wh2[None]), axis=-1)
-    return inter / (jnp.prod(wh1, -1)[:, None] + jnp.prod(wh2, -1)[None]
-                    - inter + 1e-16)
+    """(..., N, 2) x (M, 2) -> (..., N, M) IoU of co-centered boxes
+    (utils.py:310-315). Leading batch dims on wh1 broadcast, so the loss's
+    per-image anchor matching ((B, M, 2) x (na, 2)) reuses this."""
+    inter = jnp.prod(jnp.minimum(wh1[..., :, None, :], wh2[..., None, :, :]),
+                     axis=-1)
+    return inter / (jnp.prod(wh1, -1)[..., :, None]
+                    + jnp.prod(wh2, -1)[..., None, :] - inter + 1e-16)

@@ -202,10 +202,20 @@ def batched_nms(pred: jax.Array,
             sigma = 0.5
             kk = iou.shape[0]
             pos = jnp.arange(kk)
+            # The reference emits each class's first candidate BEFORE any
+            # conf filtering (det_max.append(dc[:1]) precedes the
+            # `dc[:, 4] > conf_thres` drop, utils.py:613-618), so in
+            # best-class mode a class head whose obj*cls score is below
+            # conf_thres (candidates are obj-only prefiltered) is still
+            # emitted. Exempt per-class heads from the conf gate.
+            same = (jnp.ones((kk, kk), bool) if class_agnostic
+                    else top_cls[:, None] == top_cls[None, :])
+            later = pos[:, None] > pos[None, :]  # [i, j]: j precedes i
+            head = valid & ~jnp.any(same & later & valid[None, :], axis=1)
 
             def soft_body(i, carry):
                 scores, keep = carry
-                alive = valid[i] & (scores[i] > conf_thres)
+                alive = valid[i] & ((scores[i] > conf_thres) | head[i])
                 decay = jnp.exp(-jnp.square(iou[i]) / sigma)
                 scores = jnp.where((pos > i) & alive, scores * decay,
                                    scores)
@@ -221,9 +231,12 @@ def batched_nms(pred: jax.Array,
         else:  # greedy == the reference's 'vision_batch' and 'or' methods
             keep = _greedy_keep(iou, valid, iou_thres)
             if method == "merge":
-                # merge-NMS (utils.py:604-610 / general.py:520-523):
-                # surviving boxes become the score-weighted average of the
-                # boxes they suppressed (same class, iou > thres).
+                # merge-NMS, yolov5 semantics (general.py:571-575): every
+                # kept box becomes the score-weighted average of ALL
+                # same-class candidates with iou > thres — including ones
+                # an earlier kept head also weighted in. (yolov3's 'merge',
+                # utils.py:600-606, instead REMOVES consumed boxes from
+                # later merges; we implement the v5 formula only.)
                 w = jnp.where((iou > iou_thres) & valid[None, :],
                               top_scores[None, :], 0.0)   # (kept i, j)
                 merged = (w @ top_boxes) / jnp.maximum(

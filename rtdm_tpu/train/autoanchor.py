@@ -73,6 +73,19 @@ def collect_label_wh(dataset, img_size: int,
     return np.concatenate(whs).astype(np.float32)
 
 
+def _mutation(rng: np.random.Generator, shape,
+              mp: float = 0.9, s: float = 0.1) -> np.ndarray:
+    """One genetic mutation-factor draw (autoanchor.py:150-152):
+    (mask < mp) * r * randn * s + 1, clipped to [0.3, 3] — ZERO-mean noise,
+    so factors are symmetric around 1 and anchors can shrink as well as
+    grow. Redrawn until at least one entry mutates."""
+    v = np.ones(shape)
+    while (v == 1).all():
+        v = ((rng.random(shape) < mp) * rng.random()
+             * rng.normal(0.0, s, shape) + 1).clip(0.3, 3.0)
+    return v
+
+
 def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 416,
                   thr: float = 4.0, gen: int = 1000,
                   seed: int = 0, verbose: bool = False) -> np.ndarray:
@@ -107,12 +120,8 @@ def kmean_anchors(wh: np.ndarray, n: int = 9, img_size: int = 416,
     # genetic evolution (autoanchor.py:140-156)
     f = anchor_fitness(k, wh, thr)
     shape = k.shape
-    mp, s = 0.9, 0.1
     for _ in range(gen):
-        v = np.ones(shape)
-        while (v == 1).all():
-            v = ((rng.random(shape) < mp) * rng.random()
-                 * rng.normal(1, s, shape) + 1).clip(0.3, 3.0)
+        v = _mutation(rng, shape)
         kg = (k * v).clip(2.0, img_size)
         fg = anchor_fitness(kg, wh, thr)
         if fg > f:

@@ -28,7 +28,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from rtdm_tpu.ops.boxes import bbox_iou
+from rtdm_tpu.ops.boxes import bbox_iou, wh_iou_matrix
 from rtdm_tpu.ops.yolo import raw_to_train_layout
 
 
@@ -97,11 +97,7 @@ def yolo_loss(raw_maps: Sequence[jax.Array], heads,
         gwh = labels[..., 3:5] / stride
 
         # candidate validity: real label slot AND anchor wh-iou > iou_t
-        inter = jnp.prod(jnp.minimum(gwh[:, :, None, :],
-                                     anchor_vec[None, None, :, :]), -1)
-        wh_iou = inter / (jnp.prod(gwh, -1)[:, :, None]
-                          + jnp.prod(anchor_vec, -1)[None, None]
-                          - inter + 1e-16)        # (B, M, na)
+        wh_iou = wh_iou_matrix(gwh, anchor_vec)   # (B, M, na)
         valid = slot_valid[:, :, None] & (wh_iou > hyp.iou_t)
 
         gi = jnp.clip(jnp.floor(gxy[..., 0]), 0, nx - 1).astype(jnp.int32)

@@ -137,3 +137,17 @@ def test_scale_v5_gains_matches_reference_formula():
     np.testing.assert_allclose(hyp2.box, 0.05 * 1.5)
     np.testing.assert_allclose(hyp2.cls, 0.5 * 1.5)
     np.testing.assert_allclose(hyp2.obj, 1.5)
+
+
+def test_mutation_factors_symmetric_around_one():
+    """Genetic mutation uses ZERO-mean noise (autoanchor.py:150-152:
+    randn*s+1), so factors fall on both sides of 1 — evolution must be
+    able to SHRINK anchors, not only grow them."""
+    from rtdm_tpu.train.autoanchor import _mutation
+
+    rng = np.random.default_rng(0)
+    draws = np.stack([_mutation(rng, (9, 2)) for _ in range(200)])
+    mutated = draws[draws != 1.0]
+    frac_below = (mutated < 1.0).mean()
+    assert 0.3 < frac_below < 0.7, frac_below
+    assert draws.min() >= 0.3 and draws.max() <= 3.0

@@ -168,3 +168,54 @@ def test_confusion_matrix_keeps_highest_iou_match():
     assert cm.matrix[0, 0] == 1       # best-IoU det (class 0) matches gt
     assert cm.matrix[1, 2] == 1       # class-1 det is a background FP
     assert cm.matrix[2, 0] == 0       # gt is NOT counted as a miss
+
+
+def test_soft_nms_emits_subconf_class_heads():
+    """Best-class candidates are obj-only prefiltered (utils.py:507), and
+    the reference's soft loop emits each class's first box BEFORE the
+    conf_thres drop (utils.py:613-618) — so a class head whose obj*cls
+    score is below conf_thres must still be emitted, exactly once."""
+    conf_thres, iou_thres = 0.3, 0.5
+    nc = 2
+    rows = [
+        # class 0: objs pass the obj-only filter, but every obj*cls score
+        # (0.27, 0.225, 0.18) is below conf_thres; boxes overlap the head
+        (100, 100, 40, 40, 0.6, 0.45, 0.05),
+        (104, 104, 40, 40, 0.5, 0.45, 0.05),
+        (96, 96, 40, 40, 0.4, 0.45, 0.05),
+        # class 1: two overlapping boxes above conf, one far below-any box
+        (300, 300, 50, 50, 0.9, 0.05, 0.90),
+        (306, 306, 50, 50, 0.8, 0.05, 0.85),
+    ]
+    pred = np.asarray(rows, np.float32)[None]  # (1, N, 5+nc)
+
+    det, cnt = batched_nms(jnp.asarray(pred), conf_thres, iou_thres,
+                           8, 8, method="soft")
+    got = np.asarray(det)[0][: int(cnt[0])]
+
+    # per-class oracle: reference loops over classes independently
+    obj = pred[0, :, 4]
+    cls_probs = pred[0, :, 5:] * obj[:, None]
+    best = cls_probs.argmax(1)
+    score = cls_probs.max(1)
+    xyxy = np.concatenate([pred[0, :, :2] - pred[0, :, 2:4] / 2,
+                           pred[0, :, :2] + pred[0, :, 2:4] / 2,
+                           score[:, None]], axis=1)
+    outs = []
+    for c in range(nc):
+        sub = xyxy[(best == c) & (obj > conf_thres)]
+        sub = sub[np.argsort(-sub[:, 4], kind="stable")]
+        out = _ref_soft_nms(sub, iou_thres, conf_thres)
+        outs.append(np.concatenate(
+            [out, np.full((len(out), 1), c, np.float32)], axis=1))
+    want = np.concatenate(outs)
+    want = want[np.argsort(-want[:, 4], kind="stable")]
+
+    assert len(got) == len(want), (len(got), len(want))
+    np.testing.assert_allclose(got[:, 4], want[:, 4], rtol=1e-5)
+    np.testing.assert_allclose(got[:, :4], want[:, :4], rtol=1e-4)
+    np.testing.assert_array_equal(got[:, 5], want[:, 5])
+    # the sub-conf class-0 head IS emitted (score 0.27 < conf_thres)
+    assert np.any((got[:, 5] == 0) & (got[:, 4] < conf_thres))
+    # but only the head — its decayed followers stay dropped
+    assert np.sum(got[:, 5] == 0) == 1
