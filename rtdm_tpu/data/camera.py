@@ -237,11 +237,18 @@ class _MultiSource(FrameSource):
 
     def _produce(self):
         import sys
+        import time as _time
         alive = list(self.children)
+        last_ok = {id(c): _time.monotonic() for c in alive}
+        # Poll each child briefly instead of blocking child_timeout on it:
+        # one wedged camera must not cap every HEALTHY camera at one frame
+        # per (n_stalled * child_timeout). child_timeout is a per-child
+        # staleness deadline, not a per-read block.
+        poll = min(0.1, self.child_timeout)
         while alive:
             for c in list(alive):
                 try:
-                    frame = c.read(timeout=self.child_timeout)
+                    frame = c.read(timeout=poll)
                 except RuntimeError as e:
                     # a failed camera is logged and dropped; the others
                     # keep streaming (LoadStreams keeps going when one
@@ -253,12 +260,11 @@ class _MultiSource(FrameSource):
                     continue
                 if frame is None:
                     # distinguish ENDED (producer thread exited AND its
-                    # queue fully drained — drop) from a transient stall
-                    # (keep retrying, as the reference's LoadStreams does
-                    # for hiccuping cameras). The drained check matters:
-                    # a read() timeout under host load also returns None,
-                    # and the thread may have exited with frames still
-                    # queued — dropping then would lose them.
+                    # queue fully drained — drop) from a transient stall.
+                    # The drained check matters: a read() timeout under
+                    # host load also returns None, and the thread may have
+                    # exited with frames still queued — dropping then
+                    # would lose them.
                     if c._thread is not None:
                         c._thread.join(0.05)  # close the tiny window
                         #   between the end-sentinel put and thread exit
@@ -266,7 +272,19 @@ class _MultiSource(FrameSource):
                             and c._queue.empty()):
                         alive.remove(c)
                         c.stop()
+                    elif (c.live and _time.monotonic() - last_ok[id(c)]
+                            > self.child_timeout):
+                        # live feed stalled (producer alive, no frames for
+                        # child_timeout): drop it as promised above; file/
+                        # dir sources are never staleness-dropped — a slow
+                        # decode must not lose frames
+                        print(f"dropping stalled source {c.uri!r} (no "
+                              f"frame for {self.child_timeout:.1f}s)",
+                              file=sys.stderr)
+                        alive.remove(c)
+                        c.stop()
                     continue
+                last_ok[id(c)] = _time.monotonic()
                 yield frame
 
     def stop(self) -> None:

@@ -233,19 +233,23 @@ class DetectionDataset:
         if rows.size == 0:
             self.stats["empty"] += 1
             return np.zeros((0, 5), np.float32)
-        assert rows.shape[1] == 5, f"{lp}: expected 5 columns"
-        assert (rows[:, 1:] <= 1.0).all() and (rows[:, 1:] >= 0.0).all(), \
-            f"{lp}: coords must be normalized to [0,1]"
+        # explicit raises (not asserts): these guards are load-bearing and
+        # must survive `python -O`
+        if rows.shape[1] != 5:
+            raise ValueError(f"{lp}: expected 5 columns")
+        if not ((rows[:, 1:] <= 1.0).all() and (rows[:, 1:] >= 0.0).all()):
+            raise ValueError(f"{lp}: coords must be normalized to [0,1]")
         if self.num_classes is not None:
             # the reference catches this inside build_targets
             # (yolov3/utils/utils.py:480-483, "possible class labels are
             # 0-%g"); on TPU the loss is jitted so the guard must run at
             # LOAD time — a bad class id would silently scatter into
             # nothing (or the wrong row) on device
-            assert (rows[:, 0] < self.num_classes).all() and \
-                (rows[:, 0] >= 0).all(), \
-                (f"{lp}: class ids must be in [0, {self.num_classes}); "
-                 f"got {sorted(set(rows[:, 0].astype(int).tolist()))}")
+            if not ((rows[:, 0] < self.num_classes).all()
+                    and (rows[:, 0] >= 0).all()):
+                raise ValueError(
+                    f"{lp}: class ids must be in [0, {self.num_classes}); "
+                    f"got {sorted(set(rows[:, 0].astype(int).tolist()))}")
         if self.single_cls:
             # --single-cls: collapse every class to 0 (the reference maps
             # at load time, yolov5/utils/datasets.py:410); zero BEFORE
@@ -348,6 +352,46 @@ class DetectionDataset:
         if self.cache_images:
             self._img_cache[idx] = img
         return img
+
+    def load_scaled(self, idx: int, size: int) -> np.ndarray:
+        """Decoded frame with its LONG side resized to `size`, aspect kept,
+        no padding — the mosaic tile load (load_image semantics,
+        yolov3/utils/datasets.py:393-404: cv2.INTER_LINEAR resize by
+        r = size/max(h0, w0)). Cache-off .jpg files take the native
+        DCT-prescaled decode (decode at ~target resolution, then the
+        cv2-matching fixed-point resize — the same fast path _load_eval
+        uses) by cropping the pad off the letterboxed square; cached or
+        non-jpg frames fall back to load_raw + PIL."""
+        path = self.image_paths[idx]
+        if (not self.cache_images  # cached raw beats re-decoding natively
+                and path.lower().endswith((".jpg", ".jpeg"))):
+            try:
+                from rtdm_tpu.data.native_io import decode_jpeg_letterbox
+                with open(path, "rb") as f:
+                    res = decode_jpeg_letterbox(f.read(), size)
+                if res is not None:
+                    sq, gain, (pad_w, pad_h), (h0, w0) = res
+                    # pads are exact ints ((size-nw)//2, rtdm_io.cpp);
+                    # crop recovers the unpadded aspect-preserved resize.
+                    # float32 arithmetic replicates the C++ rounding bit
+                    # for bit (float64 could round .5-boundaries apart)
+                    g32 = np.float32(gain)
+                    nh = max(int(np.float32(h0) * g32 + np.float32(0.5)), 1)
+                    nw = max(int(np.float32(w0) * g32 + np.float32(0.5)), 1)
+                    y0, x0 = int(pad_h), int(pad_w)
+                    return np.ascontiguousarray(
+                        sq[y0:y0 + nh, x0:x0 + nw])
+            except Exception as e:
+                logger.warning("native decode failed for %s: %s", path, e)
+        img = self.load_raw(idx)
+        h0, w0 = img.shape[:2]
+        gain = size / max(h0, w0)
+        if gain == 1:
+            return img
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize(
+            (max(int(w0 * gain), 1), max(int(h0 * gain), 1)),
+            Image.BILINEAR), np.uint8)
 
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]

@@ -63,12 +63,15 @@ def random_affine(img: np.ndarray, boxes_xyxy: np.ndarray,
     rot = np.eye(3)
     rot[:2] = r
     t_mat = np.eye(3)
-    t_mat[0, 2] = rng.uniform(-translate, translate) * img.shape[1] + border
-    t_mat[1, 2] = rng.uniform(-translate, translate) * img.shape[0] + border
+    # the reference scales x-translation by HEIGHT and y by WIDTH
+    # (datasets.py:651-652) — a quirk, but parity means keeping it
+    t_mat[0, 2] = rng.uniform(-translate, translate) * img.shape[0] + border
+    t_mat[1, 2] = rng.uniform(-translate, translate) * img.shape[1] + border
     s_mat = np.eye(3)
     s_mat[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
     s_mat[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-    m = (t_mat @ s_mat @ rot)
+    m = (s_mat @ t_mat @ rot)  # S @ T @ R (datasets.py:660, order matters:
+    # the translation — incl. the mosaic border shift — is itself sheared)
 
     out = cv2.warpAffine(img, m[:2], dsize=(width, height),
                          flags=cv2.INTER_LINEAR,
@@ -101,8 +104,6 @@ def load_mosaic(dataset, idx: int, rng: np.random.Generator,
     """4-image mosaic (datasets.py:532-596): random center on a 2s x 2s
     canvas, each quadrant a random image, labels merged in canvas pixels,
     then affine down to s x s. Returns (img s x s, labels (N,5) cls+xyxy px)."""
-    from PIL import Image
-
     s = dataset.img_size
     canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
     xc = int(rng.uniform(s * 0.5, s * 1.5))
@@ -110,12 +111,9 @@ def load_mosaic(dataset, idx: int, rng: np.random.Generator,
     idxs = [idx] + list(rng.integers(0, len(dataset), 3))
     all_labels = []
     for i, index in enumerate(idxs):
-        img = dataset.load_raw(index)  # RAM-cached under --cache-images
-        h0, w0 = img.shape[:2]
-        gain = s / max(h0, w0)
-        if gain != 1:
-            img = np.asarray(Image.fromarray(img).resize(
-                (int(w0 * gain), int(h0 * gain)), Image.BILINEAR), np.uint8)
+        # native DCT-prescale decode-at-scale when uncached (load_scaled);
+        # RAM-cached raws resize via PIL inside the same call
+        img = dataset.load_scaled(index, s)
         h, w = img.shape[:2]
         if i == 0:      # top-left
             x1a, y1a = max(xc - w, 0), max(yc - h, 0)
@@ -170,20 +168,13 @@ def load_mosaic9(dataset, idx: int, rng: np.random.Generator,
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """9-image mosaic (yolov5/utils/datasets.py:734 load_mosaic9): a 3x3
     grid on a 3s canvas, then affine-cropped to s x s."""
-    from PIL import Image
-
     s = dataset.img_size
     canvas = np.full((3 * s, 3 * s, 3), 114, np.uint8)
     idxs = [idx] + list(rng.integers(0, len(dataset), 8))
     all_labels = []
     for cell, index in enumerate(idxs):
         r, c = divmod(cell, 3)
-        img = dataset.load_raw(index)  # RAM-cached under --cache-images
-        h0, w0 = img.shape[:2]
-        gain = s / max(h0, w0)
-        img = np.asarray(Image.fromarray(img).resize(
-            (max(int(w0 * gain), 1), max(int(h0 * gain), 1)),
-            Image.BILINEAR), np.uint8)
+        img = dataset.load_scaled(index, s)  # native decode-at-scale
         h, w = img.shape[:2]
         y0, x0 = r * s, c * s
         canvas[y0:y0 + h, x0:x0 + w] = img

@@ -216,6 +216,18 @@ class Darknet(nn.Module):
             elif t == "route":
                 srcs = [outputs[li if li >= 0 else i + li]
                         for li in d["layers"]]
+                g = int(d.get("groups", 1))
+                if g > 1:
+                    # darknet grouped route (the yolov4-tiny CSP split):
+                    # each source contributes only its group_id-th channel
+                    # slice. NOTE: the reference fork IGNORES groups and
+                    # concats everything (models.py:75-77, :355-368), which
+                    # misaligns true-darknet .weights for such cfgs (e.g.
+                    # yolov4-tiny-3l-512x512.cfg); we implement the real
+                    # darknet semantics instead.
+                    gid = int(d.get("group_id", 0))
+                    srcs = [s[..., (s.shape[-1] // g) * gid:
+                              (s.shape[-1] // g) * (gid + 1)] for s in srcs]
                 x = _concat_with_resize(srcs)
             elif t == "shortcut":
                 x = self._shortcut(i, d, x, outputs)

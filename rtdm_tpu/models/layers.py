@@ -144,7 +144,10 @@ class FReLU(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         y = DepthwiseConv(self.k, 1, padding=self.k // 2, use_bias=False,
                           name="conv")(x)
-        y = BatchNorm(axis_name=self.bn_axis, name="bn")(y, train)
+        # v5's initialize_weights sets eps=1e-3/momentum=0.03 on every BN
+        # in the model, this one included (torch_utils.py:151-158)
+        y = BatchNorm(momentum=0.03, epsilon=1e-3, axis_name=self.bn_axis,
+                      name="bn")(y, train)
         return jnp.maximum(x, y)
 
 

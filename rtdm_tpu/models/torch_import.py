@@ -61,8 +61,11 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         raise ValueError(f"could not unpickle {path}")
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
-    if isinstance(obj, dict) and "model" in obj and not hasattr(obj, "detach"):
-        # yolov3-fork / yolov5 trainer checkpoints: {'model': state_dict|module}
+    if (isinstance(obj, dict) and "model" in obj
+            and not hasattr(obj["model"], "detach")):
+        # yolov3-fork / yolov5 trainer checkpoints: {'model':
+        # state_dict|module} — but NOT a state_dict whose 'model' key is
+        # itself a tensor, which must stay at this level
         obj = obj["model"]
     if hasattr(obj, "state_dict"):  # a pickled full module
         obj = obj.state_dict()

@@ -389,7 +389,10 @@ class MixConv2d(nn.Module):
                         use_bias=False, name=f"m{g}")(x)
                 for g in range(groups)]
         y = jnp.concatenate(outs, axis=-1)
-        y = BatchNorm(axis_name=self.bn_axis, name="bn")(y, train)
+        # initialize_weights sets eps=1e-3/momentum=0.03 on EVERY BN,
+        # including this one (torch_utils.py:151-158)
+        y = BatchNorm(momentum=0.03, epsilon=1e-3, axis_name=self.bn_axis,
+                      name="bn")(y, train)
         y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1)
         return x + y
 
@@ -706,6 +709,25 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
                     tgt[slot] = arr.astype(np.float32)
                     transferred += 1
                 continue
+        puts = _transformer_puts(rest, np.asarray(val))
+        if puts is not None:
+            # C3TR / TransformerBlock leaves (2-D Linear + MultiheadAttention
+            # tensors) — see _transformer_puts
+            ok = True
+            for suffix, leaf_nm, a in puts:
+                r = _set_nested(params, [f"m{i}"] + list(suffix), leaf_nm,
+                                np.ascontiguousarray(a))
+                if r is False:
+                    ok = False
+                elif r == "shape" and ok is True:
+                    ok = "shape"
+            if ok == "shape":
+                skipped.append(key)
+            elif not ok:
+                unmatched.append(key)
+            else:
+                transferred += 1
+            continue
         # generic module path: rename m.{j} -> m{j}
         mapped = [f"m{i}"]
         j = 0
@@ -775,6 +797,47 @@ def load_yolov5_torch_checkpoint(variables: Dict[str, Any],
             "unmatched skipped)", transferred, path, len(skipped),
             len(unmatched))
     return variables
+
+
+def _transformer_puts(rest, arr):
+    """Map a TransformerBlock/TransformerLayer torch key tail to a list of
+    (path_suffix, leaf_name, value) puts, or None for non-transformer keys.
+
+    torch nn.Linear stores (out, in) and applies x @ W.T; our layers store
+    the transposed (in, out) matrix and apply x @ w, so every 2-D weight
+    transposes on import. nn.MultiheadAttention packs q/k/v input
+    projections into in_proj_weight/bias (3c rows, common.py:55), which we
+    split into in_{q,k,v}_{w,b}; out_proj maps to out_{w,b}."""
+    if (len(rest) >= 2 and rest[-2] == "linear"
+            and rest[-1] in ("weight", "bias") and arr.ndim <= 2):
+        # TransformerBlock's learned position embedding (common.py:72)
+        prefix = rest[:-2]
+        if rest[-1] == "weight":
+            return [(prefix, "linear_w", arr.T)]
+        return [(prefix, "linear_b", arr)]
+    if "tr" not in rest:
+        return None
+    t = rest.index("tr")
+    if t + 2 >= len(rest) or not rest[t + 1].isdigit():
+        return None
+    prefix = rest[:t] + [f"tr{rest[t + 1]}"]
+    tail = rest[t + 2:]
+    if (len(tail) == 2 and tail[0] in ("q", "k", "v", "fc1", "fc2")
+            and tail[1] == "weight"):
+        return [(prefix, f"{tail[0]}_w", arr.T)]
+    if tail == ["ma", "in_proj_weight"]:
+        qw, kw, vw = np.split(arr, 3, axis=0)
+        return [(prefix, "in_q_w", qw.T), (prefix, "in_k_w", kw.T),
+                (prefix, "in_v_w", vw.T)]
+    if tail == ["ma", "in_proj_bias"]:
+        qb, kb, vb = np.split(arr, 3, axis=0)
+        return [(prefix, "in_q_b", qb), (prefix, "in_k_b", kb),
+                (prefix, "in_v_b", vb)]
+    if tail == ["ma", "out_proj", "weight"]:
+        return [(prefix, "out_w", arr.T)]
+    if tail == ["ma", "out_proj", "bias"]:
+        return [(prefix, "out_b", arr)]
+    return None
 
 
 def _set_nested(tree, path_parts, leaf, value, create=False):

@@ -90,12 +90,17 @@ def test_weights_binary_roundtrip(tmp_path):
 
 
 @needs_reference
-def test_tiny_forward_parity_vs_torch(rng):
-    """Execute yolov3-tiny's graph with torch.nn.functional as the oracle."""
+@pytest.mark.parametrize("cfg_name", [
+    "yolov3-tiny-aider-416.cfg",
+    # exercises grouped [route] (CSP channel split), true-darknet semantics
+    "yolov4-tiny-3l-512x512.cfg",
+])
+def test_tiny_forward_parity_vs_torch(rng, cfg_name):
+    """Execute the cfg's graph with torch.nn.functional as the oracle."""
     import torch
     import torch.nn.functional as F
 
-    cfg_path = str(CFG_DIR / "yolov3-tiny-aider-416.cfg")
+    cfg_path = str(CFG_DIR / cfg_name)
     model = create_darknet(cfg_path)
     img = 224  # smaller for speed; strides still divide
     variables = init_darknet(model, img, seed=1)
@@ -142,6 +147,11 @@ def test_tiny_forward_parity_vs_torch(rng):
                               mode="nearest")
         elif ty == "route":
             srcs = [outputs[li if li >= 0 else i + li] for li in d["layers"]]
+            g = int(d.get("groups", 1))
+            if g > 1:  # true-darknet grouped route: group_id-th NCHW slice
+                gid = int(d.get("group_id", 0))
+                srcs = [s[:, (s.shape[1] // g) * gid:
+                          (s.shape[1] // g) * (gid + 1)] for s in srcs]
             t = torch.cat(srcs, 1) if len(srcs) > 1 else srcs[0]
         elif ty == "yolo":
             yolo.append(t)

@@ -148,7 +148,7 @@ def test_detection_dataset_rejects_out_of_range_class(tmp_path):
     # without nc: loads fine (legacy behavior)
     ds = DetectionDataset(str(lst), 64, base_dir=str(tmp_path))
     assert len(ds.labels[0]) == 1
-    with pytest.raises(AssertionError, match=r"class ids.*\[0, 2\)"):
+    with pytest.raises(ValueError, match=r"class ids.*\[0, 2\)"):
         DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
                          num_classes=2)
 
@@ -176,16 +176,24 @@ def test_single_cls_collapses_labels(tmp_path):
     assert len(lab) == 2  # classes 0/1 on the same box collapsed
 
 
-def test_cache_images_same_samples():
+def test_cache_images_same_samples(monkeypatch):
     """--cache-images must not change what the loader yields: train-path
     samples (mosaic) are identical with and without the RAM cache, and the
-    cache actually holds the decoded array after first touch."""
+    cache actually holds the decoded array after first touch. The native
+    decode-at-scale path is pinned OFF here: cache-off jpgs legitimately
+    take it (DCT-prescale decodes at a different resolution than the
+    cached full-res raw, same trade _load_eval documents), so bit-equality
+    is only a cache-logic invariant within ONE decode path."""
     import pytest
 
     from tests.conftest import REFERENCE_ROOT, reference_available
     if not reference_available():
         pytest.skip("reference not mounted")
+    import rtdm_tpu.data.native_io as native_io
     from rtdm_tpu.data.odder import DetectionDataset
+
+    monkeypatch.setattr(native_io, "decode_jpeg_letterbox",
+                        lambda *a, **k: None)
 
     lst = str(REFERENCE_ROOT /
               "code/victim_localization/yolov3/data/custom/test-min.txt")
@@ -250,3 +258,43 @@ def test_frame_source_error_raises_not_silent_eos(tmp_path):
     with _pytest.raises(RuntimeError, match="failed"):
         src.read(timeout=30.0)
     src.stop()
+
+
+def test_load_scaled_native_matches_pil_fallback():
+    """load_scaled's native crop (letterboxed square minus pads) must give
+    the aspect-preserved long-side=s resize: same shape (+-1px rounding)
+    and pixel-close content vs the PIL fallback path."""
+    import pytest
+
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    import rtdm_tpu.data.native_io as native_io
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    if not native_io.available():
+        pytest.skip("native IO unavailable")
+    lst = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/data/custom/test-min.txt")
+    base = str(REFERENCE_ROOT / "code/victim_localization/yolov3")
+    ds = DetectionDataset(lst, 192, base_dir=base)
+    for idx in range(3):
+        nat = ds.load_scaled(idx, 192)
+        raw = ds.load_raw(idx)
+        h0, w0 = raw.shape[:2]
+        g = 192 / max(h0, w0)
+        assert max(nat.shape[0], nat.shape[1]) == 192
+        assert abs(nat.shape[0] - h0 * g) <= 1
+        assert abs(nat.shape[1] - w0 * g) <= 1
+        # content agreement: native DCT-prescale+fixed-point vs PIL
+        # antialias differ per-pixel on detail-rich photos, but a
+        # mis-cropped region (pads included / content offset) would
+        # destroy the pixelwise correlation
+        from PIL import Image
+        pil = np.asarray(Image.fromarray(raw).resize(
+            (nat.shape[1], nat.shape[0]), Image.BILINEAR), np.uint8)
+        a = nat.astype(np.float32).ravel()
+        b = pil.astype(np.float32).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.95, corr
+        assert np.abs(a - b).mean() < 20.0

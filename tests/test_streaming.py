@@ -195,3 +195,45 @@ def test_multi_source_slow_consumer_loses_nothing(image_dir, tmp_path):
         frames.append(f)
         _t.sleep(0.05)  # stay behind the producer the whole way
     assert len(frames) == 10
+
+
+def test_multi_source_drops_stalled_live_child(image_dir):
+    """A live camera that stops producing (connection alive, no frames)
+    must be dropped after child_timeout and must NOT rate-limit healthy
+    children: previously the round-robin blocked child_timeout on the
+    stalled camera every cycle and never dropped it, so the aggregate
+    stream both crawled and never terminated."""
+    import time as _t
+
+    import numpy as np
+
+    from rtdm_tpu.data.camera import FrameSource, _MultiSource
+
+    class StalledCam(FrameSource):
+        def __init__(self):
+            super().__init__("stalled://", live=True)
+
+        def _produce(self):
+            yield np.zeros((8, 8, 3), np.uint8)
+            while not self._stop.wait(0.05):  # alive but frameless
+                pass
+
+    healthy = FrameSource.open(image_dir)  # 5 images
+    src = _MultiSource([StalledCam(), healthy], child_timeout=0.6).start()
+
+    t0 = _t.monotonic()
+    frames = []
+    while True:
+        f = src.read(timeout=2.0)
+        if f is None:
+            break
+        frames.append(f)
+        assert len(frames) <= 6
+    elapsed = _t.monotonic() - t0
+
+    # all 5 healthy frames + the stalled camera's single frame
+    assert len(frames) == 6
+    # healthy frames were not serialized behind 5s blocks on the stalled
+    # child, and the stalled child was dropped => the stream terminated
+    assert elapsed < 5.0, elapsed
+    src.stop()

@@ -418,3 +418,67 @@ def test_ghost_blocks_forward_parity_and_import(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(got[0]),
                                np.transpose(want[0], (0, 2, 3, 1)),
                                rtol=5e-4, atol=5e-4)
+
+
+C3TR_YAML = """
+nc: 2
+depth_multiple: 1.0
+width_multiple: 1.0
+anchors:
+  - [10,13, 16,30, 33,23]
+backbone:
+  [[-1, 1, Conv, [16, 3, 2]],
+   [-1, 2, C3TR, [16]],
+  ]
+head:
+  [[[-1], 1, Detect, [nc, anchors]]]
+"""
+
+
+class TorchC3TRMini(nn.Module):
+    """torch mirror of C3TR_YAML (real nn.MultiheadAttention inside)."""
+
+    def __init__(self, nc=2, na=3):
+        super().__init__()
+        no = na * (nc + 5)
+        self.model = nn.Sequential(
+            tvr.Conv(3, 16, 3, 2),    # 0
+            tvr.C3TR(16, 16, 2),      # 1
+        )
+        det = nn.Module()
+        det.m = nn.ModuleList([nn.Conv2d(16, no, 1)])
+        self.model.add_module("2", det)
+
+    def forward(self, x):
+        for i, m in enumerate(self.model):
+            if i == 2:
+                return [m.m[0](x)]
+            x = m(x)
+
+
+def test_c3tr_forward_parity_and_import(rng, tmp_path):
+    """C3TR (vision-transformer C3): synthesize a torch checkpoint with
+    real nn.MultiheadAttention/Linear keys (q.weight, ma.in_proj_weight,
+    tr.{j}..., linear.*), import it, compare full forwards — proves the
+    2-D transformer tensors actually load (common.py:48-93,140-146)."""
+    tm = TorchC3TRMini().eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    path = str(tmp_path / "v5c3tr.pt")
+    torch.save({"model": tm, "ema": None}, path)
+
+    model = YoloV5(yaml_text=C3TR_YAML)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    variables = load_yolov5_torch_checkpoint(variables, path)
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32) * 0.4
+    with torch.no_grad():
+        want = [t.numpy() for t in tm(torch.from_numpy(x))]
+    got = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(got) == len(want) == 1
+    np.testing.assert_allclose(np.asarray(got[0]),
+                               np.transpose(want[0], (0, 2, 3, 1)),
+                               rtol=5e-4, atol=5e-4)

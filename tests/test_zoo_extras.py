@@ -29,8 +29,9 @@ def test_frelu_matches_torch(rng):
     with torch.no_grad():
         t = torch.from_numpy(x)
         y = F.conv2d(t, torch.from_numpy(k), None, 1, 1, groups=8)
+        # initialize_weights sets eps=1e-3 on every BN (torch_utils.py)
         y = F.batch_norm(y, torch.zeros(8), torch.ones(8), torch.ones(8),
-                         torch.zeros(8), training=False, eps=1e-5)
+                         torch.zeros(8), training=False, eps=1e-3)
         want = torch.max(t, y).numpy()
     np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-5,
                                atol=1e-5)
@@ -121,8 +122,9 @@ def test_mixconv2d_matches_torch(rng):
             w = np.transpose(np.asarray(p[f"m{g}"]["kernel"]), (3, 2, 0, 1))
             outs.append(F.conv2d(t, torch.from_numpy(w), None, 1, k // 2))
         y = torch.cat(outs, 1)
+        # initialize_weights sets eps=1e-3 on every BN (torch_utils.py)
         y = F.batch_norm(y, torch.zeros(c2), torch.ones(c2), torch.ones(c2),
-                         torch.zeros(c2), training=False, eps=1e-5)
+                         torch.zeros(c2), training=False, eps=1e-3)
         want = (t + F.leaky_relu(y, 0.1)).numpy()
     np.testing.assert_allclose(np.asarray(got), _nhwc(want), rtol=1e-5,
                                atol=1e-5)

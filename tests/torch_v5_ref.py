@@ -183,3 +183,54 @@ class GhostBottleneck(nn.Module):
 
     def forward(self, x):
         return self.conv(x) + self.shortcut(x)
+
+
+class TransformerLayer(nn.Module):
+    """common.py:48-62 — q/k/v pre-projections (no bias), 4-head MHA,
+    2-layer no-bias MLP, both residual, no LayerNorm."""
+
+    def __init__(self, c, num_heads):
+        super().__init__()
+        self.q = nn.Linear(c, c, bias=False)
+        self.k = nn.Linear(c, c, bias=False)
+        self.v = nn.Linear(c, c, bias=False)
+        self.ma = nn.MultiheadAttention(embed_dim=c, num_heads=num_heads)
+        self.fc1 = nn.Linear(c, c, bias=False)
+        self.fc2 = nn.Linear(c, c, bias=False)
+
+    def forward(self, x):  # (T, B, C) seq-first
+        x = self.ma(self.q(x), self.k(x), self.v(x))[0] + x
+        return self.fc2(self.fc1(x)) + x
+
+
+class TransformerBlock(nn.Module):
+    """common.py:65-93 — optional input Conv, learned position embedding
+    ('linear'), n TransformerLayers over HW tokens."""
+
+    def __init__(self, c1, c2, num_heads, num_layers):
+        super().__init__()
+        self.conv = None
+        if c1 != c2:
+            self.conv = Conv(c1, c2)
+        self.linear = nn.Linear(c2, c2)
+        self.tr = nn.Sequential(*[TransformerLayer(c2, num_heads)
+                                  for _ in range(num_layers)])
+        self.c2 = c2
+
+    def forward(self, x):
+        if self.conv is not None:
+            x = self.conv(x)
+        b = x.shape[0]
+        h, w = x.shape[2], x.shape[3]
+        p = x.flatten(2).unsqueeze(0).transpose(0, 3).squeeze(3)  # (HW,B,C)
+        x = self.tr(p + self.linear(p))
+        return x.unsqueeze(3).transpose(0, 3).reshape(b, self.c2, h, w)
+
+
+class C3TR(C3):
+    """common.py:140-146 — C3 whose inner stack is a TransformerBlock."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, g=1, e=0.5):
+        super().__init__(c1, c2, n, shortcut, g, e)
+        c_ = int(c2 * e)
+        self.m = TransformerBlock(c_, c_, 4, n)
