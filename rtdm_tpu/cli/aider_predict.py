@@ -118,15 +118,19 @@ def main(argv=None):
         dt = time.time() - t0
         idx = int(np.argmax(probs))
     else:
+        from rtdm_tpu.models import with_checkpoint_head
         from rtdm_tpu.models.io import load_variables
         variables = load_variables(args.weights)
+        model = with_checkpoint_head(model, variables)
         t0 = time.time()
         idx, probs = predict(variables, model, image)
         dt = time.time() - t0
 
-    print(f"prediction: {CLASS_NAMES[idx]}  confidence: {probs[idx]:.4f}  "
+    names = (CLASS_NAMES if len(probs) == len(CLASS_NAMES)
+             else [f"class_{i}" for i in range(len(probs))])
+    print(f"prediction: {names[idx]}  confidence: {probs[idx]:.4f}  "
           f"({dt * 1e3:.1f} ms incl. compile)")
-    for i, name in enumerate(CLASS_NAMES):
+    for i, name in enumerate(names):
         print(f"  {name:>20}: {probs[i]:.4f}")
 
     if args.compare_engine:

@@ -209,7 +209,8 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     tx = make_optimizer(config.optimizer, schedule, config.weight_decay,
                         config.momentum, config.grad_clip)
 
-    model = create_model(config.model, dropout_rate=config.dropout)
+    model = create_model(config.model, dropout_rate=config.dropout,
+                         num_classes=config.num_classes)
     trainer = Trainer(model, tx, loss_fn, policy=policy,
                       grad_accum_steps=config.grad_accum_steps, mesh=mesh,
                       num_classes=config.num_classes,

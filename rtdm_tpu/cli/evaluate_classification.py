@@ -69,8 +69,10 @@ def main(argv=None):
         def forward(u8):
             return engine(u8)
     else:
+        from rtdm_tpu.models import with_checkpoint_head
         from rtdm_tpu.models.io import load_variables
         variables = load_variables(args.weights)
+        model = with_checkpoint_head(model, variables)
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables["batch_stats"]}
 

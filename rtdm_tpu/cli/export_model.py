@@ -51,6 +51,8 @@ def main(argv=None):
         model = create_model(args.model or "squeeze-ernet")
         size = args.img_size or model.image_size
         variables = load_variables(args.weights)
+        from rtdm_tpu.models import with_checkpoint_head
+        model = with_checkpoint_head(model, variables)
 
         def fwd(u8):
             return model.apply(variables, normalize_batch(u8), train=False)

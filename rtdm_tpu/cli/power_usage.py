@@ -73,6 +73,8 @@ def main(argv=None):
         policy = policy_from_name(args.precision)
         from rtdm_tpu.models.io import load_variables
         variables = load_variables(args.weights)
+        from rtdm_tpu.models import with_checkpoint_head
+        model = with_checkpoint_head(model, variables)
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables["batch_stats"]}
 

@@ -98,6 +98,8 @@ def main(argv=None):
         if not args.weights:
             p.error("--weights is required unless --engine is given")
         variables = load_variables(args.weights)
+        from rtdm_tpu.models import with_checkpoint_head
+        model = with_checkpoint_head(model, variables)
         cast = {"params": policy.cast_to_compute(variables["params"]),
                 "batch_stats": variables.get("batch_stats", {})}
 

@@ -97,7 +97,8 @@ class TrainingConfig:
 
     def save(self, path: Optional[str] = None) -> str:
         path = path or os.path.join(self.log_dir, "config.json")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.dirname(path):  # bare filename: makedirs('') raises
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(dataclasses.asdict(self), f, indent=4)
         return path

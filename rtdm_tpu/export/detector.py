@@ -47,6 +47,15 @@ class DetectorSpec:
         # hashable static value
         if self.classes is not None:
             self.classes = tuple(int(c) for c in self.classes)
+        # normalize quant once so every `== "int8"` downstream is safe:
+        # 'FP16'/'half' map to bf16, and a typo raises instead of silently
+        # compiling a 2x-slower fp32 engine
+        q = {"fp16": "bf16", "half": "bf16"}.get(self.quant.lower(),
+                                                 self.quant.lower())
+        if q not in ("fp32", "bf16", "int8"):
+            raise ValueError(f"unknown detector quant {self.quant!r} "
+                             "(fp32|bf16|fp16|half|int8)")
+        self.quant = q
 
 
 def model_heads(model, variables) -> Any:
@@ -148,10 +157,11 @@ class Detector:
         heads = heads if heads is not None else model_heads(model, variables)
         self.num_classes = int(heads[0].num_classes)
         self.loaded_from_exec = precompiled is not None
+        self.mesh_built = mesh is not None  # topology-bound program
         if precompiled is not None:
             self._fn = precompiled
             return
-        quant = {"fp16": "bf16", "half": "bf16"}.get(spec.quant, spec.quant)
+        quant = spec.quant  # normalized+validated in __post_init__
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
 
         # fold conv+BN into the compiled graph (Darknet.fuse(),
@@ -171,10 +181,8 @@ class Detector:
             from rtdm_tpu.quant.int8 import quantize_params
             params = quantize_params(jax.device_get(params))
             dtype = jnp.bfloat16
-        cast = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x, params)
+        from rtdm_tpu.core.precision import _cast_floating
+        cast = _cast_floating(params, dtype)
         vars_c = {"params": cast,
                   "batch_stats": variables.get("batch_stats", {})}
 
@@ -359,7 +367,9 @@ def save_detector(det: Detector, directory: str,
     # in ms instead of recompiling (~20-60s over the TPU tunnel), exactly
     # the .trt deserialize_cuda_engine property. Guarded by a fingerprint
     # of the artifact files so a swapped params.npz forces a recompile.
-    if not det.loaded_from_exec:
+    if not det.loaded_from_exec and not det.mesh_built:
+        # mesh engines are topology-bound: a serialized N-way program must
+        # not rehydrate into a mesh=None session (see Engine.save)
         from rtdm_tpu.export.exec_cache import save_executable
         s = det.spec.img_size
         save_executable(os.path.join(directory, "exec.xla"), det._fn,

@@ -74,21 +74,22 @@ class Engine:
         self.variables = variables
         self.act_scales = act_scales
         self.loaded_from_exec = precompiled is not None
+        self.mesh_built = mesh is not None  # topology-bound program
         if precompiled is not None:
             self._compiled = precompiled
             return
-        model = create_model(spec.model)
+        model = create_model(spec.model, num_classes=spec.num_classes)
         quant = spec.normalized_quant()
 
         if quant == "int8":
             from rtdm_tpu.quant.int8 import quantize_classifier_apply
-            apply_fn = quantize_classifier_apply(model, variables, act_scales)
+            apply_fn = quantize_classifier_apply(
+                model, variables, act_scales,
+                apply_softmax=spec.with_softmax)
         else:
+            from rtdm_tpu.core.precision import _cast_floating
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[quant]
-            cast = jax.tree_util.tree_map(
-                lambda x: x.astype(dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, variables["params"])
+            cast = _cast_floating(variables["params"], dtype)
             variables_c = {"params": cast,
                            "batch_stats": variables.get("batch_stats", {})}
 
@@ -154,8 +155,10 @@ class Engine:
                      **{k: np.asarray(v) for k, v in self.act_scales.items()})
         # TRT-style sealed executable: loads in ms instead of a recompile.
         # Best-effort and device-kind-bound; skipped for mesh engines
-        # (device-topology-specific) and on backends that can't serialize.
-        if not self.loaded_from_exec:
+        # (device-topology-specific: load() would rehydrate an N-way
+        # sharded program into a mesh=None session) and on backends that
+        # can't serialize.
+        if not self.loaded_from_exec and not self.mesh_built:
             from rtdm_tpu.export.exec_cache import save_executable
             b, s = self.spec.batch_size, self.spec.image_size
             save_executable(os.path.join(directory, "exec.xla"),
@@ -189,19 +192,25 @@ def build_engine(model_name: str, variables: Dict[str, Any],
                  quant: str = "bf16", batch_size: int = 256,
                  calib_images: Optional[np.ndarray] = None,
                  calib_method: str = "percentile",
-                 verify: bool = True) -> Engine:
+                 verify: bool = True,
+                 num_classes: Optional[int] = None) -> Engine:
     """Build (and optionally verify) an engine.
 
     Mirrors build_tensorrt_model.py's flow: convert -> run a test inference
     -> report shape/dtype/sample (:262-275). For int8, `calib_images`
     (uint8 NHWC) feed activation-range calibration, the
     YOLOEntropyCalibrator analogue (calibrator.py:87-153).
+    `num_classes` defaults to what the checkpoint's head says.
     """
     from rtdm_tpu.models import create_model
 
-    model = create_model(model_name)
+    from rtdm_tpu.models.io import infer_num_classes
+    if num_classes is None:
+        num_classes = infer_num_classes(variables) or 5
+    model = create_model(model_name, num_classes=num_classes)
     spec = EngineSpec(model=model_name, quant=quant, batch_size=batch_size,
                       image_size=model.image_size,
+                      num_classes=num_classes,
                       calib_method=calib_method)
     act_scales = None
     if spec.normalized_quant() == "int8":

@@ -105,12 +105,10 @@ class SecondStageClassifier:
         from rtdm_tpu.data.aider import normalize_batch
 
         size = int(getattr(model, "image_size", 224))
+        from rtdm_tpu.core.precision import _cast_floating
         dtype = jnp.bfloat16 if quant in ("bf16", "fp16", "half") \
             else jnp.float32
-        cast = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x, variables["params"])
+        cast = _cast_floating(variables["params"], dtype)
         vars_c = {"params": cast,
                   "batch_stats": variables.get("batch_stats", {})}
         if class_map:
@@ -174,8 +172,8 @@ def build_second_stage(model_name: str, weights: Optional[str],
     """CLI helper: classifier by name + checkpoint (.pt state_dict or
     .npz) -> compiled veto stage (detect.py:43-44 modelc load)."""
     from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.io import infer_num_classes
 
-    model = create_model(model_name)
     if weights is None:
         raise ValueError("--classifier-weights is required with --classify")
     if weights.endswith(".npz"):
@@ -184,6 +182,10 @@ def build_second_stage(model_name: str, weights: Optional[str],
     else:
         from rtdm_tpu.models.torch_import import load_classifier_checkpoint
         variables = load_classifier_checkpoint(weights)
+    # the head must match the CHECKPOINT's label space, not the registry
+    # default — a 10-class veto classifier would otherwise fail to apply
+    model = create_model(model_name,
+                         num_classes=infer_num_classes(variables) or 5)
     return SecondStageClassifier(model, variables, frame_hw, max_det,
                                  batch_size=batch_size, quant=quant,
                                  class_map=class_map)

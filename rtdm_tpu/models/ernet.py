@@ -60,6 +60,7 @@ class SqueezeErNET(nn.Module):
     bn_axis: Optional[str] = None
     image_size: int = 140
     dropout_rate: float = 0.2
+    num_classes: int = NUM_CLASSES
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -73,7 +74,8 @@ class SqueezeErNET(nn.Module):
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
-        return _ErnetHead(pool_padding=1, name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=1, num_classes=self.num_classes,
+                          name="head")(x, apply_softmax and not train)
 
 
 class SqueezeRedConv(nn.Module):
@@ -81,6 +83,7 @@ class SqueezeRedConv(nn.Module):
     bn_axis: Optional[str] = None
     image_size: int = 140
     dropout_rate: float = 0.2
+    num_classes: int = NUM_CLASSES
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -97,7 +100,8 @@ class SqueezeRedConv(nn.Module):
         x = max_pool2d(x, 2, 2)
         x = Conv(64, kernel_size=1, name="conv_red3")(x)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
-        return _ErnetHead(pool_padding=1, name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=1, num_classes=self.num_classes,
+                          name="head")(x, apply_softmax and not train)
 
 
 class ErNET(nn.Module):
@@ -105,6 +109,7 @@ class ErNET(nn.Module):
     bn_axis: Optional[str] = None
     image_size: int = 240
     dropout_rate: float = 0.2
+    num_classes: int = NUM_CLASSES
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -120,7 +125,8 @@ class ErNET(nn.Module):
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
         x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff5")(x, train)
         x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff6")(x, train)
-        return _ErnetHead(pool_padding=0, name="head")(x, apply_softmax and not train)
+        return _ErnetHead(pool_padding=0, num_classes=self.num_classes,
+                          name="head")(x, apply_softmax and not train)
 
 
 MODEL_REGISTRY = {
@@ -144,3 +150,15 @@ def create_model(name: str, **kwargs) -> nn.Module:
 def input_size_for(name: str) -> int:
     """ernet -> 240, squeeze variants -> 140 (config.py:10-106 inference)."""
     return 240 if name.lower() == "ernet" else 140
+
+
+def with_checkpoint_head(model: nn.Module, variables) -> nn.Module:
+    """Rebuild `model` with num_classes matching the checkpoint's fc head.
+    Classifier CLIs call this after loading weights so a checkpoint trained
+    with a non-default class count (TrainingConfig.num_classes) applies
+    instead of crashing on the registry-default head shape."""
+    from rtdm_tpu.models.io import infer_num_classes
+    nc = infer_num_classes(variables)
+    if nc and getattr(model, "num_classes", nc) != nc:
+        model = model.clone(num_classes=nc)
+    return model

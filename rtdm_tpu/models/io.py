@@ -58,3 +58,13 @@ def load_variables(path: str) -> Dict[str, Any]:
     tree = unflatten_tree(flat)
     tree.setdefault("batch_stats", {})
     return tree
+
+
+def infer_num_classes(variables) -> "int | None":
+    """Class count from a classifier checkpoint: every classifier here ends
+    in a Dense head named 'fc' (ernet.py _ErnetHead), so its kernel's last
+    dim IS num_classes. None when no fc head is found."""
+    for key, val in flatten_tree(variables).items():
+        if key.endswith("fc/kernel"):
+            return int(np.shape(val)[-1])
+    return None

@@ -48,12 +48,16 @@ def _entropy_threshold(absv: np.ndarray, amax: float, bins: int) -> float:
         p[i - 1] += hist[i:].sum()  # clip outliers into the last bin
         if p.sum() == 0:
             continue
-        # quantize the i-bin distribution down to 128 levels
+        # quantize the CLIPPED i-bin distribution down to 128 levels —
+        # p (not the raw hist): its last bin carries the folded outlier
+        # mass, and q must see that mass too or heavy-tailed activations
+        # inflate KL for small thresholds and bias best_t large
         factor = i / 128.0
         q = np.zeros(i)
         for j in range(128):
-            lo, hi = int(j * factor), max(int((j + 1) * factor), int(j * factor) + 1)
-            chunk = hist[lo:hi]
+            lo = int(j * factor)
+            hi = max(int((j + 1) * factor), lo + 1)
+            chunk = p[lo:hi]
             nz = chunk > 0
             if nz.any():
                 q[lo:hi][nz] = chunk[nz].sum() / nz.sum()

@@ -203,8 +203,9 @@ def int8_classifier_forward(model, variables: Dict[str, Any],
 
 
 def quantize_classifier_apply(model, variables: Dict[str, Any],
-                              act_scales: Optional[Dict[str, np.ndarray]]):
-    """Build an int8 apply(u8_batch) -> probs function."""
+                              act_scales: Optional[Dict[str, np.ndarray]],
+                              apply_softmax: bool = True):
+    """Build an int8 apply(u8_batch) -> probs (or logits) function."""
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
@@ -217,10 +218,9 @@ def quantize_classifier_apply(model, variables: Dict[str, Any],
     # CAST to bfloat16 so the convs run the bf16 MXU path — leaving them
     # fp32 would run the "int8" engine at half throughput for no fidelity
     # gain (the quantization error is already baked in by the QDQ).
-    qparams = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x, quantize_params(variables["params"]))
+    from rtdm_tpu.core.precision import _cast_floating
+    qparams = _cast_floating(quantize_params(variables["params"]),
+                             jnp.bfloat16)
     qvars = {"params": qparams,
              "batch_stats": variables.get("batch_stats", {})}
     scales = {k: float(v) for k, v in (act_scales or {}).items()}
@@ -231,13 +231,19 @@ def quantize_classifier_apply(model, variables: Dict[str, Any],
             path = "/".join(context.module.path)
             s = scales.get(path)
             if s is not None:
-                args = (fake_quant_tensor(args[0], s),) + args[1:]
+                # QDQ rounds in fp32 so codes match a true-int8 engine
+                # (bf16's 8-bit mantissa lands x/scale off-by-one near code
+                # boundaries) — same as the detector qdq_interceptor
+                x0 = args[0]
+                args = (fake_quant_tensor(x0.astype(jnp.float32), s)
+                        .astype(x0.dtype),) + args[1:]
         return next_fun(*args, **kwargs)
 
     def apply_fn(u8):
         x = normalize_batch(u8).astype(jnp.bfloat16)
         with nn.intercept_methods(interceptor):
-            out = model.apply(qvars, x, train=False)
+            out = model.apply(qvars, x, train=False,
+                              apply_softmax=apply_softmax)
         return out.astype(jnp.float32)
 
     return apply_fn

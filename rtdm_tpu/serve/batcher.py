@@ -88,10 +88,14 @@ class MicroBatcher:
     def submit(self, frame: np.ndarray) -> "Future":
         """Enqueue one frame; the Future resolves to that frame's output
         row(s). Raises after close()."""
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
+        # closed-check and enqueue are atomic with the shutdown drain
+        # (which runs under the same lock after _closed is set), so a
+        # racing submit either raises here or has its future failed by the
+        # drain — never a forever-pending future
         with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
             self._queue.append((frame, time.perf_counter(), fut))
         self._new_work.set()
         return fut
@@ -144,13 +148,16 @@ class MicroBatcher:
 
     def _resolve(self, inflight) -> None:
         out, reqs = inflight
-        done = time.perf_counter()
         try:
             host = _materialize(out)
         except Exception as e:  # engine failure propagates to every waiter
             for _, _, fut in reqs:
                 fut.set_exception(e)
             return
+        # timestamp AFTER materialization: the device compute + D2H wait is
+        # part of what clients observe on fut.result(); stamping before it
+        # would report only queue+dispatch time as "latency"
+        done = time.perf_counter()
         for i, (_, t0, fut) in enumerate(reqs):
             self._lat.append(done - t0)
             fut.set_result(_row(host, i))

@@ -380,3 +380,55 @@ num=3
     assert det.spec.quant == "int8" and det.act_scales
     d, c = det(rng.integers(0, 255, (2, 96, 96, 3)).astype(np.uint8))
     assert d.shape[0] == 2
+
+
+def test_engine_nondefault_class_count(tmp_path, frames):
+    """A checkpoint trained with a non-default class count must engine
+    cleanly: num_classes is inferred from the fc head and survives the
+    save/load round-trip (previously create_model rebuilt the registry
+    default 5-class head and apply crashed on shape mismatch)."""
+    model7 = create_model("squeeze-ernet", num_classes=7)
+    v7 = jax.device_get(model7.init(jax.random.key(1),
+                                    jnp.zeros((1, 140, 140, 3))))
+    eng = build_engine("squeeze-ernet", v7, quant="fp32", batch_size=4)
+    assert eng.spec.num_classes == 7
+    out = eng(frames[:4])
+    assert out.shape == (4, 7)
+    np.testing.assert_allclose(out.sum(1), 1.0, rtol=1e-4)
+    d = eng.save(str(tmp_path / "e7"))
+    out2 = Engine.load(d)(frames[:4])
+    np.testing.assert_allclose(out2, out, rtol=2e-5, atol=2e-6)
+
+
+def test_int8_engine_respects_with_softmax(variables, frames):
+    """spec.with_softmax=False must yield LOGITS from int8 engines too —
+    the int8 branch used to ignore it and always softmax."""
+    from rtdm_tpu.quant.calibrate import calibrate_classifier
+
+    model = create_model("squeeze-ernet")
+    scales = calibrate_classifier(model, variables, frames[:8])
+    spec = EngineSpec(model="squeeze-ernet", quant="int8", batch_size=8,
+                      image_size=140, with_softmax=False)
+    eng = Engine(spec, variables, act_scales=scales)
+    out = eng(frames[:8])
+    # logits: rows must NOT be a probability simplex
+    assert not np.allclose(out.sum(1), 1.0, atol=1e-3)
+    assert np.any(out < 0)
+
+
+def test_detector_spec_quant_normalized_and_validated():
+    from rtdm_tpu.export.detector import DetectorSpec
+
+    assert DetectorSpec(cfg_name="x", quant="FP16").quant == "bf16"
+    assert DetectorSpec(cfg_name="x", quant="half").quant == "bf16"
+    assert DetectorSpec(cfg_name="x", quant="INT8").quant == "int8"
+    with pytest.raises(ValueError, match="unknown detector quant"):
+        DetectorSpec(cfg_name="x", quant="bf-16")
+
+
+def test_training_config_save_bare_filename(tmp_path, monkeypatch):
+    from rtdm_tpu.core.config import TrainingConfig
+
+    monkeypatch.chdir(tmp_path)
+    p = TrainingConfig().save("config.json")  # used to raise makedirs('')
+    assert os.path.exists(p)
