@@ -16,6 +16,7 @@ completion (block_until_ready alone is not trustworthy over the dev tunnel).
 from __future__ import annotations
 
 import json
+import sys as _sys
 import time
 
 import numpy as np
@@ -144,8 +145,10 @@ def main() -> None:
             # utils/summary.flops_of; decode+NMS add a negligible tail)
             record["yolov4_tiny_mfu"] = round(
                 det_fps * 6.77e9 / peak_flops, 4)
-    except Exception:
-        pass
+    except Exception as e:
+        # a missing metric must be visibly broken, not quietly absent
+        print(f"bench: yolov4-tiny pipeline bracket failed ({e!r})",
+              file=_sys.stderr)
     try:  # third headline: yolov5s full pipeline (ref: 70.49 FPS, 1660 Ti)
         v5_fps = _yolov5s_fps()
         if v5_fps:
@@ -153,8 +156,9 @@ def main() -> None:
             record["yolov5s_vs_baseline"] = round(v5_fps / 70.49, 2)
             # 6.80 GFLOPs/frame @416^2 (XLA cost analysis, as above)
             record["yolov5s_mfu"] = round(v5_fps * 6.8e9 / peak_flops, 4)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: yolov5s pipeline bracket failed ({e!r})",
+              file=_sys.stderr)
     try:  # fourth headline: the fused two-stage cascade (one program:
         # detector fwd+decode+NMS AND classifier resize+normalize+fwd per
         # frame — the deployment config the reference runs as two engines
@@ -162,8 +166,8 @@ def main() -> None:
         cas_fps = _cascade_fps()
         if cas_fps:
             record["cascade_fps"] = round(cas_fps, 1)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench: cascade bracket failed ({e!r})", file=_sys.stderr)
     print(json.dumps(record))
 
 

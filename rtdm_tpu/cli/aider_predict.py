@@ -140,9 +140,13 @@ def main(argv=None):
         eprobs = np.asarray(eng(image), np.float32)[0]
         eidx = int(np.argmax(eprobs))
         agree = "AGREE" if eidx == idx else "DISAGREE"
-        print(f"engine ({eng.spec.quant}): {CLASS_NAMES[eidx]} "
-              f"{eprobs[eidx]:.4f}  [{agree}]  "
-              f"max prob delta {np.abs(eprobs - probs).max():.4f}")
+        ename = (names[eidx] if eidx < len(names)
+                 else f"class_{eidx}")  # engine may have a wider head
+        delta = (f"{np.abs(eprobs - probs).max():.4f}"
+                 if eprobs.shape == probs.shape else "n/a (class counts "
+                 f"differ: {len(eprobs)} vs {len(probs)})")
+        print(f"engine ({eng.spec.quant}): {ename} "
+              f"{eprobs[eidx]:.4f}  [{agree}]  max prob delta {delta}")
 
     if args.visualize:
         import matplotlib

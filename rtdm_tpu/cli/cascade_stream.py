@@ -126,6 +126,12 @@ def main(argv=None):
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
     n = 0
+    # unbounded sources (webcam/rtsp, looping video, --max-frames 0) must
+    # not accumulate per-frame state — same leak guard as yolo_detect
+    src_is_live = args.source.isdigit() or str(args.source).startswith(
+        ("rtsp://", "http://", "https://")) or str(
+        args.source).endswith(".streams")
+    bounded = args.max_frames > 0 or not (src_is_live or args.video_looping)
     results = []
     for frame in src:
         boxed, _, _ = letterbox_image(frame, args.img_size)
@@ -140,7 +146,8 @@ def main(argv=None):
             tuple(frame.shape[:2])))[0][:k]
         scene = CLASS_NAMES[int(np.argmax(probs))]
         cur = fps.tick()
-        results.append((scene, det_scaled))
+        if bounded:
+            results.append((scene, det_scaled))
         if args.save_dir:
             from PIL import Image, ImageDraw
             annotated = draw_detections(frame, det_scaled, names)

@@ -142,7 +142,8 @@ def main(argv=None):
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
-    inst_fps = []
+    import collections
+    inst_fps = collections.deque(maxlen=100_000)  # bounded on live streams
     batch_frames, batch_raw = [], []
     n_out = 0
     in_flight = []  # [(device_probs, raw_frames, submit_time)] depth <= 2
@@ -160,11 +161,14 @@ def main(argv=None):
             now = time.perf_counter()
             power.record_busy(min(now - t_submit, now - last_drain[0]))
             last_drain[0] = now
+        # ONE tick per drained batch (FpsMeter.tick(n)): ticking per
+        # frame inside this host loop measured microsecond gaps and
+        # reported garbage avg/max FPS for --batch > 1
+        cur = fps.tick(len(raws))
+        inst_fps.append(cur)
         for i, raw in enumerate(raws):
             idx = int(np.argmax(probs[i]))
             conf = float(probs[i][idx])
-            cur = fps.tick()
-            inst_fps.append(cur)
             label = f"{CLASS_NAMES[idx]} {conf:.2f} | {cur:.1f} FPS"
             if args.save_dir:
                 _annotate_and_save(raw, label,
@@ -186,13 +190,18 @@ def main(argv=None):
 
     try:
         for frame in src:
+            if args.max_frames:
+                # count pending + in-flight + done so EXACTLY max_frames
+                # are ingested — the tail drain would otherwise process
+                # and save up to ~2 batches past the requested limit
+                ingested = (n_out + sum(len(f[1]) for f in in_flight)
+                            + len(batch_frames))
+                if ingested >= args.max_frames:
+                    break
             batch_frames.append(resize_frame(frame))
             batch_raw.append(frame)
             if len(batch_frames) >= args.batch:
                 submit()
-            if args.max_frames and n_out + sum(
-                    len(f[1]) for f in in_flight) >= args.max_frames:
-                break
         submit()
         while in_flight:
             drain_one()
@@ -204,7 +213,8 @@ def main(argv=None):
             power.stop()
 
     if inst_fps:
-        arr = np.array(inst_fps[1:] if len(inst_fps) > 1 else inst_fps)
+        seq = list(inst_fps)
+        arr = np.array(seq[1:] if len(seq) > 1 else seq)
         print(f"frames {n_out}  FPS avg {arr.mean():.1f} "
               f"min {arr.min():.1f} max {arr.max():.1f}  "
               f"infer {timer.mean * 1e3:.2f} ms/batch")

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import sys
 import time
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
@@ -209,7 +210,11 @@ def main(argv=None):
             overrides["class_agnostic"] = True
         if args.classes:
             overrides["classes"] = tuple(args.classes)
-        detector = load_detector(args.engine, spec_overrides=overrides)
+        # the detect loop feeds ONE letterboxed frame at a time, so
+        # recompile at batch 1 — a batch-256 engine program would pad and
+        # run 256 rows per frame (256x the compute and H2D)
+        detector = load_detector(args.engine, spec_overrides=overrides,
+                                 batch_size=1)
         args.img_size = detector.spec.img_size
     elif args.cfg:
         model, variables = load_weights_for_cfg(args.cfg, args.weights,
@@ -224,6 +229,14 @@ def main(argv=None):
                             class_agnostic=args.agnostic_nms,
                             classes=(tuple(args.classes)
                                      if args.classes else None))
+        if spec.quant == "int8":
+            # no --calib-dir flow here: this builds WEIGHT-ONLY QDQ (no
+            # activation scales), which matches no deployable calibrated
+            # int8 engine — point users at build_engine for the real thing
+            print("warning: --quant int8 from --cfg is weight-only QDQ "
+                  "(uncalibrated activations); build a calibrated engine "
+                  "with cli.build_engine --calib-dir and pass --engine",
+                  file=sys.stderr)
         detector = Detector(model, variables, spec)
     else:
         raise SystemExit("provide --cfg or --engine")

@@ -259,32 +259,18 @@ def _build_ensemble(cfg, weight_list, spec, batch_size):
     def fwd(u8):
         x = u8.astype(dtype) / 255.0
         if spec.tta:
-            # same TTA pooling as the single-model Detector (the reference
-            # runs ensembles with augment=opt.augment, yolov5/test.py:105;
-            # scales/flips per yolo.py:123-134)
-            s0 = spec.img_size
-            preds = []
-            for scale, flip in ((1.0, False), (0.83, True), (0.67, False)):
-                si = max(int(round(s0 * scale / 32)) * 32, 32)
-                xi = (x if si == s0 else jax.image.resize(
-                    x, (x.shape[0], si, si, x.shape[3]), method="bilinear"))
-                if flip:
-                    xi = xi[:, :, ::-1]
-                p = member_preds(xi, si).astype(jnp.float32)
-                g = s0 / si
-                cx, cy = p[..., 0] * g, p[..., 1] * g
-                if flip:
-                    cx = s0 - cx
-                preds.append(jnp.concatenate(
-                    [cx[..., None], cy[..., None],
-                     p[..., 2:3] * g, p[..., 3:4] * g, p[..., 4:]], axis=-1))
-            pred = jnp.concatenate(preds, axis=1)
+            # the SAME TTA pooling as the single-model Detector (the
+            # reference runs ensembles with augment=opt.augment,
+            # yolov5/test.py:105) — shared helper, not a re-transcription
+            from rtdm_tpu.export.detector import tta_pooled_pred
+            pred = tta_pooled_pred(member_preds, x, spec.img_size)
         else:
             pred = member_preds(x, spec.img_size)
         return batched_nms(pred, spec.conf_thres, spec.iou_thres,
                            spec.max_det, spec.top_k,
                            multi_label=spec.multi_label,
                            class_agnostic=spec.class_agnostic,
+                           method=spec.nms_method,
                            classes=spec.classes)
 
     s_ = spec.img_size

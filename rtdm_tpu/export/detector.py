@@ -58,6 +58,35 @@ class DetectorSpec:
         self.quant = q
 
 
+def tta_pooled_pred(apply_pred, x, img_size: int):
+    """TTA pooling (yolov5/models/yolo.py:123-134): run `apply_pred(xi, si)`
+    at scales 1/0.83/0.67 (lr-flip on the middle scale), descale each
+    prediction set into the base frame (un-flipping cx), and concatenate
+    for ONE NMS pass. Shared by the single-model Detector and the
+    ensemble path (cli/yolo_test._build_ensemble) so the descale math
+    cannot drift between them."""
+    import jax
+    import jax.numpy as jnp
+
+    s0 = img_size
+    preds = []
+    for scale, flip in ((1.0, False), (0.83, True), (0.67, False)):
+        si = max(int(round(s0 * scale / 32)) * 32, 32)
+        xi = (x if si == s0 else jax.image.resize(
+            x, (x.shape[0], si, si, x.shape[3]), method="bilinear"))
+        if flip:
+            xi = xi[:, :, ::-1]
+        p = apply_pred(xi, si).astype(jnp.float32)
+        g = s0 / si
+        cx, cy = p[..., 0] * g, p[..., 1] * g
+        if flip:
+            cx = s0 - cx
+        preds.append(jnp.concatenate(
+            [cx[..., None], cy[..., None],
+             p[..., 2:3] * g, p[..., 3:4] * g, p[..., 4:]], axis=-1))
+    return jnp.concatenate(preds, axis=1)
+
+
 def model_heads(model, variables) -> Any:
     """Head metadata for either family (darknet .heads / v5 yaml)."""
     from rtdm_tpu.models.yolov5 import YoloV5, yolov5_heads
@@ -210,31 +239,9 @@ class Detector:
         def fwd(u8):
             x = (u8.astype(dtype) / 255.0)
             if spec.tta:
-                # TTA (yolov5/models/yolo.py:123-134): scales 1/0.83/0.67,
-                # lr-flip on the middle scale; predictions descaled into
-                # the base frame and pooled before one NMS pass.
-                s0 = spec.img_size
-                preds = []
-                for scale, flip in ((1.0, False), (0.83, True),
-                                    (0.67, False)):
-                    si = max(int(round(s0 * scale / 32)) * 32, 32)
-                    xi = (x if si == s0 else jax.image.resize(
-                        x, (x.shape[0], si, si, x.shape[3]),
-                        method="bilinear"))
-                    if flip:
-                        xi = xi[:, :, ::-1]
-                    raw = apply_model(xi)
-                    p = decode_all(raw, heads, si).astype(jnp.float32)
-                    g = s0 / si
-                    cx, cy = p[..., 0] * g, p[..., 1] * g
-                    if flip:
-                        cx = s0 - cx
-                    p = jnp.concatenate(
-                        [cx[..., None], cy[..., None],
-                         p[..., 2:3] * g, p[..., 3:4] * g, p[..., 4:]],
-                        axis=-1)
-                    preds.append(p)
-                pred = jnp.concatenate(preds, axis=1)
+                pred = tta_pooled_pred(
+                    lambda xi, si: decode_all(apply_model(xi), heads, si),
+                    x, spec.img_size)
             else:
                 raw = apply_model(x)
                 pred = decode_all(raw, heads, spec.img_size)
@@ -393,12 +400,16 @@ def _artifact_fingerprint(directory: str) -> str:
     return fingerprint(*parts)
 
 
-def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
+def load_detector(directory: str, mesh=None, spec_overrides=None,
+                  batch_size: Optional[int] = None) -> Detector:
     """Rebuild a saved engine. `spec_overrides` replaces selected
     DetectorSpec fields (run-time NMS shaping: conf/iou thresholds,
     classes filter, max_det, ...) before the program is compiled — the
     engine stores build-time defaults, like TrtYOLO taking conf_thres at
-    construction (trt_yolo.py:38-40)."""
+    construction (trt_yolo.py:38-40). `batch_size` recompiles at a
+    different batch than the engine was built with (e.g. 1 for an
+    interactive per-frame loop — running a 256-batch program per frame
+    wastes 256x compute and upload)."""
     import dataclasses
     import json
 
@@ -410,7 +421,8 @@ def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
         raw = json.load(f)
     family = raw.pop("family", "darknet")
     num_classes = raw.pop("num_classes", None)
-    batch_size = raw.pop("batch_size", 1)
+    stored_batch = raw.pop("batch_size", 1)
+    batch_size = stored_batch if batch_size is None else int(batch_size)
     spec = DetectorSpec(**{k: v for k, v in raw.items()
                            if k in DetectorSpec.__dataclass_fields__})
     if spec_overrides:
@@ -426,9 +438,9 @@ def load_detector(directory: str, mesh=None, spec_overrides=None) -> Detector:
         with np.load(scales_path) as z:
             act_scales = {k: float(z[k]) for k in z.files}
     precompiled = None
-    if mesh is None and not spec_overrides:
-        # overrides change the compiled program; mesh binds it to a
-        # topology — both invalidate the single-device exec artifact
+    if mesh is None and not spec_overrides and batch_size == stored_batch:
+        # overrides or a different batch change the compiled program; mesh
+        # binds it to a topology — all invalidate the exec artifact
         from rtdm_tpu.export.exec_cache import load_executable
         precompiled = load_executable(os.path.join(directory, "exec.xla"),
                                       _artifact_fingerprint(directory))

@@ -30,10 +30,15 @@ DEFAULT_CHIP_WATTS = {"tpu-v5e": 170.0, "tpu-v4": 192.0, "cpu": 65.0}
 
 
 class StepTimer:
-    """Sync-bracketed wall-clock timer for device work."""
+    """Sync-bracketed wall-clock timer for device work.
 
-    def __init__(self):
-        self.times: List[float] = []
+    History is a bounded deque: live-stream loops tick this every frame,
+    and an unbounded list would grow for the life of a surveillance run.
+    """
+
+    def __init__(self, max_records: int = 65536):
+        import collections
+        self.times = collections.deque(maxlen=max_records)
         self._t0: Optional[float] = None
 
     def start(self) -> None:
@@ -49,7 +54,8 @@ class StepTimer:
     @property
     def mean(self) -> float:
         # skip the first (compile) step when enough samples exist
-        ts = self.times[1:] if len(self.times) > 1 else self.times
+        ts = list(self.times)
+        ts = ts[1:] if len(ts) > 1 else ts
         return float(np.mean(ts)) if ts else 0.0
 
     @property

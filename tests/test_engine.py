@@ -432,3 +432,32 @@ def test_training_config_save_bare_filename(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     p = TrainingConfig().save("config.json")  # used to raise makedirs('')
     assert os.path.exists(p)
+
+
+def test_load_detector_batch_override(tmp_path, rng):
+    """load_detector(batch_size=1) recompiles the engine for per-frame
+    loops instead of padding every frame to the build batch (a batch-256
+    engine ran 256 rows per webcam frame); the exec fast path only applies
+    when the stored batch is kept."""
+    from tests.conftest import REFERENCE_ROOT, reference_available
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    from rtdm_tpu.export.detector import (DetectorSpec, build_detector,
+                                          load_detector, save_detector)
+
+    cfg = str(REFERENCE_ROOT /
+              "code/victim_localization/yolov3/cfg/yolov3-tiny-aider-416.cfg")
+    spec = DetectorSpec(cfg_name="tiny", img_size=224, conf_thres=0.3,
+                        quant="fp32")
+    det = build_detector(cfg, None, spec, batch_size=4)
+    d = save_detector(det, str(tmp_path / "eng"))
+
+    one = load_detector(d, batch_size=1)
+    assert one.batch_size == 1
+    frame = rng.integers(0, 255, (1, 224, 224, 3)).astype(np.uint8)
+    dets, cnt = one(frame)
+    assert dets.shape[0] == 1
+
+    # stored batch keeps the serialized-exec fast path eligible
+    full = load_detector(d)
+    assert full.batch_size == 4
