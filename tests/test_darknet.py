@@ -106,9 +106,16 @@ def test_tiny_forward_parity_vs_torch(rng, cfg_name):
     variables = init_darknet(model, img, seed=1)
     x = rng.normal(size=(1, img, img, 3)).astype(np.float32) * 0.5
     raw = model.apply(variables, jnp.asarray(x))
-
-    # --- torch oracle: walk the same defs with F.* ops ---
     defs = parse_darknet_cfg(cfg_path)[1:]
+    _assert_matches_torch_oracle(defs, variables, x, raw)
+
+
+def _assert_matches_torch_oracle(defs, variables, x, raw):
+    """Walk the cfg defs with torch.nn.functional as the oracle and
+    compare every yolo tap against the flax forward."""
+    import torch
+    import torch.nn.functional as F
+
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables["batch_stats"])
     t = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
@@ -324,3 +331,91 @@ def test_torch_checkpoint_imports_fusion_weights(tmp_path):
     # and the weighted graph still runs
     out = model.apply(restored, jnp.zeros((1, 64, 64, 3)), train=False)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def _random_cfg_text(rng, nc=2, na=3):
+    """Random small darknet graph over the supported block set
+    (conv/maxpool/upsample/route incl. grouped) with a final yolo head —
+    a property test for the cfg->graph builder: any generated graph must
+    match the torch-functional oracle exactly."""
+    blocks = ["[net]\nwidth=64\nheight=64"]
+    meta = []  # (out_channels, spatial) per emitted block
+    c, h = 3, 64
+
+    def conv(filters, k, stride, bn, act):
+        nonlocal c, h
+        lines = ["[convolutional]"]
+        if bn:
+            lines.append("batch_normalize=1")
+        lines += [f"filters={filters}", f"size={k}", f"stride={stride}",
+                  "pad=1", f"activation={act}"]
+        blocks.append("\n".join(lines))
+        c, h = filters, h // stride
+        meta.append((c, h))
+
+    conv(int(rng.choice([8, 16])), 3, 2, 1, "leaky")
+    n_body = int(rng.integers(5, 10))
+    for _ in range(n_body):
+        r = rng.random()
+        if r < 0.45:
+            conv(int(rng.choice([8, 12, 16, 24, 32])),
+                 int(rng.choice([1, 3])),
+                 int(rng.choice([1, 2])) if h >= 16 else 1,
+                 int(rng.random() < 0.8),
+                 "leaky" if rng.random() < 0.8 else "linear")
+        elif r < 0.6 and h >= 8:
+            k, s = [(2, 2), (2, 1), (3, 1)][int(rng.integers(3))]
+            blocks.append(f"[maxpool]\nsize={k}\nstride={s}")
+            if s == 2:
+                h //= 2
+            meta.append((c, h))
+        elif r < 0.7 and h <= 16:
+            blocks.append("[upsample]\nstride=2")
+            h *= 2
+            meta.append((c, h))
+        else:
+            cands = [j for j, (cc, ss) in enumerate(meta) if ss == h]
+            n_src = min(len(cands), int(rng.choice([1, 2])))
+            srcs = list(rng.choice(cands, n_src, replace=False))
+            lines = ["[route]",
+                     "layers=" + ",".join(str(int(j)) for j in srcs)]
+            cs = [meta[int(j)][0] for j in srcs]
+            if (rng.random() < 0.4 and len(srcs) >= 1
+                    and all(cc % 2 == 0 for cc in cs)):
+                gid = int(rng.integers(2))
+                lines += ["groups=2", f"group_id={gid}"]
+                c = sum(cc // 2 for cc in cs)
+            else:
+                c = sum(cs)
+            blocks.append("\n".join(lines))
+            meta.append((c, h))
+    conv(na * (nc + 5), 1, 1, 0, "linear")
+    blocks.append("[yolo]\nmask = 0,1,2\n"
+                  "anchors = 10,13,  16,30,  33,23\n"
+                  f"classes={nc}\nnum={na}")
+    meta.append((c, h))
+    return "\n\n".join(blocks) + "\n"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_random_graph_fuzz_parity(seed):
+    """Property test: RANDOM small graphs over the full supported block
+    set build, run, and match the torch oracle bit-for-bit (to fp tol) —
+    hardens the cfg->graph builder beyond the shipped cfgs."""
+    from rtdm_tpu.models.darknet import Darknet
+
+    rng = np.random.default_rng(seed)
+    text = _random_cfg_text(rng)
+    model = Darknet(cfg_text=text)
+    variables = init_darknet(model, 64, seed=seed)
+    # randomize BN stats so normalization is non-trivial
+    stats = jax.device_get(variables["batch_stats"])
+    for bn in stats.values():
+        bn["mean"] = rng.normal(0, 0.3, bn["mean"].shape).astype(np.float32)
+        bn["var"] = rng.uniform(0.5, 1.5, bn["var"].shape).astype(np.float32)
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.5
+    raw = model.apply(variables, jnp.asarray(x))
+    defs = parse_darknet_cfg(text)[1:]
+    _assert_matches_torch_oracle(defs, variables, x, raw)
