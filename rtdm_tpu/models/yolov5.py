@@ -484,7 +484,12 @@ class YoloV5(nn.Module):
             len(anchors), -1, 2)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 up_to: Optional[int] = None) -> List[jax.Array]:
+        """Runs the yaml graph; with `up_to=k` returns layer k's output
+        (the prefix program — per-layer FLOPs/time profiling measures
+        prefix deltas, the analogue of forward_once(profile=True),
+        yolov5/models/yolo.py:142-150)."""
         d = parse_v5_yaml(self.yaml_text, self.num_classes)
         plan = build_plan(d)
         na = self.anchors_px.shape[1]
@@ -580,6 +585,8 @@ class YoloV5(nn.Module):
                 x = raw_heads[-1]
             else:
                 raise ValueError(f"unsupported v5 module '{m}'")
+            if up_to is not None and i == up_to:
+                return x
             outputs.append(x if i in needed else None)
         # detection yamls return the raw head maps; a Classify-headed yaml
         # (hub second-stage classifier conversion) returns its logits

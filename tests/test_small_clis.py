@@ -174,3 +174,40 @@ def test_training_config_explicit_values_and_replace():
     assert c2.batch_size == 32           # NOT re-doubled
     assert TrainingConfig(model="ERNET").image_size == 240  # case-insens.
     assert TrainingConfig(model="squeeze-ernet").image_size == 140
+
+
+def test_profile_model_cli_per_layer_table(tmp_path, capsys):
+    """profile_model (forward_once(profile=True) analogue, yolo.py:142-150):
+    one row per plan layer, layer params sum to the model total, conv
+    FLOPs deltas are positive, and the printed table has a total line."""
+    import jax
+
+    from rtdm_tpu.cli.profile_model import main as profile_main
+
+    yml = tmp_path / "tiny.yaml"
+    yml.write_text(
+        "nc: 2\ndepth_multiple: 1.0\nwidth_multiple: 1.0\n"
+        "anchors:\n  - [10,13, 16,30, 33,23]\n"
+        "backbone:\n"
+        "  [[-1, 1, Conv, [16, 3, 2]],\n"
+        "   [-1, 1, Conv, [32, 3, 2]],\n"
+        "   [-1, 1, C3, [32]],\n"
+        "  ]\n"
+        "head:\n"
+        "  [[[-1], 1, Detect, [nc, anchors]]]\n")
+    rows = profile_main(["--cfg", str(yml), "--img-size", "64",
+                         "--iters", "2"])
+    assert [r["module"] for r in rows] == ["Conv", "Conv", "C3", "Detect"]
+    # params per layer sum to the model total
+    from rtdm_tpu.models.yolov5 import create_yolov5
+    import jax.numpy as jnp
+    import numpy as np
+
+    model = create_yolov5(str(yml))
+    v = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    total = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+    assert sum(r["params"] for r in rows) == total
+    assert all(r["flops"] > 0 for r in rows if r["module"] != "Detect")
+    out = capsys.readouterr().out
+    assert "total" in out and "GFLOPs" in out

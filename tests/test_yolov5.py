@@ -482,3 +482,127 @@ def test_c3tr_forward_parity_and_import(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(got[0]),
                                np.transpose(want[0], (0, 2, 3, 1)),
                                rtol=5e-4, atol=5e-4)
+
+
+def _random_v5_yaml(rng):
+    """Random VALID v5 yaml over the full supported block zoo — property
+    test input for the yaml->graph builder (parse_model, yolo.py:232-283).
+    Tracks resolution so Concat joins are legal, and exercises depth/width
+    multiples, Sequential repetition (n>1 non-C3), SPP/Ghost/DW/C3TR
+    blocks, absolute AND layer-relative refs, and 1-2 Detect scales."""
+    import math as _math
+
+    import yaml as _yaml
+
+    nc = int(rng.integers(1, 4))
+    gd = float(rng.choice([0.33, 0.67, 1.0]))
+    gw = float(rng.choice([0.25, 0.5, 1.0]))
+
+    def width(c):
+        return int(_math.ceil(c * gw / 8) * 8)
+
+    rows = []
+    meta = []  # (unresolved_width or None, resolved_c, h) per row
+    h = 64
+    cu = int(rng.choice([16, 32]))
+    if rng.random() < 0.5:
+        rows.append([-1, 1, "Focus", [cu, 3]])
+    else:
+        rows.append([-1, 1, "Conv", [cu, 3, 2]])
+    h //= 2
+    meta.append((cu, width(cu), h))
+
+    for _ in range(int(rng.integers(4, 8))):
+        r = rng.random()
+        unres, cur, _ = meta[-1]
+        if r < 0.18 and h >= 8:
+            cu = int(rng.choice([32, 64]))
+            m = "Conv" if rng.random() < 0.6 else "GhostBottleneck"
+            rows.append([-1, 1, m, [cu, 3, 2]])
+            h //= 2
+            meta.append((cu, width(cu), h))
+        elif r < 0.38:
+            cu = int(rng.choice([16, 32, 64]))
+            m = str(rng.choice(["C3", "BottleneckCSP", "C3TR"]))
+            n = int(rng.integers(1, 3 if m == "C3TR" else 4))
+            rows.append([-1, n, m,
+                         [cu] if rng.random() < 0.6 else [cu, False]])
+            meta.append((cu, width(cu), h))
+        elif r < 0.5:
+            cu = int(rng.choice([16, 32]))
+            rows.append([-1, 1, "SPP", [cu, [3, 5]]])
+            meta.append((cu, width(cu), h))
+        elif r < 0.62:
+            cu = int(rng.choice([16, 32, 64]))
+            m = str(rng.choice(["GhostConv", "DWConv"]))
+            rows.append([-1, 1, m, [cu, 3, 1]])
+            meta.append((cu, width(cu), h))
+        elif r < 0.75 and unres is not None:
+            # n>1 Sequential repetition needs c1 == c2: reuse prev width
+            m = str(rng.choice(["Conv", "Bottleneck"]))
+            rows.append([-1, 2, m,
+                         [unres, 1, 1] if m == "Conv" else [unres]])
+            meta.append((unres, cur, h))
+        else:
+            cu = int(rng.choice([16, 32, 64]))
+            rows.append([-1, 1, "Conv", [cu, int(rng.choice([1, 3])), 1]])
+            meta.append((cu, width(cu), h))
+
+    detect_src = [len(rows) - 1]
+    head_rows = []
+    cands = [j for j, (_, _, hh) in enumerate(meta[:-1]) if hh == h * 2]
+    if cands and rng.random() < 0.75:
+        cu = int(rng.choice([16, 32]))
+        head_rows.append([-1, 1, "Conv", [cu, 1, 1]])
+        meta.append((cu, width(cu), h))
+        head_rows.append([-1, 1, "nn.Upsample", [None, 2, "nearest"]])
+        h *= 2
+        meta.append((None, width(cu), h))
+        j = int(rng.choice(cands))
+        n_rows = len(rows) + len(head_rows)
+        ref = j if rng.random() < 0.5 else j - n_rows  # abs vs relative
+        head_rows.append([[-1, ref], 1, "Concat", [1]])
+        meta.append((None, width(cu) + meta[j][1], h))
+        cu2 = int(rng.choice([16, 32]))
+        head_rows.append([-1, 1, "C3", [cu2, False]])
+        meta.append((cu2, width(cu2), h))
+        detect_src = [len(rows) + len(head_rows) - 1] + detect_src
+    base = [10, 13, 16, 30, 33, 23]
+    anchors = [[v * (k + 1) for v in base] for k in range(len(detect_src))]
+    head_rows.append([detect_src, 1, "Detect", ["nc", "anchors"]])
+    return _yaml.safe_dump({
+        "nc": nc, "depth_multiple": gd, "width_multiple": gw,
+        "anchors": anchors, "backbone": rows, "head": head_rows})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_v5_random_yaml_fuzz_parity(seed, tmp_path):
+    """Property test: RANDOM yamls over the supported module set build,
+    import a synthesized ultralytics-layout checkpoint, and match the
+    independent torch parse_model/forward_once oracle end to end."""
+    rng = np.random.default_rng(seed + 100)
+    text = _random_v5_yaml(rng)
+    import yaml as _yaml
+
+    tm = tvr.TorchV5Model(_yaml.safe_load(text)).eval()
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, nn.BatchNorm2d):
+                mod.running_mean.uniform_(-0.5, 0.5)
+                mod.running_var.uniform_(0.5, 1.5)
+    path = str(tmp_path / f"fuzz{seed}.pt")
+    torch.save({"model": tm, "ema": None}, path)
+
+    model = YoloV5(yaml_text=text)
+    variables = model.init(jax.random.key(seed), jnp.zeros((1, 64, 64, 3)))
+    variables = load_yolov5_torch_checkpoint(variables, path)
+
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32) * 0.4
+    with torch.no_grad():
+        want = [t.numpy() for t in tm(torch.from_numpy(x))]
+    got = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.transpose(w, (0, 2, 3, 1)),
+                                   rtol=1e-3, atol=1e-3)

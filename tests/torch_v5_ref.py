@@ -234,3 +234,80 @@ class C3TR(C3):
         super().__init__(c1, c2, n, shortcut, g, e)
         c_ = int(c2 * e)
         self.m = TransformerBlock(c_, c_, 4, n)
+
+
+class TorchV5Model(nn.Module):
+    """Forward-capable parse_model mirror (yolo.py:232-283 channel/depth
+    arithmetic + forward_once yolo.py:119-135 graph walk) over the oracle
+    block zoo, with ultralytics key layout (model.{i}, Sequential
+    repetition model.{i}.{j}, Detect at model.{i}.m.{j}) — the independent
+    end-to-end oracle for random-yaml fuzz parity."""
+
+    _WIDTH = ("Conv", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP",
+              "DWConv", "Focus", "BottleneckCSP", "C3", "C3TR")
+    _ZOO = {"Conv": Conv, "GhostConv": GhostConv, "Bottleneck": Bottleneck,
+            "GhostBottleneck": GhostBottleneck, "SPP": SPP,
+            "DWConv": DWConv, "Focus": Focus,
+            "BottleneckCSP": BottleneckCSP, "C3": C3, "C3TR": C3TR}
+
+    def __init__(self, d):
+        super().__init__()
+        nc, gd, gw = d["nc"], d["depth_multiple"], d["width_multiple"]
+        anchors = d["anchors"]
+        na = len(anchors[0]) // 2 if isinstance(anchors, list) else anchors
+        no = na * (nc + 5)
+        ch = [3]
+        self.froms, self.kinds = [], []
+        self.model = nn.Sequential()
+        for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+            n_ = max(round(n * gd), 1) if n > 1 else n
+            c1 = ch[f if isinstance(f, int) else f[0]]
+            if m in self._WIDTH:
+                c2 = args[0]
+                if c2 != no:
+                    c2 = int(math.ceil(c2 * gw / 8) * 8)
+                cls = self._ZOO[m]
+                if m in ("BottleneckCSP", "C3", "C3TR"):
+                    sc = args[1] if len(args) > 1 else True
+                    mod = cls(c1, c2, n_, shortcut=sc)
+                elif m == "SPP":
+                    k = tuple(args[1]) if len(args) > 1 else (5, 9, 13)
+                    mod = cls(c1, c2, k)
+                elif n_ > 1:  # Sequential repetition: m(*args) x n_
+                    mod = nn.Sequential(*[cls(c1, c2, *args[1:])
+                                          for _ in range(n_)])
+                else:
+                    mod = cls(c1, c2, *args[1:])
+            elif m == "nn.Upsample":
+                mod = nn.Upsample(scale_factor=args[1], mode=args[2])
+                c2 = c1
+            elif m == "Concat":
+                mod = nn.Identity()
+                c2 = sum(ch[x] for x in f)
+            elif m == "Detect":
+                mod = nn.Module()
+                mod.m = nn.ModuleList(nn.Conv2d(ch[x], no, 1) for x in f)
+                c2 = no
+            else:
+                raise ValueError(f"oracle does not model {m}")
+            self.model.add_module(str(i), mod)
+            self.froms.append(f)
+            self.kinds.append(m)
+            if i == 0:
+                ch = []
+            ch.append(c2)
+
+    def forward(self, x):
+        y = []
+        for i, mod in enumerate(self.model):
+            f, m = self.froms[i], self.kinds[i]
+            xi = (x if f == -1 else y[f]) if isinstance(f, int) \
+                else [x if j == -1 else y[j] for j in f]
+            if m == "Concat":
+                x = torch.cat(xi, 1)
+            elif m == "Detect":
+                return [mod.m[j](s) for j, s in enumerate(xi)]
+            else:
+                x = mod(xi)
+            y.append(x)
+        return x
