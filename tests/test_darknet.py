@@ -398,11 +398,14 @@ def _random_cfg_text(rng, nc=2, na=3):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
-def test_random_graph_fuzz_parity(seed):
+def test_random_graph_fuzz_parity(seed, tmp_path):
     """Property test: RANDOM small graphs over the full supported block
     set build, run, and match the torch oracle bit-for-bit (to fp tol) —
-    hardens the cfg->graph builder beyond the shipped cfgs."""
-    from rtdm_tpu.models.darknet import Darknet
+    hardens the cfg->graph builder beyond the shipped cfgs. Also asserts
+    the darknet .weights binary codec (models.py:450-512 layout) is an
+    exact round trip on every random graph."""
+    from rtdm_tpu.models.darknet import (Darknet, load_darknet_weights,
+                                         save_darknet_weights)
 
     rng = np.random.default_rng(seed)
     text = _random_cfg_text(rng)
@@ -419,3 +422,12 @@ def test_random_graph_fuzz_parity(seed):
     raw = model.apply(variables, jnp.asarray(x))
     defs = parse_darknet_cfg(text)[1:]
     _assert_matches_torch_oracle(defs, variables, x, raw)
+
+    # .weights round trip: save, load into a fresh init, identical outputs
+    w = str(tmp_path / f"fuzz{seed}.weights")
+    save_darknet_weights(variables, text, w)
+    blank = init_darknet(model, 64, seed=seed + 999)
+    restored = load_darknet_weights(blank, text, w)
+    raw2 = model.apply(restored, jnp.asarray(x))
+    for a, b in zip(raw, raw2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
