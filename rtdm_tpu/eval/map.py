@@ -167,11 +167,13 @@ class DetectionConfusionMatrix:
                       gt_cls: np.ndarray) -> None:
         det = det[det[:, 4] > self.conf] if len(det) else det
         gt_cls = np.asarray(gt_cls, int)
-        if len(gt_boxes) == 0:
-            for c in (det[:, 5].astype(int) if len(det) else []):
-                self.matrix[c, self.nc] += 1  # predicted, no gt -> FP col
-            return
-        if len(det) == 0:
+        if len(gt_boxes) == 0 or len(det) == 0:
+            # Reference-exact (metrics.py:152-155): unmatched detections
+            # are only tallied into the background column when the image
+            # produced >=1 IoU-qualified match (the `if n:` guard), so an
+            # image with detections but no labels/overlaps contributes
+            # NOTHING to the FP column. Unmatched ground truth is always
+            # tallied (metrics.py:145-150).
             for c in gt_cls:
                 self.matrix[self.nc, c] += 1  # gt, no pred -> FN row
             return
@@ -199,9 +201,10 @@ class DetectionConfusionMatrix:
         for gi in range(len(gt_cls)):
             if gi not in matched_gt:
                 self.matrix[self.nc, int(gt_cls[gi])] += 1
-        for di in range(len(det)):
-            if di not in matched_det:
-                self.matrix[int(det[di, 5]), self.nc] += 1
+        if len(matches):  # reference's `if n:` guard — see process_batch top
+            for di in range(len(det)):
+                if di not in matched_det:
+                    self.matrix[int(det[di, 5]), self.nc] += 1
 
 
 def plot_pr_curve(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,

@@ -71,6 +71,24 @@ def test_confusion_matrix_misses():
     assert cm.matrix[2, 1] == 1  # FN
 
 
+def test_confusion_matrix_no_match_quirk():
+    """Reference-exact quirk (metrics.py:152-155): when an image yields
+    ZERO IoU-qualified matches, unmatched detections are NOT tallied into
+    the background-FP column (the `if n:` guard skips them), while
+    unmatched ground truth is still tallied."""
+    # detections but no labels at all -> matrix untouched
+    cm = DetectionConfusionMatrix(2)
+    cm.process_batch(np.array([[0, 0, 10, 10, 0.9, 0]]),
+                     np.zeros((0, 4)), np.zeros(0, int))
+    assert cm.matrix.sum() == 0
+    # detections and labels but no overlap -> only the FN row moves
+    cm = DetectionConfusionMatrix(2)
+    cm.process_batch(np.array([[100, 100, 110, 110, 0.9, 0]]),
+                     np.array([[0, 0, 10, 10]], float), np.array([1]))
+    assert cm.matrix[2, 1] == 1
+    assert cm.matrix.sum() == 1  # the far detection was dropped
+
+
 def test_fuse_conv_bn_matches_separate(rng):
     from rtdm_tpu.ops.convpool import conv2d
 
