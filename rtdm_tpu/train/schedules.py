@@ -39,18 +39,37 @@ def onecycle_schedule(peak_lr: float, total_steps: int,
                       pct_start: float = 0.1,
                       div_factor: float = 25.0,
                       final_div_factor: float = 1e4) -> optax.Schedule:
+    """torch.optim.lr_scheduler.OneCycleLR, exactly (the reference's
+    scheduler, train.py:99-116 with anneal_strategy='cos').
+
+    torch's conventions, which optax.cosine_onecycle_schedule does NOT
+    match: phase 1 ends at float(pct_start*total) - 1 (not
+    int(pct_start*total)), and the final floor is initial/final_div =
+    peak/(div*final_div) (optax lands 25x higher at peak/final_div);
+    both phases anneal with end + (start-end)/2*(1+cos(pi*pct)).
+    Verified step-for-step vs torch in tests/test_schedules_oracle.py."""
+    import jax.numpy as jnp
+
     total_steps = max(total_steps, 2)
-    # optax builds the warmup interval as int(pct_start*total): if that
-    # rounds to 0 steps the piecewise interpolation divides by zero and the
-    # whole schedule is NaN. Guarantee >= 1 warmup step.
-    pct_start = max(pct_start, 1.0 / total_steps + 1e-6)
-    return optax.cosine_onecycle_schedule(
-        transition_steps=total_steps,
-        peak_value=peak_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    initial = peak_lr / div_factor
+    min_lr = initial / final_div_factor
+    # torch divides by this; guard the degenerate pct_start*total <= 1
+    # case (torch itself would divide by zero there)
+    phase1_end = max(float(pct_start * total_steps) - 1.0, 1e-3)
+    phase2_end = float(total_steps - 1)
+
+    def schedule(step):
+        s = jnp.minimum(jnp.asarray(step, jnp.float32), phase2_end)
+        pct1 = jnp.clip(s / phase1_end, 0.0, 1.0)
+        up = peak_lr + (initial - peak_lr) / 2.0 * (1.0 + jnp.cos(
+            jnp.pi * pct1))
+        pct2 = jnp.clip((s - phase1_end) / max(phase2_end - phase1_end,
+                                               1e-9), 0.0, 1.0)
+        down = min_lr + (peak_lr - min_lr) / 2.0 * (1.0 + jnp.cos(
+            jnp.pi * pct2))
+        return jnp.where(s <= phase1_end, up, down)
+
+    return schedule
 
 
 def cosine_schedule(lr: float, total_steps: int, min_lr: float = 1e-6
