@@ -231,17 +231,20 @@ def batched_nms(pred: jax.Array,
         else:  # greedy == the reference's 'vision_batch' and 'or' methods
             keep = _greedy_keep(iou, valid, iou_thres)
             if method == "merge":
-                # merge-NMS, yolov5 semantics (general.py:571-575): every
+                # merge-NMS, yolov5 semantics (general.py:571-577): every
                 # kept box becomes the score-weighted average of ALL
                 # same-class candidates with iou > thres — including ones
-                # an earlier kept head also weighted in. (yolov3's 'merge',
-                # utils.py:600-606, instead REMOVES consumed boxes from
-                # later merges; we implement the v5 formula only.)
-                w = jnp.where((iou > iou_thres) & valid[None, :],
-                              top_scores[None, :], 0.0)   # (kept i, j)
+                # an earlier kept head also weighted in — and (the
+                # `redundant` flag, hardwired True there) a kept box whose
+                # only qualifying overlap is itself is DROPPED. (yolov3's
+                # 'merge', utils.py:600-606, instead REMOVES consumed
+                # boxes from later merges; we implement the v5 formula.)
+                overlap = (iou > iou_thres) & valid[None, :]
+                w = jnp.where(overlap, top_scores[None, :], 0.0)  # (i, j)
                 merged = (w @ top_boxes) / jnp.maximum(
                     jnp.sum(w, axis=1, keepdims=True), 1e-9)
                 top_boxes = jnp.where(keep[:, None], merged, top_boxes)
+                keep &= jnp.sum(overlap, axis=1) > 1  # require redundancy
 
         kept_scores = jnp.where(keep, top_scores, -1.0)
         order = jnp.argsort(-kept_scores)[:max_det]

@@ -25,15 +25,18 @@ def test_merge_nms_weighted_average():
     det_g, cnt_g = batched_nms(jnp.asarray(pred), 0.1, 0.5, 8, 3)
     det_m, cnt_m = batched_nms(jnp.asarray(pred), 0.1, 0.5, 8, 3,
                                method="merge")
-    assert int(cnt_g[0]) == int(cnt_m[0]) == 2
+    assert int(cnt_g[0]) == 2
     g, m = np.asarray(det_g)[0], np.asarray(det_m)[0]
-    # greedy keeps box 0 untouched; merge shifts it toward box 1
+    # greedy keeps box 0 untouched; merge shifts it toward box 1 AND drops
+    # the far singleton (v5 `redundant`, general.py:576-577: a merged box
+    # whose only qualifying overlap is itself is removed)
+    assert int(cnt_m[0]) == 1
     s0, s1 = 0.9 * 0.9, 0.8 * 0.9
     want_x1 = (80 * s0 + 84 * s1) / (s0 + s1)
     np.testing.assert_allclose(g[0, 0], 80.0, atol=1e-3)
     np.testing.assert_allclose(m[0, 0], want_x1, atol=1e-2)
-    # the far box is identical in both
-    np.testing.assert_allclose(g[1], m[1], atol=1e-4)
+    np.testing.assert_allclose(g[1, 0], 280.0, atol=1e-3)  # greedy keeps it
+    assert m[1].sum() == 0.0  # merge zero-pads the dropped singleton row
 
 
 def test_soft_nms_decays_not_kills():
@@ -237,3 +240,68 @@ def test_soft_nms_emits_subconf_class_heads():
     assert np.any((got[:, 5] == 0) & (got[:, 4] < conf_thres))
     # but only the head — its decayed followers stay dropped
     assert np.sum(got[:, 5] == 0) == 1
+
+
+def _ref_merge_nms(pred, conf_thres, iou_thres, max_wh=4096.0, min_wh=2.0):
+    """Transcribed v5 merge-NMS (general.py:544-577 with merge=True,
+    redundant=True) over the v3 candidate chain our NMS implements
+    (obj-only best-class gate, already oracle-verified elsewhere)."""
+    p = pred[pred[:, 4] > conf_thres]
+    p = p[((p[:, 2:4] > min_wh) & (p[:, 2:4] < max_wh)).all(1)]
+    if not len(p):
+        return np.zeros((0, 6), np.float32)
+    cls_scores = p[:, 5:] * p[:, 4:5]
+    j = cls_scores.argmax(1)
+    conf = cls_scores.max(1)
+    box = np.stack([p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+                    p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2], 1)
+    order = np.argsort(-conf)
+    box, conf, j = box[order], conf[order], j[order]
+    off = box + j[:, None] * max_wh
+
+    def iou_row(a, bs):
+        lt = np.maximum(a[:2], bs[:, :2])
+        rb = np.minimum(a[2:4], bs[:, 2:4])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (bs[:, 2] - bs[:, 0]) * (bs[:, 3] - bs[:, 1]) - inter)
+        return inter / np.maximum(ua, 1e-9)
+
+    n = len(box)
+    alive = np.ones(n, bool)
+    keep = []
+    for i in range(n):
+        if not alive[i]:
+            continue
+        keep.append(i)
+        ious = iou_row(off[i], off)
+        alive &= ~((ious > iou_thres) & (np.arange(n) > i))
+    keep = np.asarray(keep, int)
+    overlap = np.stack([iou_row(off[i], off) > iou_thres for i in keep])
+    weights = overlap * conf[None, :]
+    merged = weights @ box / weights.sum(1, keepdims=True)
+    redundant = overlap.sum(1) > 1
+    rows = np.concatenate(
+        [merged, conf[keep, None], j[keep, None].astype(np.float32)], 1)
+    return rows[redundant].astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_merge_nms_fuzz_matches_transcription(seed):
+    rng = np.random.default_rng(300 + seed)
+    n, nc = 60, 3
+    pred = np.zeros((1, n, 5 + nc), np.float32)
+    xy = rng.uniform(60, 340, (n, 2))
+    # clusters: half the boxes jitter around earlier ones to force merges
+    xy[n // 2:] = xy[: n - n // 2] + rng.normal(0, 6, (n - n // 2, 2))
+    wh = rng.uniform(10, 60, (n, 2))
+    pred[0, :, 0:2], pred[0, :, 2:4] = xy, wh
+    pred[0, :, 4] = rng.uniform(0.02, 1.0, n)
+    pred[0, :, 5:] = rng.dirichlet(np.ones(nc), n)
+    det, cnt = batched_nms(jnp.asarray(pred), 0.1, 0.5, 64, 64,
+                           method="merge")
+    got = np.asarray(det)[0][: int(cnt[0])]
+    want = _ref_merge_nms(pred[0], 0.1, 0.5)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
