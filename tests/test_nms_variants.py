@@ -305,3 +305,63 @@ def test_merge_nms_fuzz_matches_transcription(seed):
     want = _ref_merge_nms(pred[0], 0.1, 0.5)
     assert len(got) == len(want)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def _ref_and_nms(rows, iou_thres):
+    """Transcribed 'and' NMS (utils.py:563-597): per class in conf order;
+    single-candidate classes skip NMS; a head is kept only when its IoU
+    with the remaining boxes exceeds 0.5; the chain's final leftover box
+    is silently dropped (the while exits at len==1 without appending)."""
+    def iou_vec(a, b):
+        lt = np.maximum(a[:2], b[:, :2])
+        rb = np.minimum(a[2:4], b[:, 2:4])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[:, 0] * wh[:, 1]
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) - inter)
+        return inter / np.maximum(ua, 1e-9)
+
+    out = []
+    for c in np.unique(rows[:, 5]):
+        dc = rows[rows[:, 5] == c]
+        if len(dc) == 1:
+            out.append(dc[0])
+            continue
+        while len(dc) > 1:
+            iou = iou_vec(dc[0], dc[1:])
+            if iou.max() > 0.5:
+                out.append(dc[0])
+            dc = dc[1:][iou < iou_thres]
+    if not out:
+        return np.zeros((0, 6), np.float32)
+    out = np.stack(out)
+    return out[np.argsort(-out[:, 4], kind="stable")]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_and_nms_fuzz_matches_transcription(seed):
+    rng = np.random.default_rng(400 + seed)
+    n, nc = 40, 2
+    pred = np.zeros((1, n, 5 + nc), np.float32)
+    xy = rng.uniform(60, 340, (n, 2))
+    xy[n // 2:] = xy[: n - n // 2] + rng.normal(0, 8, (n - n // 2, 2))
+    wh = rng.uniform(15, 70, (n, 2))
+    pred[0, :, 0:2], pred[0, :, 2:4] = xy, wh
+    pred[0, :, 4] = rng.uniform(0.15, 1.0, n)
+    pred[0, :, 5:] = rng.dirichlet(np.ones(nc), n)
+    det, cnt = batched_nms(jnp.asarray(pred), 0.1, 0.6, 48, 48,
+                           method="and")
+    got = np.asarray(det)[0][: int(cnt[0])]
+
+    # oracle candidate rows: the same v3 filter chain, conf-desc order
+    p = pred[0][pred[0, :, 4] > 0.1]
+    cls_scores = p[:, 5:] * p[:, 4:5]
+    j = cls_scores.argmax(1).astype(np.float32)
+    conf = cls_scores.max(1)
+    box = np.stack([p[:, 0] - p[:, 2] / 2, p[:, 1] - p[:, 3] / 2,
+                    p[:, 0] + p[:, 2] / 2, p[:, 1] + p[:, 3] / 2], 1)
+    rows = np.concatenate([box, conf[:, None], j[:, None]], 1)
+    rows = rows[np.argsort(-conf, kind="stable")]
+    want = _ref_and_nms(rows, 0.6)
+    assert len(got) == len(want), (len(got), len(want))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
