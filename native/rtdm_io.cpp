@@ -90,14 +90,17 @@ void resize_bilinear(const uint8_t* src, int h, int w, uint8_t* dst, int oh,
 
 extern "C" {
 
-// Decode a JPEG from memory, resize+letterbox into out (size*size*3, RGB).
-// Returns 0 on success; fills gain (resize factor) and pad_w/pad_h.
-// letterbox=0 stretches to size x size instead (no padding; gain/pads are
-// per-axis meaningless and set to 0).
-int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
-                               int letterbox, uint8_t pad_value,
-                               uint8_t* out, float* gain, float* pad_w,
-                               float* pad_h, int* orig_h, int* orig_w) {
+// Decode a JPEG from memory, resize+letterbox into out (out_h*out_w*3,
+// RGB) — rectangular targets supported (the rect-batch bucket shapes,
+// yolov3/utils/datasets.py:285-316). Returns 0 on success; fills gain
+// (resize factor) and pad_w/pad_h. letterbox=0 stretches to out_h x out_w
+// instead (no padding; gain/pads are per-axis meaningless and set to 0).
+int rtdm_decode_jpeg_letterbox_rect(const uint8_t* data, long len,
+                                    int out_h, int out_w, int letterbox,
+                                    uint8_t pad_value, uint8_t* out,
+                                    float* gain, float* pad_w,
+                                    float* pad_h, int* orig_h,
+                                    int* orig_w) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -123,14 +126,20 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   *orig_w = static_cast<int>(cinfo.image_width);
 
   // DCT prescale: decode at the smallest n/8 >= target coverage.
-  // Letterbox scales by the LONG side (max dim must reach size); stretch
-  // mode resizes both axes to size, so the SHORT side drives coverage —
-  // keying on max there would decode extreme-aspect images far below
-  // target on the short axis and upscale (blur).
-  const int big = letterbox ? std::max(*orig_h, *orig_w)
-                            : std::min(*orig_h, *orig_w);
+  // Letterbox: the CONSTRAINING axis (the one with the smaller
+  // target/orig ratio) must reach its target; stretch mode resizes both
+  // axes, so the axis with the LARGER required gain drives coverage —
+  // undershooting it would upscale (blur).
+  // Axis selection by cross-multiplication (exact in int64):
+  // th/oh <= tw/ow  <=>  th*ow <= tw*oh.
+  const int64_t h_cross = static_cast<int64_t>(out_h) * *orig_w;
+  const int64_t w_cross = static_cast<int64_t>(out_w) * *orig_h;
+  const bool height_binds = letterbox ? (h_cross <= w_cross)
+                                      : (h_cross >= w_cross);
+  const int big = height_binds ? *orig_h : *orig_w;
+  const int target = height_binds ? out_h : out_w;
   int num = 8;
-  while (num > 1 && (big * (num - 1)) / 8 >= size) --num;
+  while (num > 1 && (big * (num - 1)) / 8 >= target) --num;
   cinfo.scale_num = num;
   cinfo.scale_denom = 8;
 
@@ -148,24 +157,24 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   jpeg_destroy_decompress(&cinfo);
 
   if (!letterbox) {
-    resize_bilinear(decoded.data(), dh, dw, out, size, size);
+    resize_bilinear(decoded.data(), dh, dw, out, out_h, out_w);
     *gain = 0.f;
     *pad_w = 0.f;
     *pad_h = 0.f;
     return 0;
   }
   // letterbox relative to the ORIGINAL image (odder.py semantics)
-  const float g = std::min(static_cast<float>(size) / *orig_h,
-                           static_cast<float>(size) / *orig_w);
+  const float g = std::min(static_cast<float>(out_h) / *orig_h,
+                           static_cast<float>(out_w) / *orig_w);
   const int nw = std::max(static_cast<int>(*orig_w * g + 0.5f), 1);
   const int nh = std::max(static_cast<int>(*orig_h * g + 0.5f), 1);
   resized.resize(static_cast<size_t>(nh) * nw * 3);
   resize_bilinear(decoded.data(), dh, dw, resized.data(), nh, nw);
-  std::memset(out, pad_value, static_cast<size_t>(size) * size * 3);
-  const int pw = (size - nw) / 2;
-  const int ph = (size - nh) / 2;
+  std::memset(out, pad_value, static_cast<size_t>(out_h) * out_w * 3);
+  const int pw = (out_w - nw) / 2;
+  const int ph = (out_h - nh) / 2;
   for (int y = 0; y < nh; ++y) {
-    std::memcpy(out + (static_cast<size_t>(y + ph) * size + pw) * 3,
+    std::memcpy(out + (static_cast<size_t>(y + ph) * out_w + pw) * 3,
                 resized.data() + static_cast<size_t>(y) * nw * 3,
                 static_cast<size_t>(nw) * 3);
   }
@@ -173,6 +182,16 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
   *pad_w = static_cast<float>(pw);
   *pad_h = static_cast<float>(ph);
   return 0;
+}
+
+// Square-target compatibility entry (the original ABI).
+int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
+                               int letterbox, uint8_t pad_value,
+                               uint8_t* out, float* gain, float* pad_w,
+                               float* pad_h, int* orig_h, int* orig_w) {
+  return rtdm_decode_jpeg_letterbox_rect(data, len, size, size, letterbox,
+                                         pad_value, out, gain, pad_w,
+                                         pad_h, orig_h, orig_w);
 }
 
 // Decode + letterbox a BATCH of JPEG files into one contiguous NHWC u8

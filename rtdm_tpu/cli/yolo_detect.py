@@ -133,6 +133,15 @@ def main(argv=None):
                    help="NMS variant (vision_batch/merge/soft analogues)")
     p.add_argument("--augment", action="store_true",
                    help="test-time augmentation (multi-scale + flip)")
+    p.add_argument("--rect", action="store_true",
+                   help="letterbox each frame to its minimal stride-"
+                        "multiple rectangle instead of the full square "
+                        "(the reference detect path's letterbox auto=True,"
+                        " datasets.py:599-630) — one compiled program per "
+                        "distinct source shape, so best for video/webcam/"
+                        "rtsp sources (constant shape, ~25%% less conv "
+                        "compute on 16:9); mixed-size image dirs compile "
+                        "per distinct shape")
     p.add_argument("--save-txt", action="store_true",
                    help="write per-image detection txts (--txt-format)")
     p.add_argument("--txt-format", default="map", choices=["map", "yolo"],
@@ -214,7 +223,8 @@ def main(argv=None):
         # recompile at batch 1 — a batch-256 engine program would pad and
         # run 256 rows per frame (256x the compute and H2D)
         detector = load_detector(args.engine, spec_overrides=overrides,
-                                 batch_size=1)
+                                 batch_size=1,
+                                 precompiled_ok=not args.rect)
         args.img_size = detector.spec.img_size
     elif args.cfg:
         model, variables = load_weights_for_cfg(args.cfg, args.weights,
@@ -317,8 +327,21 @@ def main(argv=None):
     dt = 0.0
     t_steady = 0.0  # cumulative time excluding the first (compile) frame
     n_frames = 0
+    if args.rect and args.augment:
+        raise SystemExit("--rect and --augment are mutually exclusive "
+                         "(the TTA pyramid is square)")
+    if args.rect and second is not None:
+        raise SystemExit("--rect and --classify are mutually exclusive "
+                         "(the second-stage crop program is compiled for "
+                         "the square frame)")
     for path, img in frames():
-        boxed, _, _ = letterbox_image(img, args.img_size)
+        if args.rect:
+            from rtdm_tpu.data.odder import minimal_rect_shape
+            target = minimal_rect_shape(img.shape[0], img.shape[1],
+                                        args.img_size)
+        else:
+            target = args.img_size
+        boxed, _, _ = letterbox_image(img, target)
         t0 = time.perf_counter()
         det, count = detector(boxed[None])
         if second is not None:  # apply_classifier veto (detect.py:78-79)
@@ -329,7 +352,7 @@ def main(argv=None):
             t_steady += dt
         n = int(count[0])
         det = np.asarray(scale_coords(
-            jnp.asarray(det), (args.img_size, args.img_size),
+            jnp.asarray(det), tuple(boxed.shape[:2]),
             tuple(img.shape[:2])))[0][:n]
         if bounded:
             results.append((path, det))

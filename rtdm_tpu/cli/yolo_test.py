@@ -25,7 +25,7 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
              plot_dir: str = "", single_cls: bool = False,
              augment: bool = False, verbose: bool = False,
              save_txt_dir: str = "", save_conf: bool = False,
-             save_hybrid: bool = False):
+             save_hybrid: bool = False, rect: bool = False):
     import numpy as np
     import jax.numpy as jnp
 
@@ -45,8 +45,20 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     nc = 1 if single_cls else nc_data
     if single_cls:
         names = ["item"]
+    # per-family metric conventions (AP sentinels + reported-P/R operating
+    # point): yolov3 vs yolov5 diverge — see eval/map.py ap_per_class
+    family = "v5" if cfg.endswith((".yaml", ".yml")) else "v3"
+    # --rect: aspect-ratio-bucketed batches (the reference's test-time
+    # default, yolov3/test.py rect=True / yolov5/test.py pad=0.5) — each
+    # bucket shape compiles once; less padded compute per batch
     ds = DetectionDataset(dcfg["valid"], img_size, base_dir=base,
-                          num_classes=nc_data, single_cls=single_cls)
+                          num_classes=nc_data, single_cls=single_cls,
+                          rect=rect, batch_size=batch_size,
+                          rect_pad=(0.5 if family == "v5" else 0.0))
+    if rect and ds.rect_shapes:
+        shapes = sorted(set(ds.rect_shapes))
+        print(f"rect buckets ({len(shapes)} compiled shapes): "
+              + " ".join(f"{h}x{w}" for h, w in shapes))
     loader = DetectionBatchLoader(ds, batch_size, num_workers=num_workers)
     # multi_label=True is the reference's test-time default whenever nc > 1
     # (yolov3/test.py:111 via utils.py:488, yolov5/test.py:122); the same
@@ -59,6 +71,10 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     weight_list = (weights.split(",") if weights and "," in weights
                    else [weights])
     if len(weight_list) > 1:
+        if rect:
+            raise SystemExit("--rect is not supported with weight "
+                             "ensembles (the pooled program is compiled "
+                             "for the square shape)")
         # model ensemble (yolov5/models/experimental.py Ensemble /
         # attempt_load): every member's decoded predictions are pooled
         # before ONE NMS pass, all inside a single compiled program.
@@ -72,7 +88,11 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             # `--quant int8` measures an honestly-calibrated int8 engine
             from rtdm_tpu.quant.calibrate import calibrate_detector
             n_cal = min(32, len(ds))
-            calib = np.stack([ds.load(i)["image"] for i in range(n_cal)])
+            from rtdm_tpu.data.odder import letterbox_image
+            # calibration always letterboxes square (rect buckets have
+            # mixed shapes; activation ranges don't care about padding)
+            calib = np.stack([letterbox_image(ds.load_raw(i), img_size)[0]
+                              for i in range(n_cal)])
             act_scales = calibrate_detector(model, variables, calib)
             print(f"int8: {len(act_scales)} activation scales calibrated "
                   f"on {n_cal} images")
@@ -87,9 +107,6 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     else:
         iouv = (np.linspace(0.5, 0.95, 10) if full_map_range
                 else np.array([map_iou]))
-    # per-family metric conventions (AP sentinels + reported-P/R operating
-    # point): yolov3 vs yolov5 diverge — see eval/map.py ap_per_class
-    family = "v5" if cfg.endswith((".yaml", ".yml")) else "v3"
     ev = DetectionEvaluator(nc, iouv, family=family)
     from rtdm_tpu.eval.map import DetectionConfusionMatrix
     cm = DetectionConfusionMatrix(nc) if confusion else None
@@ -138,9 +155,11 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             oh, ow = (int(batch["orig_hw"][i][0]),
                       int(batch["orig_hw"][i][1]))
             if (save_txt_dir or save_json) and n:
+                # letterbox shape = the actual batch shape (the square, or
+                # this batch's rect bucket)
+                lb_shape = (batch["image"].shape[1], batch["image"].shape[2])
                 predn = np.asarray(scale_coords(
-                    jnp.asarray(d[None]), (img_size, img_size),
-                    (oh, ow)))[0]
+                    jnp.asarray(d[None]), lb_shape, (oh, ow)))[0]
             else:
                 predn = d
             if save_txt_dir:
@@ -304,6 +323,13 @@ def main(argv=None):
     p.add_argument("--single-cls", action="store_true",
                    help="evaluate as single-class: every GT label maps to "
                         "class 0 (yolov5/test.py:29,78)")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular eval batches: images bucketed by "
+                        "aspect ratio, each bucket letterboxed to its own "
+                        "stride-multiple shape and compiled once (the "
+                        "reference's test-time default, yolov3/test.py "
+                        "rect=True; yolov5 adds pad=0.5). Less padded "
+                        "compute; default off to keep square-eval goldens")
     p.add_argument("--augment", action="store_true",
                    help="augmented (TTA) inference — multi-scale + flip "
                         "(yolov5/test.py:106,276)")
@@ -418,7 +444,7 @@ def main(argv=None):
                     plot_dir=args.plot_dir, single_cls=args.single_cls,
                     augment=args.augment, verbose=args.verbose,
                     save_txt_dir=save_txt_dir, save_conf=args.save_conf,
-                    save_hybrid=args.save_hybrid)
+                    save_hybrid=args.save_hybrid, rect=args.rect)
 
 
 if __name__ == "__main__":

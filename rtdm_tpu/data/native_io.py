@@ -70,6 +70,7 @@ def _load_locked():
     try:
         lib = ctypes.CDLL(_SO_PATH)
         lib.rtdm_decode_batch  # symbol check before binding argtypes
+        lib.rtdm_decode_jpeg_letterbox_rect  # newest symbol (stale .so?)
     except (OSError, AttributeError) as e:
         logger.info("native IO unavailable or stale (%s); using PIL path",
                     e)
@@ -81,6 +82,10 @@ def _load_locked():
         u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
         u8p, f32p, f32p, f32p, i32p, i32p]
     lib.rtdm_decode_jpeg_letterbox.restype = ctypes.c_int
+    lib.rtdm_decode_jpeg_letterbox_rect.argtypes = [
+        u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint8, u8p, f32p, f32p, f32p, i32p, i32p]
+    lib.rtdm_decode_jpeg_letterbox_rect.restype = ctypes.c_int
     lib.rtdm_letterbox_rgb.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
         u8p, f32p, f32p, f32p]
@@ -117,6 +122,37 @@ def decode_jpeg_letterbox(data: bytes, size: int, pad_value: int = 114
     rc = lib.rtdm_decode_jpeg_letterbox(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
         size, 1, pad_value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph),
+        ctypes.byref(oh), ctypes.byref(ow))
+    if rc != 0:
+        return None
+    return out, float(gain.value), (float(pw.value), float(ph.value)), \
+        (int(oh.value), int(ow.value))
+
+
+def decode_jpeg_letterbox_rect(data: bytes, out_h: int, out_w: int,
+                               pad_value: int = 114
+                               ) -> Optional[Tuple[np.ndarray, float,
+                                                   Tuple[float, float],
+                                                   Tuple[int, int]]]:
+    """JPEG bytes -> (letterboxed (out_h,out_w,3) u8, gain, (pad_w, pad_h),
+    (orig_h, orig_w)) for a RECT target (the rect-batch bucket shapes,
+    datasets.py:285-316); None when native IO or the decode is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    gain = ctypes.c_float()
+    pw = ctypes.c_float()
+    ph = ctypes.c_float()
+    oh = ctypes.c_int()
+    ow = ctypes.c_int()
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.rtdm_decode_jpeg_letterbox_rect(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out_h, out_w, 1, pad_value,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph),
         ctypes.byref(oh), ctypes.byref(ow))

@@ -162,20 +162,70 @@ def label_path_for(image_path: str) -> str:
     return str(Path(p).with_suffix(".txt"))
 
 
-def letterbox_image(img: np.ndarray, size: int
+def letterbox_image(img: np.ndarray, size
                     ) -> Tuple[np.ndarray, float, Tuple[float, float]]:
-    """HWC uint8 -> (size,size,3) uint8, returns (out, gain, (pad_w, pad_h))."""
+    """HWC uint8 -> (H,W,3) uint8, returns (out, gain, (pad_w, pad_h)).
+
+    `size` is an int (square target) or an (h, w) tuple — the rect-batch
+    target shape (datasets.py:430-431 letterbox(img, batch_shape,
+    auto=False))."""
     from PIL import Image
 
+    th, tw = ((int(size), int(size)) if isinstance(size, (int, np.integer))
+              else (int(size[0]), int(size[1])))
     h, w = img.shape[:2]
-    gain = min(size / h, size / w)
+    gain = min(th / h, tw / w)
     nw, nh = int(round(w * gain)), int(round(h * gain))
     resized = np.asarray(
         Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8)
-    out = np.full((size, size, 3), PAD_COLOR, np.uint8)
-    pad_w, pad_h = (size - nw) // 2, (size - nh) // 2
+    out = np.full((th, tw, 3), PAD_COLOR, np.uint8)
+    pad_w, pad_h = (tw - nw) // 2, (th - nh) // 2
     out[pad_h:pad_h + nh, pad_w:pad_w + nw] = resized
     return out, gain, (float(pad_w), float(pad_h))
+
+
+def minimal_rect_shape(h: int, w: int, img_size: int, stride: int = 32
+                       ) -> Tuple[int, int]:
+    """Minimal stride-multiple letterbox target for one frame — the
+    reference's letterbox auto=True mode (datasets.py:599-630: long side
+    scaled to img_size, short-side pad reduced modulo stride). Feeding
+    `letterbox_image` this target reproduces that geometry exactly (the
+    long axis binds the gain; the short axis only gains pad)."""
+    gain = img_size / max(h, w)
+    th = int(np.ceil(h * gain / stride) * stride)
+    tw = int(np.ceil(w * gain / stride) * stride)
+    return th, tw
+
+
+def rect_batch_plan(wh: np.ndarray, img_size: int, batch_size: int,
+                    stride: int = 32, pad: float = 0.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Aspect-ratio-sorted rect batch shape plan.
+
+    Transcribed semantics of yolov3/utils/datasets.py:285-316 (v5 adds the
+    `+ pad` term, yolov5/utils/datasets.py:412-416 with test-time pad=0.5):
+    sort by h/w, then per batch pick [maxi, 1] (all-wide) or [1, 1/mini]
+    (all-tall) height/width fractions, ceil to stride multiples.
+
+    `wh`: (n, 2) float array of original (width, height) per image.
+    Returns (order, batch_shapes_px) with batch_shapes_px[b] = (h, w) ints.
+    """
+    wh = np.asarray(wh, np.float64)
+    ar = wh[:, 1] / wh[:, 0]  # h/w
+    order = np.argsort(ar, kind="stable")
+    n = len(order)
+    nb = (n + batch_size - 1) // batch_size
+    shapes = np.ones((nb, 2), np.float64)  # (h_frac, w_frac)
+    for b in range(nb):
+        ari = ar[order[b * batch_size:(b + 1) * batch_size]]
+        mini, maxi = ari.min(), ari.max()
+        if maxi < 1:        # all wide: shrink height
+            shapes[b] = (maxi, 1.0)
+        elif mini > 1:      # all tall: shrink width
+            shapes[b] = (1.0, 1.0 / mini)
+    bs_px = (np.ceil(shapes * img_size / stride + pad)
+             .astype(np.int64) * stride)
+    return order, bs_px
 
 
 class DetectionDataset:
@@ -186,7 +236,9 @@ class DetectionDataset:
                  train: bool = False,
                  aug_hyp: Optional[Dict[str, float]] = None,
                  seed: int = 0, num_classes: Optional[int] = None,
-                 single_cls: bool = False, cache_images: bool = False):
+                 single_cls: bool = False, cache_images: bool = False,
+                 rect: bool = False, batch_size: int = 8,
+                 stride: int = 32, rect_pad: float = 0.0):
         self.num_classes = num_classes
         self.single_cls = single_cls
         self.cache_images = cache_images
@@ -215,6 +267,39 @@ class DetectionDataset:
         # bar — same steady-state, no startup stall.
         self._img_cache: List[Optional[np.ndarray]] = (
             [None] * len(self.image_paths) if cache_images else [])
+        # Rectangular batches (datasets.py:285-316): images sorted by
+        # aspect ratio; each batch letterboxed to one stride-multiple
+        # (h, w) bucket instead of the full square. TPU-idiomatic spelling:
+        # the bucket set is small (ARs cluster), so jit compiles one
+        # program per DISTINCT shape and reuses it — less padded compute
+        # per batch, no dynamic shapes inside any one program.
+        self.rect = bool(rect)
+        self.rect_order: Optional[np.ndarray] = None
+        self.rect_shapes: Optional[List[Tuple[int, int]]] = None
+        if self.rect:
+            self._build_rect_plan(int(batch_size), int(stride),
+                                  float(rect_pad))
+
+    def _build_rect_plan(self, batch_size: int, stride: int,
+                         pad: float) -> None:
+        from PIL import Image
+
+        wh = np.ones((len(self.image_paths), 2), np.float64)
+        for i, p in enumerate(self.image_paths):
+            try:  # header-only size read (the reference's .shapes cache)
+                with Image.open(p) as im:
+                    wh[i] = im.size
+            except Exception:
+                wh[i] = (self.img_size, self.img_size)
+        order, bs_px = rect_batch_plan(wh, self.img_size, batch_size,
+                                       stride, pad)
+        n = len(order)
+        self.rect_order = order
+        self.rect_batch_size = batch_size
+        self.rect_shapes = [None] * n
+        for pos, idx in enumerate(order):
+            h, w = bs_px[pos // batch_size]
+            self.rect_shapes[int(idx)] = (int(h), int(w))
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -395,6 +480,30 @@ class DetectionDataset:
 
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]
+        if self.rect:
+            # rect bucket target (datasets.py:430: shape =
+            # batch_shapes[batch[index]]); same native DCT-prescale fast
+            # path as the square route, with PIL fallback
+            th, tw = self.rect_shapes[idx]
+            if (not self.cache_images
+                    and path.lower().endswith((".jpg", ".jpeg"))):
+                try:
+                    from rtdm_tpu.data.native_io import (
+                        decode_jpeg_letterbox_rect)
+                    with open(path, "rb") as f:
+                        res = decode_jpeg_letterbox_rect(f.read(), th, tw,
+                                                         PAD_COLOR)
+                    if res is not None:
+                        out, gain, (pad_w, pad_h), (orig_h, orig_w) = res
+                        return self._pack_eval(out, idx, orig_h, orig_w,
+                                               gain, pad_w, pad_h)
+                except Exception:
+                    pass
+            img = self.load_raw(idx)
+            orig_h, orig_w = img.shape[:2]
+            out, gain, (pad_w, pad_h) = letterbox_image(img, (th, tw))
+            return self._pack_eval(out, idx, orig_h, orig_w, gain,
+                                   pad_w, pad_h)
         out = None
         if (not self.cache_images  # cached raw beats re-decoding natively
                 and path.lower().endswith((".jpg", ".jpeg"))):
@@ -413,7 +522,11 @@ class DetectionDataset:
             img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
             out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
+        return self._pack_eval(out, idx, orig_h, orig_w, gain, pad_w, pad_h)
 
+    def _pack_eval(self, out: np.ndarray, idx: int, orig_h: int,
+                   orig_w: int, gain: float, pad_w: float,
+                   pad_h: float) -> Dict[str, np.ndarray]:
         raw = self.labels[idx]
         n = min(len(raw), self.max_labels)
         labels = np.zeros((self.max_labels, 5), np.float32)
@@ -457,7 +570,21 @@ class DetectionBatchLoader:
     def __iter__(self) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
         n = len(self.ds)
         epoch_rng = np.random.default_rng(self.seed + self.epoch)
-        if self.image_weights is not None:
+        if getattr(self.ds, "rect", False):
+            # rect mode fixes the AR-sorted order so every batch shares
+            # one bucket shape (the reference disables shuffling and
+            # image-weights under rect, datasets.py:278, train.py rect
+            # path); shapes were planned for a specific batch size
+            if self.image_weights is not None or self.shuffle:
+                raise ValueError("rect batches are incompatible with "
+                                 "shuffle/image-weight resampling "
+                                 "(datasets.py:278)")
+            if self.batch_size != self.ds.rect_batch_size:
+                raise ValueError(
+                    f"rect plan was built for batch {self.ds.rect_batch_size}"
+                    f", loader uses {self.batch_size}")
+            order = self.ds.rect_order.copy()
+        elif self.image_weights is not None:
             order = epoch_rng.choice(n, size=n, replace=True,
                                      p=self.image_weights)
         else:

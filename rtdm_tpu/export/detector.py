@@ -236,21 +236,28 @@ class Detector:
                     return model.apply(vars_c, x, train=train)
             return model.apply(vars_c, x, train=train)
 
-        def fwd(u8):
-            x = (u8.astype(dtype) / 255.0)
-            if spec.tta:
-                pred = tta_pooled_pred(
-                    lambda xi, si: decode_all(apply_model(xi), heads, si),
-                    x, spec.img_size)
-            else:
-                raw = apply_model(x)
-                pred = decode_all(raw, heads, spec.img_size)
-            return batched_nms(pred, spec.conf_thres, spec.iou_thres,
-                               spec.max_det, spec.top_k,
-                               multi_label=spec.multi_label,
-                               class_agnostic=spec.class_agnostic,
-                               method=spec.nms_method,
-                               classes=spec.classes)
+        def make_fwd(hw):
+            """Forward for one static input shape. `hw` is the letterbox
+            target (h, w) — the square (s, s) by default, or a rect-batch
+            bucket (datasets.py:285-316); each distinct bucket compiles
+            once and is cached (see __call__)."""
+            def fwd(u8):
+                x = (u8.astype(dtype) / 255.0)
+                if spec.tta:
+                    pred = tta_pooled_pred(
+                        lambda xi, si: decode_all(apply_model(xi), heads,
+                                                  si),
+                        x, spec.img_size)
+                else:
+                    raw = apply_model(x)
+                    pred = decode_all(raw, heads, hw)
+                return batched_nms(pred, spec.conf_thres, spec.iou_thres,
+                                   spec.max_det, spec.top_k,
+                                   multi_label=spec.multi_label,
+                                   class_agnostic=spec.class_agnostic,
+                                   method=spec.nms_method,
+                                   classes=spec.classes)
+            return fwd
 
         s = spec.img_size
         jit_kwargs = {}
@@ -260,10 +267,35 @@ class Detector:
             require_data_divisible(batch_size, mesh, "detector batch")
             sh = data_sharding(mesh)
             jit_kwargs = {"in_shardings": sh, "out_shardings": (sh, sh)}
-        self._fn = (jax.jit(fwd, **jit_kwargs)
-                    .lower(jax.ShapeDtypeStruct((batch_size, s, s, 3),
-                                                jnp.uint8))
-                    .compile())
+        self._make_fwd = make_fwd
+        self._jit_kwargs = jit_kwargs
+        self._shape_cache = {}
+        self._fn = self._compile_for(s, s)
+
+    def _compile_for(self, h: int, w: int):
+        import jax
+        import jax.numpy as jnp
+        return (jax.jit(self._make_fwd((h, w)), **self._jit_kwargs)
+                .lower(jax.ShapeDtypeStruct((self.batch_size, h, w, 3),
+                                            jnp.uint8))
+                .compile())
+
+    def _fn_for_shape(self, h: int, w: int):
+        s = self.spec.img_size
+        if (h, w) == (s, s):
+            return self._fn
+        if self.loaded_from_exec:
+            raise ValueError(
+                "engine was loaded as a sealed executable for "
+                f"({s},{s}); rect batch ({h},{w}) needs a model-built "
+                "Detector")
+        if self.spec.tta:
+            raise ValueError("rect batches are not supported with TTA "
+                             "(the TTA pyramid is square)")
+        key = (h, w)
+        if key not in self._shape_cache:
+            self._shape_cache[key] = self._compile_for(h, w)
+        return self._shape_cache[key]
 
     def __call__(self, images_u8: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -275,7 +307,9 @@ class Detector:
             images_u8 = np.concatenate([images_u8, pad])
         elif n > b:
             raise ValueError(f"batch {n} exceeds detector batch {b}")
-        det, count = self._fn(jnp.asarray(images_u8))
+        fn = self._fn_for_shape(int(images_u8.shape[1]),
+                                int(images_u8.shape[2]))
+        det, count = fn(jnp.asarray(images_u8))
         return np.asarray(det)[:n], np.asarray(count)[:n]
 
 
@@ -401,7 +435,8 @@ def _artifact_fingerprint(directory: str) -> str:
 
 
 def load_detector(directory: str, mesh=None, spec_overrides=None,
-                  batch_size: Optional[int] = None) -> Detector:
+                  batch_size: Optional[int] = None,
+                  precompiled_ok: bool = True) -> Detector:
     """Rebuild a saved engine. `spec_overrides` replaces selected
     DetectorSpec fields (run-time NMS shaping: conf/iou thresholds,
     classes filter, max_det, ...) before the program is compiled — the
@@ -438,7 +473,8 @@ def load_detector(directory: str, mesh=None, spec_overrides=None,
         with np.load(scales_path) as z:
             act_scales = {k: float(z[k]) for k in z.files}
     precompiled = None
-    if mesh is None and not spec_overrides and batch_size == stored_batch:
+    if (precompiled_ok and mesh is None and not spec_overrides
+            and batch_size == stored_batch):
         # overrides or a different batch change the compiled program; mesh
         # binds it to a topology — all invalidate the exec artifact
         from rtdm_tpu.export.exec_cache import load_executable

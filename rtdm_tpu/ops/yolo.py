@@ -22,20 +22,25 @@ import jax
 import jax.numpy as jnp
 
 
-def decode_head(p: jax.Array, anchors_px: jax.Array, img_size: int,
+def decode_head(p: jax.Array, anchors_px: jax.Array, img_size,
                 num_classes: int, scale_x_y: float = 1.0,
                 new_coords: bool = False, v5: bool = False) -> jax.Array:
     """(B, ny, nx, na*(5+nc)) raw map -> (B, na*ny*nx, 5+nc) decoded.
 
+    `img_size` is an int (square input) or an (h, w) tuple (rectangular
+    letterbox batches, datasets.py:285-316 rect mode).
     Output columns: cx, cy, w, h (input-image pixels), obj, cls...
     """
     b, ny, nx, _ = p.shape
     na = anchors_px.shape[0]
     no = num_classes + 5
+    in_h, in_w = ((int(img_size), int(img_size))
+                  if isinstance(img_size, (int, float))
+                  else (int(img_size[0]), int(img_size[1])))
     # per-axis stride (yolo_layer.cu derives x/y scale from input w/h vs
     # yolo w/h independently); identical for the square heads every square
-    # input produces, correct for ny != nx
-    stride = jnp.array([img_size / nx, img_size / ny], jnp.float32)
+    # input produces, correct for ny != nx and rectangular inputs
+    stride = jnp.array([in_w / nx, in_h / ny], jnp.float32)
     p = p.reshape(b, ny, nx, na, no).astype(jnp.float32)
 
     gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1)
@@ -66,9 +71,10 @@ def decode_head(p: jax.Array, anchors_px: jax.Array, img_size: int,
     return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, na * ny * nx, no)
 
 
-def decode_all(raw_maps: Sequence[jax.Array], heads, img_size: int
+def decode_all(raw_maps: Sequence[jax.Array], heads, img_size
                ) -> jax.Array:
-    """Concatenate decoded predictions of every head: (B, total, 5+nc)."""
+    """Concatenate decoded predictions of every head: (B, total, 5+nc).
+    `img_size`: int (square) or (h, w) tuple (rect batches)."""
     decoded = [decode_head(p, h.anchors_px, img_size, h.num_classes,
                            h.scale_x_y, h.new_coords,
                            getattr(h, "v5", False))

@@ -604,3 +604,136 @@ def test_yolo_test_ensemble_int8_rejected(tmp_path):
         main(["--cfg", cfg, "--data", str(YOLO_DATA / "aider-min.data"),
               "--weights", "a.weights,b.weights", "--img-size", "192",
               "--quant", "int8"])
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (aspect-ratio-bucketed) eval batches — datasets.py:285-316
+
+
+def _rect_plan_oracle(wh, img_size, batch_size, stride, pad):
+    """Independent transcription of the reference's rect shape logic
+    (yolov3/utils/datasets.py:285-316; v5's `+ pad`, datasets.py:412-416),
+    kept deliberately close to the torch loop's spelling."""
+    s = np.asarray(wh, np.float64)
+    ar = s[:, 1] / s[:, 0]
+    irect = ar.argsort(kind="stable")
+    ar = ar[irect]
+    n = len(s)
+    bi = np.floor(np.arange(n) / batch_size).astype(int)
+    nb = bi[-1] + 1
+    shapes = [[1, 1]] * nb
+    for i in range(nb):
+        ari = ar[bi == i]
+        mini, maxi = ari.min(), ari.max()
+        if maxi < 1:
+            shapes[i] = [maxi, 1]
+        elif mini > 1:
+            shapes[i] = [1, 1 / mini]
+    batch_shapes = (np.ceil(
+        np.array(shapes) * img_size / stride + pad).astype(np.int64)
+        * stride)
+    return irect, batch_shapes
+
+
+def test_rect_batch_plan_matches_reference_oracle():
+    from rtdm_tpu.data.odder import rect_batch_plan
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 40))
+        bs = int(rng.integers(1, 9))
+        wh = rng.integers(100, 1400, size=(n, 2)).astype(np.float64)
+        stride = int(rng.choice([32, 64]))
+        pad = float(rng.choice([0.0, 0.5]))
+        img = int(rng.choice([320, 416, 512]))
+        order, shapes = rect_batch_plan(wh, img, bs, stride, pad)
+        o_order, o_shapes = _rect_plan_oracle(wh, img, bs, stride, pad)
+        np.testing.assert_array_equal(order, o_order)
+        np.testing.assert_array_equal(shapes, o_shapes)
+        # every bucket is a stride multiple no larger than the ceil'd max
+        assert (shapes % stride == 0).all()
+        assert (shapes <= np.ceil(img / stride + pad) * stride).all()
+
+
+@needs_reference
+def test_rect_dataset_buckets_and_labels():
+    bs = 4
+    ds = DetectionDataset(str(YOLO_DATA / "custom/test-min.txt"), 416,
+                          base_dir=str(YOLO_DATA.parent),
+                          rect=True, batch_size=bs)
+    loader = DetectionBatchLoader(ds, bs, num_workers=2)
+    seen = []
+    bucket_pixels = 0
+    for batch, valid in loader:
+        h, w = batch["image"].shape[1:3]
+        assert h % 32 == 0 and w % 32 == 0 and h <= 416 and w <= 416
+        bucket_pixels += valid * h * w
+        for i in range(valid):
+            seen.append(int(batch["index"][i]))
+            n = int(batch["num_labels"][i])
+            lab = batch["labels"][i][:n]
+            if n:  # boxes live inside THIS bucket's letterboxed frame
+                assert np.all(lab[:, 1] + lab[:, 3] / 2 <= w + 1.0)
+                assert np.all(lab[:, 2] + lab[:, 4] / 2 <= h + 1.0)
+    assert sorted(seen) == list(range(10))  # every image exactly once
+    # rect buckets must beat the square on padded pixels for this mixed-AR
+    # set (that is the entire point)
+    assert bucket_pixels < 10 * 416 * 416
+    # shuffle is incompatible (datasets.py:278)
+    with pytest.raises(ValueError, match="rect"):
+        list(DetectionBatchLoader(ds, bs, shuffle=True, num_workers=1))
+    with pytest.raises(ValueError, match="batch"):
+        list(DetectionBatchLoader(ds, 2, num_workers=1))
+
+
+@needs_reference
+def test_yolo_test_cli_rect(capsys):
+    """--rect end-to-end on the mini set: per-bucket compiled programs,
+    same metric surface as the square run."""
+    from rtdm_tpu.cli.yolo_test import main
+
+    cfg = str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg")
+    res = main(["--cfg", cfg, "--data", str(YOLO_DATA / "aider-min.data"),
+                "--img-size", "320", "--batch-size", "4",
+                "--quant", "fp32", "--conf-thres", "0.3", "--rect"])
+    out = capsys.readouterr().out
+    assert "rect buckets" in out and "images 10" in out
+    assert res["map50"] <= 1.0
+
+
+@needs_reference
+def test_yolo_detect_cli_rect_video(tmp_path):
+    """--rect on a constant-shape video source: ONE compiled rect program
+    (the minimal stride rectangle for 160x120 at size 192 is 160x192, not
+    the 192 square), detections mapped back to original pixels."""
+    import glob as g
+
+    import cv2
+    from PIL import Image
+
+    from rtdm_tpu.cli.yolo_detect import main
+    from rtdm_tpu.data.odder import minimal_rect_shape
+
+    assert minimal_rect_shape(120, 160, 192) == (160, 192)
+    assert minimal_rect_shape(720, 1280, 416) == (256, 416)
+    assert minimal_rect_shape(416, 416, 416) == (416, 416)
+
+    imgs = sorted(g.glob(str(YOLO_DATA / "custom/test/images/*.jpg")))[:3]
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 5, (160, 120))
+    for p in imgs:
+        frame = np.asarray(Image.open(p).convert("RGB").resize((160, 120)))
+        w.write(frame[:, :, ::-1])
+    w.release()
+
+    results = main([
+        "--cfg", str(YOLO_DATA.parent / "cfg/yolov3-tiny-aider-416.cfg"),
+        "--source", vid, "--img-size", "192", "--quant", "fp32",
+        "--rect", "--conf-thres", "0.05",
+        "--output", str(tmp_path / "out"), "--nosave",
+    ])
+    assert len(results) == 3
+    for _, det in results:  # boxes live in ORIGINAL (160x120) pixels
+        for x1, y1, x2, y2, conf, cls in det:
+            assert -1 <= x1 <= 161 and -1 <= y1 <= 121
+            assert x2 <= 161 and y2 <= 121

@@ -114,3 +114,36 @@ def test_decode_batch_failure_slots():
     assert list(ok) == [True, False, False]
     assert (batch[1] == 114).all() and (batch[2] == 114).all()
     assert (batch[0] != 114).any()
+
+
+@pytest.mark.parametrize("h,w,th,tw", [(372, 350, 416, 416),
+                                       (503, 710, 320, 416),
+                                       (751, 1052, 320, 416),
+                                       (670, 670, 416, 320)])
+def test_decode_letterbox_rect_geometry(rng, h, w, th, tw):
+    """Rect-target native decode: geometry matches letterbox_image on the
+    same (th, tw) bucket, and a square rect call is byte-identical to the
+    square entry point."""
+    arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr)
+    res = native_io.decode_jpeg_letterbox_rect(data, th, tw)
+    assert res is not None
+    out, gain, (pw, ph), (oh, ow) = res
+    assert (oh, ow) == (h, w)
+    assert out.shape == (th, tw, 3)
+    img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    want, g2, (pw2, ph2) = letterbox_image(img, (th, tw))
+    np.testing.assert_allclose(gain, g2, rtol=1e-5)
+    assert (pw, ph) == (pw2, ph2)
+    # the padding border is exactly PAD_COLOR
+    if ph > 0:
+        assert (out[: int(ph)] == 114).all()
+        assert (out[th - int(ph):] == 114).all()
+    if pw > 0:
+        assert (out[:, : int(pw)] == 114).all()
+        assert (out[:, tw - int(pw):] == 114).all()
+    # square-target rect call == the original square ABI, byte for byte
+    sq_rect = native_io.decode_jpeg_letterbox_rect(data, 256, 256)
+    sq = native_io.decode_jpeg_letterbox(data, 256)
+    np.testing.assert_array_equal(sq_rect[0], sq[0])
+    assert sq_rect[1:] == sq[1:]

@@ -61,6 +61,37 @@ def test_decode_scale_xy_and_new_coords(rng):
                                rtol=1e-5)
 
 
+def test_decode_rect_input_per_axis_strides(rng):
+    """Rect-batch decode: (h, w) target uses stride_x = w/nx and
+    stride_y = h/ny independently (yolo_layer.cu derives the scales from
+    input w/h separately), and the square spelling is unchanged."""
+    nc, na, ny, nx = 2, 2, 6, 8
+    h, w = 192, 256
+    anchors = np.array([[10, 14], [23, 27]], np.float32)
+    p = rng.normal(size=(1, ny, nx, na * (nc + 5))).astype(np.float32)
+    got = np.asarray(decode_head(jnp.asarray(p), anchors, (h, w), nc))
+    raw = p.reshape(1, ny, nx, na, nc + 5)
+    sig = 1.0 / (1.0 + np.exp(-raw))
+    gx, gy = np.meshgrid(np.arange(nx, dtype=np.float32),
+                         np.arange(ny, dtype=np.float32))
+    want_x = (sig[..., 0] + gx[None, :, :, None]) * (w / nx)
+    want_y = (sig[..., 1] + gy[None, :, :, None]) * (h / ny)
+    want_wh = np.exp(raw[..., 2:4]) * anchors[None, None, None]
+    got5 = got.reshape(1, na, ny, nx, nc + 5)
+    np.testing.assert_allclose(
+        got5[..., 0], np.transpose(want_x, (0, 3, 1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(
+        got5[..., 1], np.transpose(want_y, (0, 3, 1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(
+        got5[..., 2:4],
+        np.transpose(want_wh, (0, 3, 1, 2, 4)), rtol=1e-5)
+    # square target: tuple and int spellings are identical
+    ps = rng.normal(size=(1, 5, 5, na * (nc + 5))).astype(np.float32)
+    a = np.asarray(decode_head(jnp.asarray(ps), anchors, 160, nc))
+    b = np.asarray(decode_head(jnp.asarray(ps), anchors, (160, 160), nc))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_train_layout():
     p = np.arange(2 * 4 * 4 * 14, dtype=np.float32).reshape(2, 4, 4, 14)
     out = np.asarray(raw_to_train_layout(jnp.asarray(p), 2, 2))
