@@ -92,15 +92,20 @@ extern "C" {
 
 // Decode a JPEG from memory, resize+letterbox into out (out_h*out_w*3,
 // RGB) — rectangular targets supported (the rect-batch bucket shapes,
-// yolov3/utils/datasets.py:285-316). Returns 0 on success; fills gain
-// (resize factor) and pad_w/pad_h. letterbox=0 stretches to out_h x out_w
-// instead (no padding; gain/pads are per-axis meaningless and set to 0).
+// yolov3/utils/datasets.py:285-316). gain_cap > 0 bounds the resize
+// factor: buckets larger than the nominal image size (v5's +pad term,
+// stride rounding) render the surplus as BORDER, not extra resolution
+// (the reference's load_image-then-scaleup=False geometry,
+// datasets.py:430-431,548); pass 0 for the unconstrained fit. Returns 0
+// on success; fills gain (resize factor) and pad_w/pad_h. letterbox=0
+// stretches to out_h x out_w instead (no padding; gain/pads are per-axis
+// meaningless and set to 0; gain_cap ignored).
 int rtdm_decode_jpeg_letterbox_rect(const uint8_t* data, long len,
                                     int out_h, int out_w, int letterbox,
-                                    uint8_t pad_value, uint8_t* out,
-                                    float* gain, float* pad_w,
-                                    float* pad_h, int* orig_h,
-                                    int* orig_w) {
+                                    float gain_cap, uint8_t pad_value,
+                                    uint8_t* out, float* gain,
+                                    float* pad_w, float* pad_h,
+                                    int* orig_h, int* orig_w) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
   cinfo.err = jpeg_std_error(&err.pub);
@@ -138,8 +143,18 @@ int rtdm_decode_jpeg_letterbox_rect(const uint8_t* data, long len,
                                       : (h_cross >= w_cross);
   const int big = height_binds ? *orig_h : *orig_w;
   const int target = height_binds ? out_h : out_w;
+  const float g_fit = std::min(static_cast<float>(out_h) / *orig_h,
+                               static_cast<float>(out_w) / *orig_w);
+  const bool capped = letterbox && gain_cap > 0.f && gain_cap < g_fit;
   int num = 8;
-  while (num > 1 && (big * (num - 1)) / 8 >= target) --num;
+  if (capped) {
+    // coverage keyed on the capped gain (decode big*num/8 >= big*gain)
+    while (num > 1 && static_cast<float>(num - 1) / 8.0f >= gain_cap)
+      --num;
+  } else {
+    // exact integer formulation (bit-identical to the square-only path)
+    while (num > 1 && (big * (num - 1)) / 8 >= target) --num;
+  }
   cinfo.scale_num = num;
   cinfo.scale_denom = 8;
 
@@ -164,8 +179,7 @@ int rtdm_decode_jpeg_letterbox_rect(const uint8_t* data, long len,
     return 0;
   }
   // letterbox relative to the ORIGINAL image (odder.py semantics)
-  const float g = std::min(static_cast<float>(out_h) / *orig_h,
-                           static_cast<float>(out_w) / *orig_w);
+  const float g = capped ? gain_cap : g_fit;
   const int nw = std::max(static_cast<int>(*orig_w * g + 0.5f), 1);
   const int nh = std::max(static_cast<int>(*orig_h * g + 0.5f), 1);
   resized.resize(static_cast<size_t>(nh) * nw * 3);
@@ -190,7 +204,7 @@ int rtdm_decode_jpeg_letterbox(const uint8_t* data, long len, int size,
                                uint8_t* out, float* gain, float* pad_w,
                                float* pad_h, int* orig_h, int* orig_w) {
   return rtdm_decode_jpeg_letterbox_rect(data, len, size, size, letterbox,
-                                         pad_value, out, gain, pad_w,
+                                         0.f, pad_value, out, gain, pad_w,
                                          pad_h, orig_h, orig_w);
 }
 

@@ -184,6 +184,15 @@ def main(argv=None):
     args = p.parse_args(argv)
     from rtdm_tpu.utils.checks import check_img_size
     args.img_size = check_img_size(args.img_size)
+    # rect incompatibilities fail BEFORE any model load/compile (each TPU
+    # compile costs ~20-60s; rejecting afterwards would waste it)
+    if args.rect and args.augment:
+        raise SystemExit("--rect and --augment are mutually exclusive "
+                         "(the TTA pyramid is square)")
+    if args.rect and args.classify:
+        raise SystemExit("--rect and --classify are mutually exclusive "
+                         "(the second-stage crop program is compiled for "
+                         "the square frame)")
     if args.project is not None or args.name is not None:
         from rtdm_tpu.utils.paths import increment_path
         args.output = increment_path(
@@ -226,6 +235,11 @@ def main(argv=None):
                                  batch_size=1,
                                  precompiled_ok=not args.rect)
         args.img_size = detector.spec.img_size
+        if args.rect and detector.spec.tta:
+            # the engine itself may bake TTA (spec.json tta: true) even
+            # without --augment on this command line
+            raise SystemExit("--rect is incompatible with this engine: "
+                             "it was built with TTA (square pyramid)")
     elif args.cfg:
         model, variables = load_weights_for_cfg(args.cfg, args.weights,
                                                 args.img_size)
@@ -327,13 +341,6 @@ def main(argv=None):
     dt = 0.0
     t_steady = 0.0  # cumulative time excluding the first (compile) frame
     n_frames = 0
-    if args.rect and args.augment:
-        raise SystemExit("--rect and --augment are mutually exclusive "
-                         "(the TTA pyramid is square)")
-    if args.rect and second is not None:
-        raise SystemExit("--rect and --classify are mutually exclusive "
-                         "(the second-stage crop program is compiled for "
-                         "the square frame)")
     for path, img in frames():
         if args.rect:
             from rtdm_tpu.data.odder import minimal_rect_shape

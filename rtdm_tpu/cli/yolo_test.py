@@ -36,6 +36,9 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     from rtdm_tpu.export.detector import Detector, DetectorSpec
     from rtdm_tpu.ops.nms import scale_coords, xywh_to_xyxy
 
+    if rect and augment:
+        raise SystemExit("--rect and --augment are mutually exclusive "
+                         "(the TTA pyramid is square)")
     dcfg = load_data_spec(data)  # darknet .data OR yolov5 data yaml
     base = str(dcfg["base"])
     names = list(dcfg.get("names") or [])

@@ -84,7 +84,7 @@ def _load_locked():
     lib.rtdm_decode_jpeg_letterbox.restype = ctypes.c_int
     lib.rtdm_decode_jpeg_letterbox_rect.argtypes = [
         u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_uint8, u8p, f32p, f32p, f32p, i32p, i32p]
+        ctypes.c_float, ctypes.c_uint8, u8p, f32p, f32p, f32p, i32p, i32p]
     lib.rtdm_decode_jpeg_letterbox_rect.restype = ctypes.c_int
     lib.rtdm_letterbox_rgb.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
@@ -132,13 +132,16 @@ def decode_jpeg_letterbox(data: bytes, size: int, pad_value: int = 114
 
 
 def decode_jpeg_letterbox_rect(data: bytes, out_h: int, out_w: int,
-                               pad_value: int = 114
+                               pad_value: int = 114,
+                               gain_cap: float = 0.0
                                ) -> Optional[Tuple[np.ndarray, float,
                                                    Tuple[float, float],
                                                    Tuple[int, int]]]:
     """JPEG bytes -> (letterboxed (out_h,out_w,3) u8, gain, (pad_w, pad_h),
     (orig_h, orig_w)) for a RECT target (the rect-batch bucket shapes,
-    datasets.py:285-316); None when native IO or the decode is
+    datasets.py:285-316). `gain_cap` > 0 bounds the resize factor so
+    oversized buckets become border, not resolution (the reference's
+    scaleup=False geometry); None when native IO or the decode is
     unavailable."""
     lib = _load()
     if lib is None:
@@ -152,7 +155,7 @@ def decode_jpeg_letterbox_rect(data: bytes, out_h: int, out_w: int,
     buf = np.frombuffer(data, np.uint8)
     rc = lib.rtdm_decode_jpeg_letterbox_rect(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
-        out_h, out_w, 1, pad_value,
+        out_h, out_w, 1, float(gain_cap), pad_value,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph),
         ctypes.byref(oh), ctypes.byref(ow))

@@ -162,19 +162,25 @@ def label_path_for(image_path: str) -> str:
     return str(Path(p).with_suffix(".txt"))
 
 
-def letterbox_image(img: np.ndarray, size
+def letterbox_image(img: np.ndarray, size, gain_cap: Optional[float] = None
                     ) -> Tuple[np.ndarray, float, Tuple[float, float]]:
     """HWC uint8 -> (H,W,3) uint8, returns (out, gain, (pad_w, pad_h)).
 
     `size` is an int (square target) or an (h, w) tuple — the rect-batch
     target shape (datasets.py:430-431 letterbox(img, batch_shape,
-    auto=False))."""
+    auto=False)). `gain_cap` bounds the resize factor: rect buckets can
+    exceed the nominal image size (v5's +pad term, stride rounding), and
+    the reference renders that surplus as BORDER, not extra resolution
+    (load_image scales the long side to img_size, then letterbox runs
+    with scaleup=False — datasets.py:430-431,548)."""
     from PIL import Image
 
     th, tw = ((int(size), int(size)) if isinstance(size, (int, np.integer))
               else (int(size[0]), int(size[1])))
     h, w = img.shape[:2]
     gain = min(th / h, tw / w)
+    if gain_cap is not None:
+        gain = min(gain, gain_cap)
     nw, nh = int(round(w * gain)), int(round(h * gain))
     resized = np.asarray(
         Image.fromarray(img).resize((nw, nh), Image.BILINEAR), np.uint8)
@@ -256,6 +262,9 @@ class DetectionDataset:
         else:  # list-of-sources spelling needs an explicit base
             self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         self.image_paths = collect_image_paths(list_file, self.base_dir)
+        self._list_file = (list_file
+                           if isinstance(list_file, (str, os.PathLike))
+                           else None)
         self.img_size = int(img_size)
         self.max_labels = int(max_labels)
         self.stats = {"found": 0, "missing": 0, "empty": 0, "corrupt": 0,
@@ -282,24 +291,49 @@ class DetectionDataset:
 
     def _build_rect_plan(self, batch_size: int, stride: int,
                          pad: float) -> None:
-        from PIL import Image
-
-        wh = np.ones((len(self.image_paths), 2), np.float64)
-        for i, p in enumerate(self.image_paths):
-            try:  # header-only size read (the reference's .shapes cache)
-                with Image.open(p) as im:
-                    wh[i] = im.size
-            except Exception:
-                wh[i] = (self.img_size, self.img_size)
+        n_imgs = len(self.image_paths)
+        wh = self._read_image_shapes(n_imgs)
         order, bs_px = rect_batch_plan(wh, self.img_size, batch_size,
                                        stride, pad)
         n = len(order)
         self.rect_order = order
         self.rect_batch_size = batch_size
+        self.rect_wh = wh  # header (w, h) per image; drives the gain cap
         self.rect_shapes = [None] * n
         for pos, idx in enumerate(order):
             h, w = bs_px[pos // batch_size]
             self.rect_shapes[int(idx)] = (int(h), int(w))
+
+    def _read_image_shapes(self, n_imgs: int) -> np.ndarray:
+        """(w, h) per image from headers, cached next to the list file as
+        `<list>.shapes` (the reference's shapefile, datasets.py:287-295);
+        read-only dataset dirs silently skip the cache write."""
+        sp = None
+        lf = getattr(self, "_list_file", None)
+        if isinstance(lf, (str, os.PathLike)) and str(lf).endswith(".txt"):
+            sp = str(lf).replace(".txt", ".shapes")
+        if sp and os.path.exists(sp):
+            try:
+                cached = np.loadtxt(sp, ndmin=2, dtype=np.float64)
+                if len(cached) == n_imgs:
+                    return cached
+            except Exception:
+                pass  # stale/corrupt shapefile: recompute below
+        from PIL import Image
+
+        wh = np.ones((n_imgs, 2), np.float64)
+        for i, p in enumerate(self.image_paths):
+            try:  # header-only size read
+                with Image.open(p) as im:
+                    wh[i] = im.size
+            except Exception:
+                wh[i] = (self.img_size, self.img_size)
+        if sp:
+            try:
+                np.savetxt(sp, wh, fmt="%g")
+            except OSError:
+                pass  # read-only dataset dir (e.g. the bundled fixtures)
+        return wh
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -483,8 +517,14 @@ class DetectionDataset:
         if self.rect:
             # rect bucket target (datasets.py:430: shape =
             # batch_shapes[batch[index]]); same native DCT-prescale fast
-            # path as the square route, with PIL fallback
+            # path as the square route, with PIL fallback. The gain cap
+            # keeps the reference's geometry: load_image scales the long
+            # side to img_size, letterbox(scaleup=False) then only PADS to
+            # the bucket (datasets.py:430-431,548) — without the cap a
+            # pad-inflated bucket (v5's +0.5) would upscale instead.
             th, tw = self.rect_shapes[idx]
+            w_hdr, h_hdr = self.rect_wh[idx]
+            cap = self.img_size / max(h_hdr, w_hdr, 1.0)
             if (not self.cache_images
                     and path.lower().endswith((".jpg", ".jpeg"))):
                 try:
@@ -492,7 +532,8 @@ class DetectionDataset:
                         decode_jpeg_letterbox_rect)
                     with open(path, "rb") as f:
                         res = decode_jpeg_letterbox_rect(f.read(), th, tw,
-                                                         PAD_COLOR)
+                                                         PAD_COLOR,
+                                                         gain_cap=cap)
                     if res is not None:
                         out, gain, (pad_w, pad_h), (orig_h, orig_w) = res
                         return self._pack_eval(out, idx, orig_h, orig_w,
@@ -501,7 +542,9 @@ class DetectionDataset:
                     pass
             img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
-            out, gain, (pad_w, pad_h) = letterbox_image(img, (th, tw))
+            cap = self.img_size / max(orig_h, orig_w, 1)
+            out, gain, (pad_w, pad_h) = letterbox_image(img, (th, tw),
+                                                        gain_cap=cap)
             return self._pack_eval(out, idx, orig_h, orig_w, gain,
                                    pad_w, pad_h)
         out = None

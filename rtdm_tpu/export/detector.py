@@ -188,7 +188,7 @@ class Detector:
         self.loaded_from_exec = precompiled is not None
         self.mesh_built = mesh is not None  # topology-bound program
         if precompiled is not None:
-            self._fn = precompiled
+            self._fn_square = precompiled
             return
         quant = spec.quant  # normalized+validated in __post_init__
         dtype = jnp.bfloat16 if quant == "bf16" else jnp.float32
@@ -270,7 +270,19 @@ class Detector:
         self._make_fwd = make_fwd
         self._jit_kwargs = jit_kwargs
         self._shape_cache = {}
-        self._fn = self._compile_for(s, s)
+        # the square program compiles LAZILY on first use (the _fn
+        # property): a rect-only run (every bucket non-square, or a
+        # --rect stream) never pays the ~20-60s square compile
+        self._fn_square = None
+
+    @property
+    def _fn(self):
+        """Compiled square-shape program (the engine's canonical
+        executable — save_detector serializes it); built on demand."""
+        if self._fn_square is None:
+            s = self.spec.img_size
+            self._fn_square = self._compile_for(s, s)
+        return self._fn_square
 
     def _compile_for(self, h: int, w: int):
         import jax

@@ -737,3 +737,73 @@ def test_yolo_detect_cli_rect_video(tmp_path):
         for x1, y1, x2, y2, conf, cls in det:
             assert -1 <= x1 <= 161 and -1 <= y1 <= 121
             assert x2 <= 161 and y2 <= 121
+
+
+def test_rect_shapes_cache_roundtrip(tmp_path, rng):
+    """The rect plan persists header sizes as <list>.shapes (the
+    reference's shapefile, datasets.py:287-295) and reloads them; stale
+    row counts trigger recompute."""
+    from PIL import Image
+
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    sizes = [(100, 80), (60, 120), (90, 90)]
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        p = img_dir / f"im{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    lst = tmp_path / "val.txt"
+    lst.write_text("\n".join(paths) + "\n")
+
+    ds = DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                          rect=True, batch_size=2)
+    sp = tmp_path / "val.shapes"
+    assert sp.exists()
+    cached = np.loadtxt(str(sp), ndmin=2)
+    np.testing.assert_allclose(cached, [(80, 100), (120, 60), (90, 90)])
+    # reload uses the cache (poison it to prove the read path)
+    np.savetxt(str(sp), [(80, 100), (120, 60), (90, 91)], fmt="%g")
+    ds2 = DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                           rect=True, batch_size=2)
+    assert ds2.rect_wh[2][1] == 91
+    # wrong row count -> recomputed and rewritten
+    np.savetxt(str(sp), [(80, 100)], fmt="%g")
+    ds3 = DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                           rect=True, batch_size=2)
+    assert len(ds3.rect_wh) == 3 and ds3.rect_wh[2][1] == 90
+
+
+def test_rect_eval_gain_capped_to_nominal_size(tmp_path, rng):
+    """v5-style pad-inflated buckets keep gain = img_size/max(h,w): the
+    image is NOT upscaled into the surplus; labels land accordingly."""
+    from PIL import Image
+
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir(); lab_dir.mkdir()
+    p = img_dir / "im0.jpg"
+    Image.fromarray(
+        rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)).save(p)
+    # centered full-width box
+    (lab_dir / "im0.txt").write_text("0 0.5 0.5 1.0 1.0\n")
+    lst = tmp_path / "val.txt"
+    lst.write_text(str(p) + "\n")
+    ds = DetectionDataset(str(lst), 64, base_dir=str(tmp_path),
+                          num_classes=2, rect=True, batch_size=1,
+                          stride=32, rect_pad=0.5)  # bucket 96x96 > 64
+    assert ds.rect_shapes[0] == (96, 96)
+    s = ds.load(0)
+    assert s["image"].shape == (96, 96, 3)
+    lab = s["labels"][0]
+    # gain capped at 64/128=0.5 -> box w is 64 px, centered in 96
+    np.testing.assert_allclose(lab[3], 64.0, atol=0.6)
+    np.testing.assert_allclose(lab[1], 48.0, atol=0.6)
+    # the 16-px borders are pure padding
+    assert (s["image"][:16] == 114).all()
+    assert (s["image"][:, :16] == 114).all()

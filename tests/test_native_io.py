@@ -147,3 +147,30 @@ def test_decode_letterbox_rect_geometry(rng, h, w, th, tw):
     sq = native_io.decode_jpeg_letterbox(data, 256)
     np.testing.assert_array_equal(sq_rect[0], sq[0])
     assert sq_rect[1:] == sq[1:]
+
+
+def test_decode_letterbox_rect_gain_cap(rng):
+    """A pad-inflated bucket (v5's +0.5, datasets.py:412-416) must become
+    BORDER, not extra resolution: with the cap, gain stays
+    img_size/max(h,w) (the reference's load_image-then-scaleup=False
+    geometry) and the surplus is split as padding."""
+    arr = rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+    data = _jpeg_bytes(arr)
+    cap = 416 / 640  # nominal size 416, bucket 448x448
+    res = native_io.decode_jpeg_letterbox_rect(data, 448, 448,
+                                               gain_cap=cap)
+    out, gain, (pw, ph), (oh, ow) = res
+    np.testing.assert_allclose(gain, cap, rtol=1e-6)
+    assert (pw, ph) == (16.0, 16.0)  # (448 - 416) // 2 per side
+    assert (out[:16] == 114).all() and (out[:, :16] == 114).all()
+    # PIL path agrees on the geometry
+    img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    want, g2, (pw2, ph2) = letterbox_image(img, (448, 448), gain_cap=cap)
+    np.testing.assert_allclose(g2, cap, rtol=1e-6)
+    assert (pw2, ph2) == (16.0, 16.0)
+    # cap larger than the natural fit is a no-op
+    res2 = native_io.decode_jpeg_letterbox_rect(data, 448, 448,
+                                                gain_cap=10.0)
+    np.testing.assert_array_equal(res2[0],
+                                  native_io.decode_jpeg_letterbox_rect(
+                                      data, 448, 448)[0])
