@@ -87,6 +87,12 @@ def parse_args(argv=None):
     p.add_argument("--multi-scale", action="store_true",
                    help="resize batches to 67-150%% of --img-size on "
                         "device (one compiled step per size)")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular training (yolov3/train.py:176 / "
+                        "yolov5/train.py:189): AR-sorted stride-multiple "
+                        "batch buckets, mosaic disabled, fixed sample "
+                        "order; one compiled step per distinct bucket "
+                        "shape")
     p.add_argument("--prebias", type=int, default=0, metavar="E",
                    help="train only detection-head biases for the first E "
                         "epochs (yolov3/train.py:221-233 analogue)")
@@ -230,12 +236,25 @@ def train(args):
     # --single-cls trains a 1-class detector over all labels
     # (yolov5/train.py:77 `nc = 1 if opt.single_cls`)
     nc = 1 if args.single_cls else nc_data
+    if args.rect and args.image_weights:
+        # the reference silently disables rect under image-weight
+        # resampling (yolov5/utils/datasets.py:358 `rect = False if
+        # image_weights else rect`)
+        logger.warning("--image-weights disables --rect "
+                       "(yolov5/utils/datasets.py:358)")
+        args.rect = False
+    if args.rect and args.multi_scale:
+        raise SystemExit("--rect and --multi-scale are mutually exclusive: "
+                         "multi-scale resizes square batches on device; "
+                         "rect batches already vary their shape per bucket")
     train_ds = DetectionDataset(train_list, args.img_size,
                                 base_dir=base, train=not args.no_augment,
                                 aug_hyp=aug_hyp, seed=args.seed,
                                 num_classes=nc_data,
                                 single_cls=args.single_cls,
-                                cache_images=args.cache_images)
+                                cache_images=args.cache_images,
+                                rect=args.rect, batch_size=bs,
+                                rect_pad=0.0)
     if len(train_ds) < bs:
         logger.warning("train set (%d) smaller than batch (%d): indices "
                        "will cycle", len(train_ds), bs)
@@ -250,7 +269,10 @@ def train(args):
         cls_w = np.bincount(counts.astype(int), minlength=nc).astype(float)
         cls_w = (1.0 / np.maximum(cls_w, 1)) ** 0.5
         img_w = train_ds.image_weights(cls_w)
-    train_loader = DetectionBatchLoader(train_ds, bs, shuffle=True,
+    # shuffle=not rect (yolov3/train.py:185: rect fixes the AR-sorted
+    # order so every batch keeps its planned bucket shape)
+    train_loader = DetectionBatchLoader(train_ds, bs,
+                                        shuffle=not args.rect,
                                         drop_last=True,
                                         num_workers=args.num_workers,
                                         seed=args.seed,
@@ -455,12 +477,17 @@ def train(args):
 
     from rtdm_tpu.train.ema import ema_init, ema_update
 
-    def make_step(train_size: int, txx=None, update_bn: bool = True):
+    def make_step(train_size, txx=None, update_bn: bool = True):
         """Jitted train step at a fixed (possibly rescaled) image size.
 
         Multi-scale training = one compiled step per size: the loader
         always yields --img-size batches; sizes != base are resized on
         device with labels scaled to match (yolov3/train.py:269-275).
+
+        Rect training = `train_size` is an (h, w) bucket shape: the
+        loader already letterboxed the batch to it, so the step skips
+        the device resize and the loss sees img_size=max(h, w) (the
+        per-head stride is uniform, so the larger axis fixes it).
 
         update_bn=False freezes the BN running stats (the 200-batch BN
         burn-in, yolov3/train.py:250-255: track_running_stats off until
@@ -468,7 +495,11 @@ def train(args):
 
         The EMA update (ModelEMA, torch_utils.py:276-306) is folded INTO
         the jitted program when --ema is on — no per-step host dispatch."""
-        ratio = train_size / args.img_size
+        rect_shape = isinstance(train_size, tuple)
+        loss_size = max(train_size) if rect_shape else train_size
+        ratio = 1.0 if rect_shape else train_size / args.img_size
+        resize_to = None if (rect_shape or train_size == args.img_size) \
+            else train_size
         txx = txx if txx is not None else tx
 
         def loss_fn(params, batch_stats, images, labels, nlab, rng):
@@ -476,16 +507,16 @@ def train(args):
             raw, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=True, mutable=["batch_stats"], rngs={"dropout": rng})
-            loss, comps = loss_impl(raw, heads, labels, nlab, train_size,
+            loss, comps = loss_impl(raw, heads, labels, nlab, loss_size,
                                     hyp)
             return loss, (mutated["batch_stats"], comps)
 
         def step(params, batch_stats, opt_state, ema, images, labels, nlab,
                  rng, step_i):
-            if train_size != args.img_size:
+            if resize_to is not None:
                 images = jax.image.resize(
                     images.astype(jnp.float32),
-                    (images.shape[0], train_size, train_size,
+                    (images.shape[0], resize_to, resize_to,
                      images.shape[3]), method="bilinear")
                 labels = labels.at[..., 1:5].multiply(ratio)
             mb_i = images.reshape((accumulate, -1) + images.shape[1:])
@@ -524,7 +555,22 @@ def train(args):
                           repl),
             out_shardings=repl, donate_argnums=(0, 1, 2, 3))
 
-    steps_by_size = {args.img_size: make_step(args.img_size)}
+    def shape_dispatch(**mk_kwargs):
+        """Rect-mode step dispatcher: one compiled program per distinct
+        (h, w) bucket in the rect plan (a handful — ARs cluster),
+        compiled lazily on first touch and reused across epochs."""
+        cache = {}
+
+        def dispatch(*step_args):
+            key = tuple(int(x) for x in step_args[4].shape[1:3])
+            if key not in cache:
+                cache[key] = make_step(key, **mk_kwargs)
+            return cache[key](*step_args)
+        return dispatch
+
+    # rect runs never touch the square program — compile lazily
+    steps_by_size = ({} if args.rect
+                     else {args.img_size: make_step(args.img_size)})
 
     n_burn = (args.bn_burn_in if args.bn_burn_in is not None
               else (0 if is_v5 else 200))
@@ -542,9 +588,14 @@ def train(args):
             optax.clip_by_global_norm(10.0),
             optax.masked(optax.sgd(0.01, momentum=0.9), head_bias_mask),
             optax.masked(optax.set_to_zero(), inv_head_bias_mask))
-        prebias_step = make_step(args.img_size, txx=prebias_tx)
+        prebias_step = (shape_dispatch(txx=prebias_tx) if args.rect
+                        else make_step(args.img_size, txx=prebias_tx))
 
-    if args.multi_scale:
+    if args.rect:
+        train_step = shape_dispatch()
+        if n_burn > 0:
+            burn_step = shape_dispatch(update_bn=False)
+    elif args.multi_scale:
         # 67-150% of img-size in stride-32 steps (yolov3/train.py:269-275)
         gs = 32
         sizes = sorted({max(round(args.img_size * s / gs) * gs, gs)

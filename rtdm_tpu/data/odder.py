@@ -307,11 +307,19 @@ class DetectionDataset:
     def _read_image_shapes(self, n_imgs: int) -> np.ndarray:
         """(w, h) per image from headers, cached next to the list file as
         `<list>.shapes` (the reference's shapefile, datasets.py:287-295);
-        read-only dataset dirs silently skip the cache write."""
+        read-only dataset dirs silently skip the cache write, and dirs
+        under RTDM_PROTECTED_DATA_ROOT (default /root/reference — the
+        upstream tree we must never write into) are never written even
+        when the filesystem would allow it."""
         sp = None
+        writable = False
         lf = getattr(self, "_list_file", None)
         if isinstance(lf, (str, os.PathLike)) and str(lf).endswith(".txt"):
             sp = str(lf).replace(".txt", ".shapes")
+            protected = os.environ.get("RTDM_PROTECTED_DATA_ROOT",
+                                       "/root/reference")
+            writable = not (protected and os.path.abspath(sp).startswith(
+                os.path.abspath(protected) + os.sep))
         if sp and os.path.exists(sp):
             try:
                 cached = np.loadtxt(sp, ndmin=2, dtype=np.float64)
@@ -328,7 +336,7 @@ class DetectionDataset:
                     wh[i] = im.size
             except Exception:
                 wh[i] = (self.img_size, self.img_size)
-        if sp:
+        if sp and writable:
             try:
                 np.savetxt(sp, wh, fmt="%g")
             except OSError:
@@ -403,14 +411,20 @@ class DetectionDataset:
 
     def _load_train(self, idx: int,
                     rng: np.random.Generator) -> Dict[str, np.ndarray]:
-        """Mosaic + HSV + hflip training sample (datasets.py __getitem__
-        train path). Labels come back as cls + pixel cxcywh."""
+        """Mosaic + affine + HSV + hflip training sample (datasets.py
+        __getitem__ train path). Labels come back as cls + pixel cxcywh.
+
+        rect mode disables mosaic entirely (`self.mosaic = self.augment
+        and not self.rect`, yolov3/utils/datasets.py:283 /
+        yolov5:359) — every sample letterboxes to its AR bucket, then
+        takes the non-mosaic augments."""
         from rtdm_tpu.data.yolo_augment import (DEFAULT_AUG_HYP, augment_hsv,
                                                 cutout, load_mosaic,
-                                                load_mosaic9, mixup)
+                                                load_mosaic9, mixup,
+                                                random_affine)
 
         hyp = {**DEFAULT_AUG_HYP, **self.aug_hyp}
-        if rng.random() < hyp["mosaic"]:
+        if not self.rect and rng.random() < hyp["mosaic"]:
             if rng.random() < hyp.get("mosaic9", 0.0):
                 img, lab_xyxy = load_mosaic9(self, idx, rng, hyp)
             else:
@@ -430,6 +444,17 @@ class DetectionDataset:
             lab_xyxy[:, 2] = cxcywh[:, 2] - cxcywh[:, 4] / 2
             lab_xyxy[:, 3] = cxcywh[:, 1] + cxcywh[:, 3] / 2
             lab_xyxy[:, 4] = cxcywh[:, 2] + cxcywh[:, 4] / 2
+            # the reference warps the NON-mosaic train sample too
+            # (datasets.py:451-458: `if self.augment: if not self.mosaic:
+            # random_affine(...)`) — including the degenerate-box filter
+            # the warp applies even at identity hyps
+            img, new_boxes, new_cls = random_affine(
+                img, lab_xyxy[:, 1:5], lab_xyxy[:, 0],
+                hyp["degrees"], hyp["translate"], hyp["scale"],
+                hyp["shear"], rng)
+            lab_xyxy = (np.concatenate(
+                [new_cls[:, None], new_boxes], axis=1).astype(np.float32)
+                if len(new_boxes) else np.zeros((0, 5), np.float32))
         img = augment_hsv(img, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng)
         if rng.random() < hyp.get("cutout", 0.0):
             img, lab_xyxy = cutout(img, lab_xyxy, rng)
@@ -514,17 +539,25 @@ class DetectionDataset:
 
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]
+        # Resize-factor caps reproducing the reference's two-stage geometry
+        # (load_image then letterbox): TRAIN scales the long side to
+        # img_size in both directions (datasets.py:517 `r < 1 or
+        # (self.augment and r != 1)`, letterbox scaleup=self.augment
+        # :431); EVAL only ever scales DOWN — images smaller than
+        # img_size keep their native resolution and gain only border
+        # (r < 1 branch + scaleup=False), hence the extra min(cap, 1).
         if self.rect:
             # rect bucket target (datasets.py:430: shape =
             # batch_shapes[batch[index]]); same native DCT-prescale fast
             # path as the square route, with PIL fallback. The gain cap
-            # keeps the reference's geometry: load_image scales the long
-            # side to img_size, letterbox(scaleup=False) then only PADS to
-            # the bucket (datasets.py:430-431,548) — without the cap a
-            # pad-inflated bucket (v5's +0.5) would upscale instead.
+            # keeps the reference's geometry — without it a pad-inflated
+            # bucket (v5's +0.5, stride rounding) would upscale instead
+            # of rendering border.
             th, tw = self.rect_shapes[idx]
             w_hdr, h_hdr = self.rect_wh[idx]
             cap = self.img_size / max(h_hdr, w_hdr, 1.0)
+            if not self.train:
+                cap = min(cap, 1.0)
             if (not self.cache_images
                     and path.lower().endswith((".jpg", ".jpeg"))):
                 try:
@@ -543,6 +576,8 @@ class DetectionDataset:
             img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
             cap = self.img_size / max(orig_h, orig_w, 1)
+            if not self.train:
+                cap = min(cap, 1.0)
             out, gain, (pad_w, pad_h) = letterbox_image(img, (th, tw),
                                                         gain_cap=cap)
             return self._pack_eval(out, idx, orig_h, orig_w, gain,
@@ -551,12 +586,21 @@ class DetectionDataset:
         if (not self.cache_images  # cached raw beats re-decoding natively
                 and path.lower().endswith((".jpg", ".jpeg"))):
             # native fast path: libjpeg DCT-prescaled decode + letterbox
-            # (native/rtdm_io.cpp); graceful fallback to PIL below
+            # (native/rtdm_io.cpp); graceful fallback to PIL below.
+            # Eval caps the gain at 1 (never upscale — the square fit is
+            # exactly img_size/max(h,w), so cap=1 binds only for images
+            # smaller than img_size); train keeps the uncapped fit,
+            # bit-identical to the original square-only decode path.
             try:
-                from rtdm_tpu.data.native_io import decode_jpeg_letterbox
+                from rtdm_tpu.data.native_io import (
+                    decode_jpeg_letterbox, decode_jpeg_letterbox_rect)
                 with open(path, "rb") as f:
-                    res = decode_jpeg_letterbox(f.read(), self.img_size,
-                                                PAD_COLOR)
+                    data = f.read()
+                res = (decode_jpeg_letterbox(data, self.img_size, PAD_COLOR)
+                       if self.train else
+                       decode_jpeg_letterbox_rect(
+                           data, self.img_size, self.img_size, PAD_COLOR,
+                           gain_cap=1.0))
                 if res is not None:
                     out, gain, (pad_w, pad_h), (orig_h, orig_w) = res
             except Exception:
@@ -564,7 +608,9 @@ class DetectionDataset:
         if out is None:
             img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
-            out, gain, (pad_w, pad_h) = letterbox_image(img, self.img_size)
+            out, gain, (pad_w, pad_h) = letterbox_image(
+                img, self.img_size,
+                gain_cap=None if self.train else 1.0)
         return self._pack_eval(out, idx, orig_h, orig_w, gain, pad_w, pad_h)
 
     def _pack_eval(self, out: np.ndarray, idx: int, orig_h: int,
