@@ -159,6 +159,33 @@ def main() -> None:
     except Exception as e:
         print(f"bench: yolov5s pipeline bracket failed ({e!r})",
               file=_sys.stderr)
+    # Remaining BASELINE.md FPS rows, so every headline number the
+    # reference publishes has a measured counterpart in this JSON.
+    try:  # RedConv classifier (ref TRT fp16: 3196.18 FPS, Readme.md:46)
+        rc_fps = _redconv_fps()
+        if rc_fps:
+            record["redconv_bf16_fps"] = round(rc_fps, 1)
+            record["redconv_vs_baseline"] = round(rc_fps / 3196.18, 2)
+            # 38.89 M MACs/frame @140^2 (model_summary/squeeze_redconv.txt)
+            record["redconv_mfu"] = round(
+                rc_fps * 38.89e6 * 2 / peak_flops, 4)
+    except Exception as e:
+        print(f"bench: redconv bracket failed ({e!r})", file=_sys.stderr)
+    try:  # YOLOv3 full pipeline (ref: 31.62 FPS, yolov3/Readme.md:24)
+        v3_fps = _detector_fps(
+            cfg_name="yolov3-aider-416.cfg", batch=64, iters=10)
+        if v3_fps:
+            record["yolov3_pipeline_fps"] = round(v3_fps, 1)
+            record["yolov3_vs_baseline"] = round(v3_fps / 31.62, 2)
+    except Exception as e:
+        print(f"bench: yolov3 bracket failed ({e!r})", file=_sys.stderr)
+    try:  # tiny YOLOv3 pipeline (ref: 94 FPS, yolov3/Readme.md:25)
+        v3t_fps = _detector_fps(cfg_name="yolov3-tiny-aider-416.cfg")
+        if v3t_fps:
+            record["yolov3_tiny_pipeline_fps"] = round(v3t_fps, 1)
+            record["yolov3_tiny_vs_baseline"] = round(v3t_fps / 94.0, 2)
+    except Exception as e:
+        print(f"bench: yolov3-tiny bracket failed ({e!r})", file=_sys.stderr)
     try:  # fourth headline: the fused two-stage cascade (one program:
         # detector fwd+decode+NMS AND classifier resize+normalize+fwd per
         # frame — the deployment config the reference runs as two engines
@@ -252,8 +279,50 @@ def _cascade_fps(batch: int = 256, iters: int = 20) -> float:
     return batch * iters / (time.perf_counter() - t0)
 
 
-def _detector_fps(batch: int = 256, iters: int = 20) -> float:
-    """v4-tiny 416 bf16 forward+decode+NMS on device (ref: 79.2 FPS)."""
+def _redconv_fps(batch: int = 2048, iters: int = 50) -> float:
+    """Squeeze_RedConv bf16 normalize+forward (ref TRT fp16: 3196.18 FPS,
+    disaster_detection/model/Readme.md:46); same bracket as the ErNET
+    headline, reference weights when importable."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.core.precision import BF16_POLICY
+    from rtdm_tpu.data.aider import normalize_batch
+    from rtdm_tpu.models import create_model
+
+    model = create_model("squeeze-redconv")
+    size = model.image_size
+    try:
+        from rtdm_tpu.models.torch_import import load_classifier_checkpoint
+        variables = load_classifier_checkpoint(
+            "/root/reference/code/disaster_detection/weights/"
+            "squeeze-redconv-state_dict.pt")
+    except Exception:
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, size, size, 3), jnp.float32))
+    cast = {"params": BF16_POLICY.cast_to_compute(variables["params"]),
+            "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def forward(u8):
+        x = normalize_batch(u8).astype(BF16_POLICY.compute_dtype)
+        return model.apply(cast, x, train=False)
+
+    rng = np.random.default_rng(0)
+    dev = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
+    np.asarray(forward(dev))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(dev)
+    np.asarray(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _detector_fps(batch: int = 256, iters: int = 20,
+                  cfg_name: str = "yolov4-tiny-aider-416.cfg") -> float:
+    """Darknet-cfg 416 bf16 forward+decode+NMS on device (defaults to the
+    v4-tiny headline, ref: 79.2 FPS)."""
     import os
 
     import jax
@@ -264,7 +333,7 @@ def _detector_fps(batch: int = 256, iters: int = 20) -> float:
     from rtdm_tpu.ops.yolo import decode_all
 
     cfg = ("/root/reference/code/victim_localization/yolov3/cfg/"
-           "yolov4-tiny-aider-416.cfg")
+           + cfg_name)
     if not os.path.exists(cfg):
         return 0.0
     model, variables, heads = load_detection_model(cfg, None, 416)
