@@ -65,63 +65,13 @@ def main() -> None:
         raise SystemExit("bench: no JAX device became reachable within the "
                          "wait budget (TPU tunnel down) — refusing to "
                          "benchmark a fallback platform")
-    import jax
-    import jax.numpy as jnp
-
-    from rtdm_tpu.core.precision import BF16_POLICY
-    from rtdm_tpu.data.aider import normalize_batch
-    from rtdm_tpu.models import create_model
-
-    model = create_model("squeeze-ernet")
-    size = model.image_size
-    policy = BF16_POLICY
-
-    # Prefer the reference's shipped weights so the benchmarked program is
-    # the real deployed model; fall back to random init — and SAY which
-    # path ran (a benchmark must not silently change what it measures).
-    weights_src = ("/root/reference/code/disaster_detection/weights/"
-                   "squeeze-ernet-state_dict.pt")
-    try:
-        from rtdm_tpu.models.torch_import import load_classifier_checkpoint
-        variables = load_classifier_checkpoint(weights_src)
-        weights_used = "reference-checkpoint"
-    except Exception as e:
-        import sys
-        print(f"bench: reference weights unavailable ({e!r}); "
-              f"falling back to random init", file=sys.stderr)
-        variables = model.init(jax.random.key(0),
-                               jnp.zeros((1, size, size, 3), jnp.float32))
-        weights_used = "random-init"
-    cast = {"params": policy.cast_to_compute(variables["params"]),
-            "batch_stats": variables["batch_stats"]}
-
-    # weights close over the jit like an Engine (the reference benches the
-    # TRT ENGINE, not a weights-as-arguments module) — XLA constant-folds
-    # them; measured ~+1-2% over the weights-as-args formulation
-    @jax.jit
-    def forward(images_u8):
-        x = normalize_batch(images_u8).astype(policy.compute_dtype)
-        return model.apply(cast, x, train=False)
-
-    rng = np.random.default_rng(0)
-    best = {"fps": 0.0, "batch": 0, "ms": 0.0}
-    # two batch points bracket the plateau (2048..8192 all land ~95k FPS);
-    # the middle point only added ~500MB of H2D over the dev tunnel
-    for batch in (2048, 8192):
-        bufs = [jax.device_put(jnp.asarray(
-            rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
-            for _ in range(2)]
-        out = forward(bufs[0])
-        np.asarray(out)  # compile + full warm-up round trip
-        iters = 50
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = forward(bufs[i % 2])
-        np.asarray(out)  # force completion of the whole chain
-        dt = time.perf_counter() - t0
-        fps = batch * iters / dt
-        if fps > best["fps"]:
-            best = {"fps": fps, "batch": batch, "ms": dt / iters * 1e3}
+    best, weights_used = _classifier_bracket(
+        "squeeze-ernet",
+        "/root/reference/code/disaster_detection/weights/"
+        "squeeze-ernet-state_dict.pt",
+        # two batch points bracket the plateau (2048..8192 all land ~95k
+        # FPS); the middle point only added ~500MB H2D over the dev tunnel
+        batches=(2048, 8192))
     baseline = 3430.17  # TRT fp16 FPS on GTX 1660 Ti
     # MFU: 45.64 M MACs/frame @140^2 (model_summary/squeeze_ernet.txt) =
     # 91.28 MFLOPs, against the chip's bf16 peak.
@@ -279,10 +229,15 @@ def _cascade_fps(batch: int = 256, iters: int = 20) -> float:
     return batch * iters / (time.perf_counter() - t0)
 
 
-def _redconv_fps(batch: int = 2048, iters: int = 50) -> float:
-    """Squeeze_RedConv bf16 normalize+forward (ref TRT fp16: 3196.18 FPS,
-    disaster_detection/model/Readme.md:46); same bracket as the ErNET
-    headline, reference weights when importable."""
+def _classifier_bracket(model_name: str, weights_src: str,
+                        batches=(2048,), iters: int = 50):
+    """Shared classifier FPS bracket: reference weights when importable
+    (logging which path ran — a benchmark must not silently change what
+    it measures), weights closed over the jit like an Engine (the
+    reference benches the TRT ENGINE, not a weights-as-arguments module;
+    XLA constant-folds them, measured ~+1-2%), and double-buffered
+    device-resident inputs so buffer reuse never serializes dispatch.
+    Returns ({fps, batch, ms}, weights_used)."""
     import jax
     import jax.numpy as jnp
 
@@ -290,33 +245,55 @@ def _redconv_fps(batch: int = 2048, iters: int = 50) -> float:
     from rtdm_tpu.data.aider import normalize_batch
     from rtdm_tpu.models import create_model
 
-    model = create_model("squeeze-redconv")
+    model = create_model(model_name)
     size = model.image_size
     try:
         from rtdm_tpu.models.torch_import import load_classifier_checkpoint
-        variables = load_classifier_checkpoint(
-            "/root/reference/code/disaster_detection/weights/"
-            "squeeze-redconv-state_dict.pt")
-    except Exception:
+        variables = load_classifier_checkpoint(weights_src)
+        weights_used = "reference-checkpoint"
+    except Exception as e:
+        print(f"bench: reference weights unavailable for {model_name} "
+              f"({e!r}); falling back to random init", file=_sys.stderr)
         variables = model.init(jax.random.key(0),
                                jnp.zeros((1, size, size, 3), jnp.float32))
+        weights_used = "random-init"
     cast = {"params": BF16_POLICY.cast_to_compute(variables["params"]),
             "batch_stats": variables["batch_stats"]}
 
     @jax.jit
-    def forward(u8):
-        x = normalize_batch(u8).astype(BF16_POLICY.compute_dtype)
+    def forward(images_u8):
+        x = normalize_batch(images_u8).astype(BF16_POLICY.compute_dtype)
         return model.apply(cast, x, train=False)
 
     rng = np.random.default_rng(0)
-    dev = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
-    np.asarray(forward(dev))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(dev)
-    np.asarray(out)
-    return batch * iters / (time.perf_counter() - t0)
+    best = {"fps": 0.0, "batch": 0, "ms": 0.0}
+    for batch in batches:
+        bufs = [jax.device_put(jnp.asarray(
+            rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
+            for _ in range(2)]
+        out = forward(bufs[0])
+        np.asarray(out)  # compile + full warm-up round trip
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = forward(bufs[i % 2])
+        np.asarray(out)  # force completion of the whole chain
+        dt = time.perf_counter() - t0
+        fps = batch * iters / dt
+        if fps > best["fps"]:
+            best = {"fps": fps, "batch": batch, "ms": dt / iters * 1e3}
+    return best, weights_used
+
+
+def _redconv_fps(batch: int = 2048, iters: int = 50) -> float:
+    """Squeeze_RedConv bf16 normalize+forward (ref TRT fp16: 3196.18 FPS,
+    disaster_detection/model/Readme.md:46); the same double-buffered
+    bracket as the ErNET headline."""
+    best, _ = _classifier_bracket(
+        "squeeze-redconv",
+        "/root/reference/code/disaster_detection/weights/"
+        "squeeze-redconv-state_dict.pt",
+        batches=(batch,), iters=iters)
+    return best["fps"]
 
 
 def _detector_fps(batch: int = 256, iters: int = 20,

@@ -51,9 +51,10 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     # per-family metric conventions (AP sentinels + reported-P/R operating
     # point): yolov3 vs yolov5 diverge — see eval/map.py ap_per_class
     family = "v5" if cfg.endswith((".yaml", ".yml")) else "v3"
-    # --rect: aspect-ratio-bucketed batches (the reference's test-time
-    # default, yolov3/test.py rect=True / yolov5/test.py pad=0.5) — each
-    # bucket shape compiles once; less padded compute per batch
+    # --rect: aspect-ratio-bucketed batches (yolov5's test-time default,
+    # yolov5/test.py:91 rect=True pad=0.5; the reference's v3 eval is
+    # square-only, yolov3/test.py:59 rect=False — for v3 cfgs this is an
+    # opt-in efficiency mode) — each bucket shape compiles once
     ds = DetectionDataset(dcfg["valid"], img_size, base_dir=base,
                           num_classes=nc_data, single_cls=single_cls,
                           rect=rect, batch_size=batch_size,
@@ -159,10 +160,15 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
                       int(batch["orig_hw"][i][1]))
             if (save_txt_dir or save_json) and n:
                 # letterbox shape = the actual batch shape (the square, or
-                # this batch's rect bucket)
+                # this batch's rect bucket); gain/pad come from the
+                # dataset's applied letterbox (ratio_pad, test.py:137) —
+                # a recomputed fit is wrong whenever the no-upscale cap
+                # or a pad-inflated rect bucket bound the gain
                 lb_shape = (batch["image"].shape[1], batch["image"].shape[2])
+                g, pw, ph = (float(x) for x in batch["letterbox"][i])
                 predn = np.asarray(scale_coords(
-                    jnp.asarray(d[None]), lb_shape, (oh, ow)))[0]
+                    jnp.asarray(d[None]), lb_shape, (oh, ow),
+                    ratio_pad=(g, (pw, ph))))[0]
             else:
                 predn = d
             if save_txt_dir:
@@ -329,9 +335,10 @@ def main(argv=None):
     p.add_argument("--rect", action="store_true",
                    help="rectangular eval batches: images bucketed by "
                         "aspect ratio, each bucket letterboxed to its own "
-                        "stride-multiple shape and compiled once (the "
-                        "reference's test-time default, yolov3/test.py "
-                        "rect=True; yolov5 adds pad=0.5). Less padded "
+                        "stride-multiple shape and compiled once "
+                        "(yolov5/test.py:91 rect=True, pad=0.5; the "
+                        "reference's v3 eval is square-only, "
+                        "yolov3/test.py:59 rect=False). Less padded "
                         "compute; default off to keep square-eval goldens")
     p.add_argument("--augment", action="store_true",
                    help="augmented (TTA) inference — multi-scale + flip "

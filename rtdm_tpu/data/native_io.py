@@ -108,27 +108,13 @@ def decode_jpeg_letterbox(data: bytes, size: int, pad_value: int = 114
                                               Tuple[float, float],
                                               Tuple[int, int]]]:
     """JPEG bytes -> (letterboxed (size,size,3) u8, gain, (pad_w, pad_h),
-    (orig_h, orig_w)); None when native IO or the decode is unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
-    out = np.empty((size, size, 3), np.uint8)
-    gain = ctypes.c_float()
-    pw = ctypes.c_float()
-    ph = ctypes.c_float()
-    oh = ctypes.c_int()
-    ow = ctypes.c_int()
-    buf = np.frombuffer(data, np.uint8)
-    rc = lib.rtdm_decode_jpeg_letterbox(
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
-        size, 1, pad_value,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.byref(gain), ctypes.byref(pw), ctypes.byref(ph),
-        ctypes.byref(oh), ctypes.byref(ow))
-    if rc != 0:
-        return None
-    return out, float(gain.value), (float(pw.value), float(ph.value)), \
-        (int(oh.value), int(ow.value))
+    (orig_h, orig_w)); None when native IO or the decode is unavailable.
+
+    The square decode IS the uncapped rect decode with th == tw (the C
+    side routes the square ABI the same way, rtdm_io.cpp:210-217) — one
+    marshaling path, no drift."""
+    return decode_jpeg_letterbox_rect(data, size, size, pad_value,
+                                      gain_cap=0.0)
 
 
 def decode_jpeg_letterbox_rect(data: bytes, out_h: int, out_w: int,

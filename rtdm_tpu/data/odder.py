@@ -196,11 +196,19 @@ def minimal_rect_shape(h: int, w: int, img_size: int, stride: int = 32
     reference's letterbox auto=True mode (datasets.py:599-630: long side
     scaled to img_size, short-side pad reduced modulo stride). Feeding
     `letterbox_image` this target reproduces that geometry exactly (the
-    long axis binds the gain; the short axis only gains pad)."""
-    gain = img_size / max(h, w)
-    th = int(np.ceil(h * gain / stride) * stride)
-    tw = int(np.ceil(w * gain / stride) * stride)
-    return th, tw
+    long axis binds the gain; the short axis only gains pad).
+
+    Integer arithmetic throughout: ceil(dim * gain) computed as exact
+    integer ceil-div of dim*img_size by max(h, w). Float rounding here
+    (e.g. 1050x525 @ 320) could land epsilon above img_size and bump the
+    long-side target a whole stride, silently upscaling past the nominal
+    network scale on every frame of that shape."""
+    m = max(int(h), int(w), 1)
+    th_px = -(-int(h) * int(img_size) // m)
+    tw_px = -(-int(w) * int(img_size) // m)
+    th = -(-th_px // stride) * stride
+    tw = -(-tw_px // stride) * stride
+    return int(th), int(tw)
 
 
 def rect_batch_plan(wh: np.ndarray, img_size: int, batch_size: int,
@@ -478,6 +486,8 @@ class DetectionDataset:
         return {"image": np.ascontiguousarray(img), "labels": labels,
                 "num_labels": np.int32(n),
                 "orig_hw": np.array(img.shape[:2], np.int32),
+                # train labels live in augmented-image space already
+                "letterbox": np.array([1.0, 0.0, 0.0], np.float32),
                 "index": np.int32(idx)}
 
     def load_raw(self, idx: int) -> np.ndarray:
@@ -627,9 +637,15 @@ class DetectionDataset:
             lab[:, 3] = lab[:, 3] * orig_w * gain
             lab[:, 4] = lab[:, 4] * orig_h * gain
             labels[:n] = lab
+        # the letterbox actually applied, for exact back-mapping of saved
+        # detections (the reference threads shapes/ratio_pad from the
+        # dataset to scale_coords for the same reason, yolov5/test.py:137,
+        # datasets.py:441-443) — a recomputed gain diverges whenever the
+        # gain cap binds (no-upscale eval, pad-inflated rect buckets)
         return {"image": out, "labels": labels,
                 "num_labels": np.int32(n),
                 "orig_hw": np.array([orig_h, orig_w], np.int32),
+                "letterbox": np.array([gain, pad_w, pad_h], np.float32),
                 "index": np.int32(idx)}
 
 

@@ -260,14 +260,25 @@ def batched_nms(pred: jax.Array,
 
 def scale_coords(det: jax.Array, model_hw: Tuple[int, int],
                  orig_hw: Tuple[int, int],
-                 letterboxed: bool = True) -> jax.Array:
+                 letterboxed: bool = True,
+                 ratio_pad=None) -> jax.Array:
     """Map x1,y1,x2,y2 from model-input space back to the original frame
-    (yolov3/utils/utils.py scale_coords semantics)."""
+    (yolov3/utils/utils.py scale_coords semantics).
+
+    `ratio_pad=(gain, (pad_w, pad_h))` overrides the recomputed fit with
+    the letterbox that was ACTUALLY applied (the reference's ratio_pad
+    arg, yolov5/utils/general.py:391-404 via test.py:137) — required
+    whenever a gain cap bound (no-upscale eval, pad-inflated rect
+    buckets), where min(mh/oh, mw/ow) is not the applied gain."""
     mh, mw = model_hw
     oh, ow = orig_hw
     if letterboxed:
-        gain = min(mh / oh, mw / ow)
-        pad_w, pad_h = (mw - ow * gain) / 2.0, (mh - oh * gain) / 2.0
+        if ratio_pad is not None:
+            gain = float(ratio_pad[0])
+            pad_w, pad_h = float(ratio_pad[1][0]), float(ratio_pad[1][1])
+        else:
+            gain = min(mh / oh, mw / ow)
+            pad_w, pad_h = (mw - ow * gain) / 2.0, (mh - oh * gain) / 2.0
         boxes = det[..., :4]
         boxes = (boxes - jnp.array([pad_w, pad_h, pad_w, pad_h])) / gain
     else:

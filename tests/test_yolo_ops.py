@@ -184,3 +184,45 @@ def test_scale_coords_letterbox():
     np.testing.assert_allclose(out[0, 0, :4],
                                [16 / 0.65, 48 / 0.65, 116 / 0.65, 148 / 0.65],
                                rtol=1e-5)
+
+
+def test_scale_coords_ratio_pad_roundtrip():
+    """When the applied letterbox gain was capped (no-upscale eval), a
+    recomputed fit is wrong; ratio_pad (general.py:391-404 semantics)
+    must recover original coordinates exactly."""
+    from rtdm_tpu.data.odder import letterbox_image
+    oh, ow = 200, 300  # smaller than the 416 square: cap=1 binds
+    img = np.zeros((oh, ow, 3), np.uint8)
+    _, gain, (pad_w, pad_h) = letterbox_image(img, 416, gain_cap=1.0)
+    assert gain == 1.0 and (pad_w, pad_h) == (58.0, 108.0)
+    # a GT box at original pixels (50, 40, 250, 160), letterboxed forward
+    fwd = np.array([50 * gain + pad_w, 40 * gain + pad_h,
+                    250 * gain + pad_w, 160 * gain + pad_h])
+    det = jnp.asarray(np.array([[[*fwd, 0.9, 0.]]], np.float32))
+    # without ratio_pad the recomputed gain (416/300) mis-scales...
+    wrong = np.asarray(scale_coords(det, (416, 416), (oh, ow)))[0, 0, :4]
+    assert abs(wrong[0] - 50) > 5
+    # ...with ratio_pad the round-trip is exact
+    out = np.asarray(scale_coords(det, (416, 416), (oh, ow),
+                                  ratio_pad=(gain, (pad_w, pad_h))))
+    np.testing.assert_allclose(out[0, 0, :4], [50, 40, 250, 160],
+                               rtol=1e-5)
+
+
+def test_minimal_rect_shape_long_axis_never_overshoots():
+    """Integer-exact minimal_rect_shape: the long-side target equals
+    img_size for every frame size when img_size is a stride multiple
+    (float rounding used to bump e.g. 1050x525@320 to a 352 long side)."""
+    from rtdm_tpu.data.odder import minimal_rect_shape
+    assert minimal_rect_shape(525, 1050, 320) == (160, 320)
+    rng = np.random.default_rng(0)
+    for _ in range(500):
+        h = int(rng.integers(16, 4000))
+        w = int(rng.integers(16, 4000))
+        s = int(rng.integers(5, 40)) * 32
+        th, tw = minimal_rect_shape(h, w, s)
+        assert max(th, tw) == s, (h, w, s, th, tw)
+        assert th % 32 == 0 and tw % 32 == 0
+        # targets still fit the aspect-preserved resize
+        g = s / max(h, w)
+        assert th >= int(np.floor(h * g)) and tw >= int(np.floor(w * g))
