@@ -55,10 +55,14 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
     # yolov5/test.py:91 rect=True pad=0.5; the reference's v3 eval is
     # square-only, yolov3/test.py:59 rect=False — for v3 cfgs this is an
     # opt-in efficiency mode) — each bucket shape compiles once
+    # eval_scaleup: v5's load_image upscales images smaller than img_size
+    # at eval (yolov5/utils/datasets.py:645); v3 only ever scales down
+    # (yolov3/utils/datasets.py:517) — gated here alongside rect_pad.
     ds = DetectionDataset(dcfg["valid"], img_size, base_dir=base,
                           num_classes=nc_data, single_cls=single_cls,
                           rect=rect, batch_size=batch_size,
-                          rect_pad=(0.5 if family == "v5" else 0.0))
+                          rect_pad=(0.5 if family == "v5" else 0.0),
+                          eval_scaleup=(family == "v5"))
     if rect and ds.rect_shapes:
         shapes = sorted(set(ds.rect_shapes))
         print(f"rect buckets ({len(shapes)} compiled shapes): "
@@ -95,7 +99,12 @@ def evaluate(cfg: str, data: str, weights: str, img_size: int = 416,
             from rtdm_tpu.data.odder import letterbox_image
             # calibration always letterboxes square (rect buckets have
             # mixed shapes; activation ranges don't care about padding)
-            calib = np.stack([letterbox_image(ds.load_raw(i), img_size)[0]
+            # but applies the SAME family-gated gain cap as the eval path
+            # so the calibration distribution matches the input
+            # distribution it represents (v3: no upscale; v5: uncapped)
+            calib_cap = None if family == "v5" else 1.0
+            calib = np.stack([letterbox_image(ds.load_raw(i), img_size,
+                                              gain_cap=calib_cap)[0]
                               for i in range(n_cal)])
             act_scales = calibrate_detector(model, variables, calib)
             print(f"int8: {len(act_scales)} activation scales calibrated "

@@ -252,11 +252,19 @@ class DetectionDataset:
                  seed: int = 0, num_classes: Optional[int] = None,
                  single_cls: bool = False, cache_images: bool = False,
                  rect: bool = False, batch_size: int = 8,
-                 stride: int = 32, rect_pad: float = 0.0):
+                 stride: int = 32, rect_pad: float = 0.0,
+                 eval_scaleup: bool = False):
         self.num_classes = num_classes
         self.single_cls = single_cls
         self.cache_images = cache_images
         self.train = train
+        # Family-gated eval geometry: the v3 reference only ever scales
+        # DOWN at eval (datasets.py:517 `r < 1 or (self.augment and
+        # r != 1)` + letterbox scaleup=False), but v5's load_image resizes
+        # whenever r != 1 (yolov5/utils/datasets.py:645) — v5 DOES upscale
+        # images smaller than img_size at eval. eval_scaleup=True keeps
+        # the uncapped img_size/max(h,w) fit at eval (v5 families).
+        self.eval_scaleup = bool(eval_scaleup)
         self.aug_hyp = aug_hyp or {}
         self._rng = np.random.default_rng(seed)
         if isinstance(list_file, (str, os.PathLike)):
@@ -553,9 +561,11 @@ class DetectionDataset:
         # (load_image then letterbox): TRAIN scales the long side to
         # img_size in both directions (datasets.py:517 `r < 1 or
         # (self.augment and r != 1)`, letterbox scaleup=self.augment
-        # :431); EVAL only ever scales DOWN — images smaller than
+        # :431); v3 EVAL only ever scales DOWN — images smaller than
         # img_size keep their native resolution and gain only border
         # (r < 1 branch + scaleup=False), hence the extra min(cap, 1).
+        # v5 eval (eval_scaleup=True) keeps the uncapped fit — see
+        # __init__ for the yolov5/utils/datasets.py:645 citation.
         if self.rect:
             # rect bucket target (datasets.py:430: shape =
             # batch_shapes[batch[index]]); same native DCT-prescale fast
@@ -566,7 +576,7 @@ class DetectionDataset:
             th, tw = self.rect_shapes[idx]
             w_hdr, h_hdr = self.rect_wh[idx]
             cap = self.img_size / max(h_hdr, w_hdr, 1.0)
-            if not self.train:
+            if not self.train and not self.eval_scaleup:
                 cap = min(cap, 1.0)
             if (not self.cache_images
                     and path.lower().endswith((".jpg", ".jpeg"))):
@@ -586,7 +596,7 @@ class DetectionDataset:
             img = self.load_raw(idx)
             orig_h, orig_w = img.shape[:2]
             cap = self.img_size / max(orig_h, orig_w, 1)
-            if not self.train:
+            if not self.train and not self.eval_scaleup:
                 cap = min(cap, 1.0)
             out, gain, (pad_w, pad_h) = letterbox_image(img, (th, tw),
                                                         gain_cap=cap)
@@ -597,17 +607,19 @@ class DetectionDataset:
                 and path.lower().endswith((".jpg", ".jpeg"))):
             # native fast path: libjpeg DCT-prescaled decode + letterbox
             # (native/rtdm_io.cpp); graceful fallback to PIL below.
-            # Eval caps the gain at 1 (never upscale — the square fit is
-            # exactly img_size/max(h,w), so cap=1 binds only for images
-            # smaller than img_size); train keeps the uncapped fit,
-            # bit-identical to the original square-only decode path.
+            # v3 eval caps the gain at 1 (never upscale — the square fit
+            # is exactly img_size/max(h,w), so cap=1 binds only for images
+            # smaller than img_size); train AND v5 eval (eval_scaleup)
+            # keep the uncapped fit, bit-identical to the original
+            # square-only decode path.
+            uncapped = self.train or self.eval_scaleup
             try:
                 from rtdm_tpu.data.native_io import (
                     decode_jpeg_letterbox, decode_jpeg_letterbox_rect)
                 with open(path, "rb") as f:
                     data = f.read()
                 res = (decode_jpeg_letterbox(data, self.img_size, PAD_COLOR)
-                       if self.train else
+                       if uncapped else
                        decode_jpeg_letterbox_rect(
                            data, self.img_size, self.img_size, PAD_COLOR,
                            gain_cap=1.0))
@@ -620,7 +632,8 @@ class DetectionDataset:
             orig_h, orig_w = img.shape[:2]
             out, gain, (pad_w, pad_h) = letterbox_image(
                 img, self.img_size,
-                gain_cap=None if self.train else 1.0)
+                gain_cap=None if (self.train or self.eval_scaleup)
+                else 1.0)
         return self._pack_eval(out, idx, orig_h, orig_w, gain, pad_w, pad_h)
 
     def _pack_eval(self, out: np.ndarray, idx: int, orig_h: int,
