@@ -230,7 +230,8 @@ def train(args):
             hyp_file = _yaml.safe_load(f) or {}
 
     aug_keys = ("hsv_h", "hsv_s", "hsv_v", "degrees", "translate",
-                "scale", "shear", "fliplr", "mosaic")
+                "scale", "shear", "fliplr", "mosaic", "mosaic9", "mixup",
+                "cutout")
     aug_hyp = {k: hyp_file[k] for k in aug_keys if k in hyp_file}
     nc_data = int(dcfg.get("classes", 2))  # type: ignore[arg-type]
     # --single-cls trains a 1-class detector over all labels
@@ -321,6 +322,10 @@ def train(args):
     else:
         hyp = YoloHyp(giou=args.giou_gain, cls=args.cls_gain,
                       obj=args.obj_gain, iou_t=args.iou_t,
+                      # BCE positive weights ride the hyp yaml (the v3
+                      # genome evolves them, yolov3/train.py:29/:31)
+                      cls_pw=float(hyp_file.get("cls_pw", 1.0)),
+                      obj_pw=float(hyp_file.get("obj_pw", 1.0)),
                       fl_gamma=args.fl_gamma if args.fl_gamma is not None
                       else 1.5)
         loss_impl = yolo_loss
@@ -674,6 +679,8 @@ def train(args):
                     start_epoch, it, best_fitness)
 
     aborted = False
+    # survive epochs == start_epoch / non-eval final epochs
+    res, last_res, ep_loss = None, None, np.zeros(3)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         ep_loss = np.zeros(3)
@@ -773,6 +780,8 @@ def train(args):
                                    var_now)
             best_fitness = max(best_fitness, fitness)
         logger.info(line)
+        if res is not None:
+            last_res = res  # most recent eval survives non-eval epochs
         scalars = {"box": float(ep_loss[0]), "obj": float(ep_loss[1]),
                    "cls": float(ep_loss[2])}
         if res is not None:
@@ -823,111 +832,142 @@ def train(args):
         plot_detector_results(results_path,
                               os.path.join(args.output, "results.png"))
     return {"params": params, "batch_stats": batch_stats,
-            "history": history, "best_fitness": best_fitness}
+            "history": history, "best_fitness": best_fitness,
+            # final-epoch eval metrics + train losses: the evolve flow
+            # writes these as its evolve.txt result columns
+            # (print_mutation's `results`, yolov5/utils/general.py:607)
+            "last_eval": last_res,
+            "last_loss": [float(v) for v in ep_loss[:3]]}
 
 
-# Evolvable keys + (mutation sigma, min, max) — mirrors the reference's
-# evolved set (train.py:481: lr0, iou_t, momentum, weight_decay, hsv_s,
-# hsv_v, translate, scale, fl_gamma) plus the loss gains.
-EVOLVE_META = {
-    "lr0": (0.3, 1e-5, 0.1),
-    "iou_t": (0.2, 0.05, 0.7),
-    "momentum": (0.1, 0.3, 0.98),
-    "weight_decay": (0.3, 0.0, 0.01),
-    "giou_gain": (0.3, 0.1, 10.0),
-    "cls_gain": (0.3, 1.0, 100.0),
-    "obj_gain": (0.3, 1.0, 150.0),
-    "fl_gamma": (0.3, 0.0, 3.0),
+# Gene -> argparse-flag routing: these genes are trainer FLAGS; every
+# other gene rides the per-generation hyp yaml (--hyp), which is how the
+# reference's yaml-driven genes reach train() too (yolov5/train.py:543).
+V3_GENE_FLAGS = {"giou": "giou_gain", "cls": "cls_gain", "obj": "obj_gain",
+                 "iou_t": "iou_t", "lr0": "lr0", "lrf": "lrf",
+                 "momentum": "momentum", "weight_decay": "weight_decay",
+                 "fl_gamma": "fl_gamma"}
+V5_GENE_FLAGS = {"lr0": "lr0", "momentum": "momentum",
+                 "weight_decay": "weight_decay"}
+
+# Seed values for genes not supplied via --hyp or flags:
+# v3 = yolov3/train.py:27-44 hyp dict; v5 = data/hyp.scratch.yaml.
+V3_GENE_DEFAULTS = {
+    "giou": 1.0, "cls": 37.4, "cls_pw": 1.0, "obj": 64.3, "obj_pw": 1.0,
+    "iou_t": 0.3, "lr0": 0.001, "lrf": -4.0, "momentum": 0.637,
+    "weight_decay": 0.000084, "fl_gamma": 1.5, "hsv_h": 0.0138,
+    "hsv_s": 0.678, "hsv_v": 0.36, "degrees": 0.0, "translate": 0.0,
+    "scale": 0.0, "shear": 0.0,
 }
-
-# v5 genome (yolov5/train.py's evolve `meta` dict, hyp.scratch keys):
-# the loss gains live in the hyp YAML for yaml models, not argparse —
-# mutated values are written to a per-generation hyp file
-V5_EVOLVE_META = {
-    "lr0": (0.3, 1e-5, 0.1),
-    "momentum": (0.1, 0.3, 0.98),
-    "weight_decay": (0.3, 0.0, 0.01),
-    "box": (0.3, 0.02, 0.2),
-    "cls": (0.3, 0.2, 4.0),
-    "obj": (0.3, 0.2, 4.0),
-    "anchor_t": (0.3, 2.0, 8.0),
-    "fl_gamma": (0.3, 0.0, 3.0),
+V5_GENE_DEFAULTS = {
+    "lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "weight_decay": 0.0005,
+    "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+    "box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+    "iou_t": 0.2, "anchor_t": 4.0, "fl_gamma": 0.0, "hsv_h": 0.015,
+    "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0, "translate": 0.1,
+    "scale": 0.5, "shear": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.0,
 }
-V5_HYP_DEFAULTS = {"box": 0.05, "cls": 0.5, "obj": 1.0, "anchor_t": 4.0}
 
 
 def evolve(args):
-    """Genetic search: mutate hyp, short train, keep the fittest.
+    """Reference-faithful hyperparameter evolution.
 
-    Results appended to <output>/evolve.txt as (fitness, hyp...) rows,
-    like the reference's print_mutation/evolve.txt flow."""
+    Drives train/evolve.py's kernel: weighted top-n parent selection +
+    per-gene (gain, lo, hi) method-3 mutation (yolov3/train.py:444-491,
+    yolov5/train.py:583-612), with evolve.txt kept unique+sorted by
+    fitness and the best row saved as hyp_evolved.yaml
+    (yolov5/utils/general.py:603-627 print_mutation). Generation 0
+    evaluates the seed hyp (evolve.txt doesn't exist yet -> no mutation,
+    matching the reference's `if Path('evolve.txt').exists()` guard).
+    Deviation: the three loss columns in evolve.txt are final-epoch TRAIN
+    losses (this trainer doesn't compute val losses); fitness only reads
+    the first 4 metric columns, so selection is unaffected.
+    """
     import numpy as np
+
+    from rtdm_tpu.train.evolve import (EvolveLog, FITNESS_W_V3,
+                                       FITNESS_W_V5, V3_EVOLVE_META,
+                                       V5_EVOLVE_META)
+    from rtdm_tpu.train.evolve import fitness as fitness_of
+    from rtdm_tpu.train.evolve import mutate, select_parent
 
     rng = np.random.default_rng(args.seed)
     is_v5 = args.cfg.endswith((".yaml", ".yml"))
-    meta = V5_EVOLVE_META if is_v5 else EVOLVE_META
+    meta = V5_EVOLVE_META if is_v5 else V3_EVOLVE_META
+    w_fit = FITNESS_W_V5 if is_v5 else FITNESS_W_V3
+    # mutation probability: yolov5/train.py:599 mp=0.8; yolov3:464 mp=0.9
+    mut_p = 0.8 if is_v5 else 0.9
+    flags = V5_GENE_FLAGS if is_v5 else V3_GENE_FLAGS
+    defaults = V5_GENE_DEFAULTS if is_v5 else V3_GENE_DEFAULTS
     hyp_file = {}
     if args.hyp:
         import yaml as _yaml
         with open(args.hyp) as f:
             hyp_file = _yaml.safe_load(f) or {}
 
-    def base_of(k):
-        # hyp-YAML genes (v5 loss gains) seed from the file; argparse
-        # genes from the flags (fl_gamma None -> family default)
-        if k in V5_HYP_DEFAULTS:
-            return float(hyp_file.get(k, V5_HYP_DEFAULTS[k]))
-        v = getattr(args, k)
-        if v is None:
-            return float(hyp_file.get("fl_gamma", 0.0) if is_v5
-                         else {"fl_gamma": 1.5}.get(k, 0.0))
-        return v
+    def seed_of(k):
+        if k in hyp_file:
+            return float(hyp_file[k])
+        if k in flags and getattr(args, flags[k]) is not None:
+            return float(getattr(args, flags[k]))
+        return float(defaults[k])
 
-    base = {k: base_of(k) for k in meta}
-    best_hyp, best_fit = dict(base), -1.0
+    base = {k: seed_of(k) for k in meta}
     os.makedirs(args.output, exist_ok=True)
-    log_path = os.path.join(args.output, "evolve.txt")
-    cycles = args.evolve
-    for g in range(cycles):
-        hyp = dict(best_hyp)
-        if g > 0:  # first cycle evaluates the parent
-            for k, (sigma, lo, hi) in meta.items():
-                if rng.random() < 0.8:
-                    hyp[k] = float(np.clip(
-                        hyp[k] * (1 + rng.normal(0, sigma)), lo, hi))
+    log = EvolveLog(os.path.join(args.output, "evolve.txt"), meta, w_fit)
+    for g in range(args.evolve):
+        rows = log.load()
+        if rows is None:
+            hyp = dict(base)
+        else:
+            parent = select_parent(rows, rng, w_fit=w_fit)
+            hyp = mutate(log.genes_of(parent), meta, rng, mp=mut_p)
         trial = argparse.Namespace(**vars(args))
         trial.evolve = 0
+        # reference evolve: opt.nosave = True (weights only at final
+        # epoch, yolov5/train.py:577)
+        trial.nosave = True
         trial.output = os.path.join(args.output, f"gen{g}")
-        for k, v in hyp.items():
-            if k not in V5_HYP_DEFAULTS:
-                setattr(trial, k, v)
+        for k, flag in flags.items():
+            setattr(trial, flag, hyp[k])
+        import yaml as _yaml
+        trial_hyp = dict(hyp_file)
+        trial_hyp.update({k: hyp[k] for k in meta if k not in flags})
+        hyp_path = os.path.join(args.output, f"gen{g}-hyp.yaml")
+        with open(hyp_path, "w") as f:
+            _yaml.safe_dump(trial_hyp, f, sort_keys=False)
+        trial.hyp = hyp_path
         if is_v5:
-            # loss-gain genes ride a per-generation hyp yaml (the v5
-            # trainer reads box/cls/obj/anchor_t from --hyp, not flags)
-            import yaml as _yaml
-            trial_hyp = dict(hyp_file)
-            trial_hyp.update({k: hyp[k] for k in V5_HYP_DEFAULTS
-                              if k in hyp})
-            hyp_path = os.path.join(args.output, f"gen{g}-hyp.yaml")
-            with open(hyp_path, "w") as f:
-                _yaml.safe_dump(trial_hyp, f)
-            trial.hyp = hyp_path
+            # yaml genes must rule: an explicit flag would override them
+            # (train() precedence, see lines ~315/375)
+            trial.fl_gamma = None
+            trial.lrf = None
         result = train(trial)
-        fit = result["best_fitness"]
-        with open(log_path, "a") as f:
-            f.write(f"gen {g} fitness {fit:.5f} " +
-                    " ".join(f"{k}={hyp[k]:.5g}" for k in meta) +
-                    "\n")
-        logger.info("evolve gen %d: fitness %.5f (best %.5f)", g, fit,
-                    best_fit)
-        if fit > best_fit:
-            best_fit, best_hyp = fit, dict(hyp)
-    logger.info("evolved hyp: %s (fitness %.5f)", best_hyp, best_fit)
-    if not args.no_plots and os.path.exists(log_path):
-        # fitness-vs-hyp scatter (plot_evolution, yolov5/train.py:457)
+        ev = result.get("last_eval") or {}
+        p_, r_ = float(ev.get("mp", 0.0)), float(ev.get("mr", 0.0))
+        map50 = float(ev.get("map50", 0.0))
+        # 4th results column: mAP@0.5:0.95 for v5, F1 for v3 (the
+        # families' test() result tuples)
+        col4 = (float(ev.get("map", 0.0)) if is_v5
+                else 2 * p_ * r_ / max(p_ + r_, 1e-9))
+        losses = result.get("last_loss", [0.0, 0.0, 0.0])
+        log.append(hyp, [p_, r_, map50, col4] + list(losses))
+        logger.info("evolve gen %d: fitness %.5f", g, float(
+            fitness_of(np.array([[p_, r_, map50, col4]]), w_fit)[0]))
+    yaml_out = os.path.join(args.output, "hyp_evolved.yaml")
+    log.save_yaml(yaml_out)
+    best_hyp = log.best() or dict(base)
+    rows = log.load()
+    best_fit = (float(fitness_of(rows, w_fit).max())
+                if rows is not None else -1.0)
+    logger.info("evolved hyp -> %s (fitness %.5f): %s", yaml_out, best_fit,
+                best_hyp)
+    if not args.no_plots and os.path.exists(log.path):
+        # fitness-vs-gene scatter (plot_evolution, yolov5/utils/plots.py:334)
         from rtdm_tpu.utils.plots import plot_evolution_results
-        plot_evolution_results(log_path,
-                               os.path.join(args.output, "evolve.png"))
+        plot_evolution_results(log.path,
+                               os.path.join(args.output, "evolve.png"),
+                               keys=list(meta), w_fit=w_fit)
     return best_hyp, best_fit
 
 

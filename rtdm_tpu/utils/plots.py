@@ -176,39 +176,40 @@ def plot_detector_results(results_txt: str, path: str) -> str:
     return path
 
 
-def plot_evolution_results(evolve_txt: str, path: str) -> str:
-    """Fitness-vs-hyperparameter scatter panels from evolve.txt
-    (plot_evolution, yolov5/utils/plots.py:334)."""
+def plot_evolution_results(evolve_txt: str, path: str, keys=None,
+                           w_fit=(0.0, 0.0, 0.1, 0.9)) -> str:
+    """Fitness-vs-gene scatter panels from the numeric evolve.txt
+    (plot_evolution, yolov5/utils/plots.py:334: np.loadtxt, fitness from
+    the first 4 result columns, one panel per gene). `keys` names the
+    gene columns (evolve.txt column 7 onward, the genome order)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    import numpy as np
 
-    gens = []
-    with open(evolve_txt) as f:
-        for line in f:
-            m = re.match(r"gen (\d+) fitness ([\d.eE+-]+) (.*)", line.strip())
-            if not m:
-                continue
-            hyp = {k: float(v) for k, v in
-                   (kv.split("=") for kv in m.group(3).split())}
-            gens.append((float(m.group(2)), hyp))
-    if not gens:
+    from rtdm_tpu.train.evolve import N_RESULT_COLS, fitness
+
+    x = np.loadtxt(evolve_txt, ndmin=2)
+    if x.size == 0:
         raise ValueError(f"no evolve rows in {evolve_txt}")
-    keys = sorted(gens[0][1])
-    cols = min(len(keys), 4)
-    rows = -(-len(keys) // cols)
+    fits = fitness(x, w_fit)
+    ng = x.shape[1] - N_RESULT_COLS
+    keys = list(keys) if keys else [f"gene{i}" for i in range(ng)]
+    if len(keys) != ng:
+        raise ValueError(f"{len(keys)} keys for {ng} gene columns")
+    cols = min(ng, 5)
+    rows = -(-ng // cols)
     fig, axes = plt.subplots(rows, cols, figsize=(3.2 * cols, 2.8 * rows),
                              squeeze=False)
-    fits = [g[0] for g in gens]
     for i, k in enumerate(keys):
         ax = axes[i // cols][i % cols]
-        ax.scatter([g[1][k] for g in gens], fits, c=range(len(gens)),
+        ax.scatter(x[:, N_RESULT_COLS + i], fits, c=range(len(x)),
                    cmap="viridis", s=24)
         ax.set_title(k, fontsize=9)
         ax.grid(alpha=0.3)
-    for i in range(len(keys), rows * cols):
+    for i in range(ng, rows * cols):
         axes[i // cols][i % cols].axis("off")
-    fig.suptitle("fitness vs hyp (color = generation)", fontsize=10)
+    fig.suptitle("fitness vs gene (color = file order)", fontsize=10)
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return path

@@ -37,12 +37,19 @@ def test_yolo_train_evolve(tmp_path):
     best_hyp, best_fit = main(_train_args(out, ["--evolve", "2"]))
     log = Path(out) / "evolve.txt"
     assert log.exists()
-    lines = log.read_text().strip().splitlines()
-    assert len(lines) == 2 and lines[0].startswith("gen 0 fitness")
+    # numeric print_mutation format (general.py:611-615): 7 result
+    # columns + the 18-gene v3 genome, unique rows sorted by fitness
+    from rtdm_tpu.train.evolve import (N_RESULT_COLS, V3_EVOLVE_META,
+                                       FITNESS_W_V3, fitness)
+    rows = np.loadtxt(log, ndmin=2)
+    assert rows.shape[1] == N_RESULT_COLS + len(V3_EVOLVE_META)
+    assert len(rows) == 2
+    assert np.all(np.diff(fitness(rows, FITNESS_W_V3)) <= 0)
     assert os.path.isdir(os.path.join(out, "gen0"))
     assert os.path.isdir(os.path.join(out, "gen1"))
+    assert os.path.exists(os.path.join(out, "hyp_evolved.yaml"))
     assert np.isfinite(best_fit)
-    assert set(best_hyp) >= {"lr0", "iou_t", "momentum"}
+    assert set(best_hyp) >= {"lr0", "iou_t", "momentum", "giou", "hsv_s"}
     # evolution scatter + per-gen observability plots were written
     assert os.path.exists(os.path.join(out, "evolve.png"))
     assert os.path.exists(os.path.join(out, "gen0", "results.png"))
@@ -217,12 +224,16 @@ def test_yolo_train_evolve_v5_mutates_hyp_yaml(tmp_path):
         "--no-plots", "--output", out, "--eval-every", "1",
         "--evolve", "2", "--noautoanchor",
     ])
-    assert {"box", "cls", "obj", "anchor_t", "lr0"} <= set(best_hyp)
+    assert {"box", "cls", "obj", "anchor_t", "lr0", "mosaic",
+            "mixup"} <= set(best_hyp)
     assert np.isfinite(best_fit)
-    log = (Path(out) / "evolve.txt").read_text()
-    assert "box=" in log and "anchor_t=" in log
+    from rtdm_tpu.train.evolve import N_RESULT_COLS, V5_EVOLVE_META
+    rows = np.loadtxt(Path(out) / "evolve.txt", ndmin=2)
+    assert rows.shape[1] == N_RESULT_COLS + len(V5_EVOLVE_META)
     for g in range(2):
         hp = os.path.join(out, f"gen{g}-hyp.yaml")
         assert os.path.exists(hp)
         h = _yaml.safe_load(open(hp).read())
-        assert {"box", "cls", "obj", "anchor_t"} <= set(h)
+        # yaml genes: loss gains AND warmup/aug knobs (lr0 etc are flags)
+        assert {"box", "cls", "obj", "anchor_t", "lrf", "warmup_epochs",
+                "hsv_s", "mosaic"} <= set(h)
