@@ -64,6 +64,12 @@ class FrameSource:
         --video_looping, camera.py:31-32 / grab_img loop); `width`/`height`
         (both > 0) resize every frame on the host before it enters the
         mailbox (--do_resize --width --height, camera.py:46-51)."""
+        if (isinstance(uri, str) and is_gst_pipeline(uri)
+                and ("{width}" in uri or "{height}" in uri)):
+            # open_cam_gstr (camera.py:88-96): width/height format into
+            # the pipeline string, not a host-side resize
+            uri = uri.format(width=width or 1280, height=height or 720)
+            width = height = 0
         src = FrameSource._open(uri, loop=loop)
         src.loop = bool(loop)
         if width > 0 and height > 0:
@@ -75,6 +81,14 @@ class FrameSource:
         if isinstance(uri, (list, tuple)):
             return _MultiSource([FrameSource.open(u, loop=loop)
                                  for u in uri])
+        if uri == "onboard":
+            # the reference's --onboard flag (utils/camera.py:42-43,197)
+            return _GstSource(gst_onboard_pipeline())
+        if isinstance(uri, str) and is_gst_pipeline(uri):
+            # raw GStreamer pipeline string (open_cam_gstr / the rtsp, usb
+            # and Jetson-onboard modes of tensorrt_inference/utils/
+            # camera.py:45-125; builders below construct the same strings)
+            return _GstSource(uri.removeprefix("gst://"))
         if isinstance(uri, int) or (isinstance(uri, str)
                                     and uri.startswith("/dev/video")):
             return _CvSource(uri, live=True)
@@ -291,6 +305,103 @@ class _MultiSource(FrameSource):
         for c in self.children:
             c.stop()
         super().stop()
+
+
+def is_gst_pipeline(uri: str) -> bool:
+    """A raw GStreamer pipeline: explicit gst:// prefix, or an
+    element-chain string (' ! ' separators ending in an appsink — the
+    shape every reference pipeline has, utils/camera.py:60-125)."""
+    return uri.startswith("gst://") or (" ! " in uri and "appsink" in uri)
+
+
+def gst_rtsp_pipeline(uri: str, width: int = 1280, height: int = 720,
+                      latency: int = 200, elements: Optional[str] = None
+                      ) -> str:
+    """RTSP-over-GStreamer pipeline string (open_cam_rtsp,
+    utils/camera.py:45-76): hardware omxh264dec when present, else
+    software avdec_h264. `elements` is the gst-inspect-1.0 output
+    (injectable for tests; probed when None)."""
+    elements = _gst_elements() if elements is None else elements
+    if "omxh264dec" in elements:
+        return ("rtspsrc location={} latency={} ! "
+                "rtph264depay ! h264parse ! omxh264dec ! "
+                "nvvidconv ! "
+                "video/x-raw, width=(int){}, height=(int){}, "
+                "format=(string)BGRx ! videoconvert ! "
+                "appsink").format(uri, latency, width, height)
+    if "avdec_h264" in elements:
+        return ("rtspsrc location={} latency={} ! "
+                "rtph264depay ! h264parse ! avdec_h264 ! "
+                "videoconvert ! appsink").format(uri, latency)
+    raise RuntimeError("H.264 decoder not found!")
+
+
+def gst_usb_pipeline(dev: int, width: int = 1280, height: int = 720) -> str:
+    """USB webcam via v4l2src (open_cam_usb, utils/camera.py:78-86)."""
+    return ("v4l2src device=/dev/video{} ! "
+            "video/x-raw, width=(int){}, height=(int){} ! "
+            "videoconvert ! appsink").format(dev, width, height)
+
+
+def gst_onboard_pipeline(width: int = 1280, height: int = 720,
+                         elements: Optional[str] = None) -> str:
+    """Jetson onboard camera (open_cam_onboard, utils/camera.py:99-125):
+    nvcamerasrc (pre-L4T-28.1) or nvarguscamerasrc."""
+    elements = _gst_elements() if elements is None else elements
+    if "nvcamerasrc" in elements:
+        return ("nvcamerasrc ! "
+                "video/x-raw(memory:NVMM), "
+                "width=(int)2592, height=(int)1458, "
+                "format=(string)I420, framerate=(fraction)30/1 ! "
+                "nvvidconv ! "
+                "video/x-raw, width=(int){}, height=(int){}, "
+                "format=(string)BGRx ! "
+                "videoconvert ! appsink").format(width, height)
+    if "nvarguscamerasrc" in elements:
+        return ("nvarguscamerasrc ! "
+                "video/x-raw(memory:NVMM), "
+                "width=(int)1920, height=(int)1080, "
+                "format=(string)NV12, framerate=(fraction)30/1 ! "
+                "nvvidconv flip-method=2 ! "
+                "video/x-raw, width=(int){}, height=(int){}, "
+                "format=(string)BGRx ! "
+                "videoconvert ! appsink").format(width, height)
+    raise RuntimeError("onboard camera source not found!")
+
+
+def _gst_elements() -> str:
+    """gst-inspect-1.0 element listing ('' when GStreamer is absent)."""
+    import subprocess
+    try:
+        return str(subprocess.check_output("gst-inspect-1.0",
+                                           stderr=subprocess.DEVNULL))
+    except Exception:
+        return ""
+
+
+class _GstSource(FrameSource):
+    """Raw-pipeline capture: cv2.VideoCapture(pipeline, CAP_GSTREAMER) —
+    the cap the reference builds for rtsp/usb/onboard (utils/camera.py).
+    Live semantics (latest-frame mailbox): pipelines are cameras/streams."""
+
+    def __init__(self, pipeline: str):
+        super().__init__(pipeline, live=True)
+
+    def _produce(self):
+        import cv2
+        cap = cv2.VideoCapture(self.uri, cv2.CAP_GSTREAMER)
+        if not cap.isOpened():
+            raise RuntimeError(
+                f"cannot open GStreamer pipeline {self.uri!r} (is the "
+                "cv2 build GStreamer-enabled and the pipeline valid?)")
+        try:
+            while True:
+                ok, frame_bgr = cap.read()
+                if not ok:
+                    return
+                yield frame_bgr[:, :, ::-1].copy()
+        finally:
+            cap.release()
 
 
 class _CvSource(FrameSource):

@@ -237,3 +237,95 @@ def test_multi_source_drops_stalled_live_child(image_dir):
     # child, and the stalled child was dropped => the stream terminated
     assert elapsed < 5.0, elapsed
     src.stop()
+
+
+# ---- GStreamer sources (tensorrt_inference/utils/camera.py modes) ----
+
+def test_gst_pipeline_builders_match_reference_strings():
+    """Pipeline strings must byte-match the reference's constructions
+    (utils/camera.py:45-125) for each element-availability case."""
+    from rtdm_tpu.data.camera import (gst_onboard_pipeline,
+                                      gst_rtsp_pipeline, gst_usb_pipeline)
+
+    rtsp_hw = gst_rtsp_pipeline("rtsp://cam/1", 640, 480, latency=200,
+                                elements="... omxh264dec ...")
+    assert rtsp_hw == (
+        "rtspsrc location=rtsp://cam/1 latency=200 ! "
+        "rtph264depay ! h264parse ! omxh264dec ! nvvidconv ! "
+        "video/x-raw, width=(int)640, height=(int)480, "
+        "format=(string)BGRx ! videoconvert ! appsink")
+    rtsp_sw = gst_rtsp_pipeline("rtsp://cam/1", elements="avdec_h264")
+    assert rtsp_sw == ("rtspsrc location=rtsp://cam/1 latency=200 ! "
+                       "rtph264depay ! h264parse ! avdec_h264 ! "
+                       "videoconvert ! appsink")
+    with pytest.raises(RuntimeError, match="H.264 decoder"):
+        gst_rtsp_pipeline("rtsp://cam/1", elements="")
+    usb = gst_usb_pipeline(2, 640, 480)
+    assert usb == ("v4l2src device=/dev/video2 ! "
+                   "video/x-raw, width=(int)640, height=(int)480 ! "
+                   "videoconvert ! appsink")
+    onb = gst_onboard_pipeline(1280, 720, elements="nvarguscamerasrc")
+    assert "nvarguscamerasrc" in onb and "flip-method=2" in onb
+    assert "width=(int)1280, height=(int)720" in onb
+    onb_old = gst_onboard_pipeline(elements="nvcamerasrc x")
+    assert onb_old.startswith("nvcamerasrc ! ")
+    with pytest.raises(RuntimeError, match="onboard"):
+        gst_onboard_pipeline(elements="")
+
+
+def test_gst_source_stubbed_capture(monkeypatch):
+    """FrameSource.open on a raw pipeline string routes to
+    cv2.VideoCapture(str, CAP_GSTREAMER) (open_cam_gstr semantics) and
+    streams RGB frames from the threaded mailbox."""
+    import cv2 as _cv2
+
+    from rtdm_tpu.data import camera as cam_mod
+    from rtdm_tpu.data.camera import FrameSource, is_gst_pipeline
+
+    calls = {}
+
+    class FakeCap:
+        def __init__(self, uri, backend=None):
+            calls["uri"], calls["backend"] = uri, backend
+            self.n = 0
+
+        def isOpened(self):
+            return True
+
+        def read(self):
+            self.n += 1
+            if self.n > 3:
+                return False, None
+            bgr = np.zeros((8, 8, 3), np.uint8)
+            bgr[:, :, 0] = 255  # blue in BGR -> must come out RGB
+            return True, bgr
+
+        def release(self):
+            calls["released"] = True
+
+    monkeypatch.setattr(_cv2, "VideoCapture", FakeCap)
+    pipe = ("videotestsrc ! video/x-raw, width=(int){width}, "
+            "height=(int){height} ! videoconvert ! appsink")
+    assert is_gst_pipeline(pipe)
+    src = FrameSource.open(pipe, width=320, height=240).start()
+    frames = [f for f in src]
+    src.stop()
+    # {width}/{height} formatted INTO the pipeline, not host-resized
+    assert "width=(int)320" in calls["uri"]
+    assert calls["backend"] == _cv2.CAP_GSTREAMER
+    assert src.resize is None
+    assert len(frames) >= 1  # live mailbox may drop, never dup
+    assert frames[0][0, 0, 2] == 255 and frames[0][0, 0, 0] == 0
+    assert calls.get("released")
+
+
+def test_gst_onboard_alias(monkeypatch):
+    """source='onboard' builds the Jetson pipeline then opens it."""
+    from rtdm_tpu.data import camera as cam_mod
+    from rtdm_tpu.data.camera import FrameSource
+
+    monkeypatch.setattr(cam_mod, "_gst_elements",
+                        lambda: "nvarguscamerasrc")
+    src = FrameSource.open("onboard")
+    assert type(src).__name__ == "_GstSource"
+    assert src.uri.startswith("nvarguscamerasrc ! ")
