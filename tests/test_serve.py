@@ -191,3 +191,20 @@ def test_detections_to_json_unletterboxes_exactly():
     det[1] = [0.0, 0.0, 416.0, 416.0, 0.5, 0]
     out2 = detections_to_json(det, 2, gain, pads, (300, 400), ["p", "v"])
     assert out2["detections"][1]["box"] == [0.0, 0.0, 400.0, 300.0]
+
+
+def test_serve_load_concurrent_clients(classify_server):
+    """Load test (cli/serve_loadtest): 12 closed-loop clients x 6
+    requests against the live HTTP server. All requests must succeed,
+    the micro-batcher must actually coalesce (mean batch > 1 under
+    concurrency), and client-observed p99 must stay bounded."""
+    from rtdm_tpu.cli.serve_loadtest import run_load
+
+    res = run_load(classify_server, "/v1/classify", clients=12,
+                   requests_per_client=6, timeout=120.0)
+    assert res["errors"] == 0, res.get("first_error")
+    assert res["requests"] == 72
+    assert res["server_mean_batch"] > 1.0, res  # coalescing happened
+    assert res["p50_ms"] > 0 and res["p99_ms"] >= res["p50_ms"]
+    # generous CPU-CI bound; the TPU numbers land in docs/DESIGN.md
+    assert res["p99_ms"] < 30_000
