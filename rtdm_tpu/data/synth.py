@@ -111,10 +111,15 @@ def make_detection_image(rng: np.random.Generator, w: int, h: int,
             side = scale * min(w, h)
             bw_o, bh_o = side * float(rng.uniform(1.3, 2.4)), side
             theta = float(rng.uniform(0, np.pi))
-            cx = float(rng.uniform(bw_o / 2 + bh_o / 2,
-                                   w - bw_o / 2 - bh_o / 2))
-            cy = float(rng.uniform(bw_o / 2 + bh_o / 2,
-                                   h - bw_o / 2 - bh_o / 2))
+            # conservative hull radius; shrink the box if the placement
+            # band would go negative on narrow images
+            m = (bw_o + bh_o) / 2
+            lim = 0.45 * min(w, h)
+            if m > lim:
+                k = lim / m
+                bw_o, bh_o, m = bw_o * k, bh_o * k, lim
+            cx = float(rng.uniform(m, w - m))
+            cy = float(rng.uniform(m, h - m))
             hue = rng.permutation([int(rng.integers(170, 255)),
                                    int(rng.integers(0, 90)),
                                    int(rng.integers(0, 90))])
