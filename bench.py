@@ -153,8 +153,9 @@ def main() -> None:
     # it can never beat the bf16 row and is not an optimization.
     row("squeeze_ernet_int8_engine", _int8_engine_fps, baseline,
         45.64e6 * 2,
-        note="QDQ-on-bf16 accuracy simulation (~0.64x bf16 by design; "
-             "true-int8 convs measured 12x slower at ErNET sizes)")
+        note="QDQ-on-bf16 accuracy simulation, not a speed path (true-"
+             "int8 convs measured 12x slower at ErNET sizes; QDQ cost "
+             "~vanishes at large batch — measured ~0.99x bf16 at b2048)")
     # fused two-stage cascade: detector fwd+decode+NMS AND classifier
     # resize+normalize+fwd per frame in ONE program (the deployment config
     # the reference runs as two engines with host glue, trt_yolo.py +
@@ -279,7 +280,7 @@ def _yolov5s_fps(batch: int = 128, iters: int = 20):
     # classifier/v4-tiny brackets: H2D is excluded, forward-only is timed)
     dev = jax.device_put(jnp.asarray(
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
-    compiled = jax.jit(det._fn).lower(dev).compile()
+    compiled = det._fn  # already a compiled XLA executable (Detector)
     fps = _timed_fps(compiled, [(dev,)], batch, iters)
     return fps, _flops_per_example(compiled, batch)
 
@@ -304,9 +305,9 @@ def _cascade_fps(batch: int = 256, iters: int = 20):
     rng = np.random.default_rng(0)
     dev = jax.device_put(jnp.asarray(
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
-    compiled = jax.jit(fn).lower(dev).compile()
-    fps = _timed_fps(compiled, [(dev,)], batch, iters)
-    return fps, _flops_per_example(compiled, batch)
+    # build_cascade already returns a compiled XLA executable
+    fps = _timed_fps(fn, [(dev,)], batch, iters)
+    return fps, _flops_per_example(fn, batch)
 
 
 def _classifier_bracket(model_name: str, weights_src: str,

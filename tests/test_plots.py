@@ -55,12 +55,19 @@ def test_plot_detector_results(tmp_path):
 
 
 def test_plot_evolution_results(tmp_path):
-    # exact format written by cli/yolo_train.py evolve()
-    txt = tmp_path / "evolve.txt"
-    txt.write_text(
-        "gen 0 fitness 0.10000 lr0=0.002 iou_t=0.2 momentum=0.9\n"
-        "gen 1 fitness 0.20000 lr0=0.0025 iou_t=0.18 momentum=0.92\n"
-        "gen 2 fitness 0.15000 lr0=0.003 iou_t=0.22 momentum=0.91\n")
+    # exact numeric format written by train/evolve.py EvolveLog (7 result
+    # columns then genes, print_mutation general.py:611-615)
+    import numpy as np
+
+    from rtdm_tpu.train.evolve import EvolveLog
+
+    meta = {"lr0": (1, 1e-5, 0.1), "iou_t": (1, 0.0, 0.7),
+            "momentum": (0.1, 0.6, 0.98)}
+    log = EvolveLog(str(tmp_path / "evolve.txt"), meta)
+    log.append({"lr0": 0.002, "iou_t": 0.2, "momentum": 0.9},
+               [0.5, 0.4, 0.1, 0.08, 1, 2, 3])
+    log.append({"lr0": 0.0025, "iou_t": 0.18, "momentum": 0.92},
+               [0.6, 0.5, 0.2, 0.17, 1, 2, 3])
     out = str(tmp_path / "evolve.png")
-    assert plot_evolution_results(str(txt), out) == out
+    assert plot_evolution_results(log.path, out, keys=list(meta)) == out
     assert os.path.getsize(out) > 1000
