@@ -498,6 +498,10 @@ def train(args):
         burn-in, yolov3/train.py:250-255: track_running_stats off until
         ni == n_burn; batch statistics still normalize the forward).
 
+        Logs before tracing: the first compile of the fused step costs
+        minutes over the remote-compile tunnel and would otherwise look
+        like a hang (the round-3 soak surfaced exactly this).
+
         The EMA update (ModelEMA, torch_utils.py:276-306) is folded INTO
         the jitted program when --ema is on — no per-step host dispatch."""
         rect_shape = isinstance(train_size, tuple)
@@ -554,6 +558,10 @@ def train(args):
             return params, new_stats, opt_state, ema, loss / accumulate, \
                 comps / accumulate
 
+        logger.info("building train step for size %s%s (XLA compiles it "
+                    "on first use — minutes over a remote-compile "
+                    "backend)", train_size,
+                    "" if update_bn else " [BN burn-in variant]")
         return jax.jit(
             step,
             in_shardings=(repl, repl, repl, repl, dsh, dsh, dsh, repl,
