@@ -1,13 +1,20 @@
 #!/bin/bash
 # Training-at-scale soak on the real TPU (VERDICT round-2 #1).
 # Four sequential legs over the synthetic datasets (data/synth):
-#   1. v4-tiny, 800 images, mosaic + multi-scale + EMA, 100 epochs
-#   2. yolov5s, mosaic + mixup + EMA, 80 epochs
-#   3. v4-tiny --rect (AR-bucketed compiled shapes), 40 epochs
-#   4. squeeze-ernet classifier, 5x160 images, 60 epochs
+#   1. v4-tiny, 800 images, mosaic + multi-scale + EMA
+#   2. yolov5s, mosaic + mixup + EMA
+#   3. v4-tiny --rect (AR-bucketed compiled shapes)
+#   4. squeeze-ernet classifier, 5x160 images
 # Each leg logs to runs/soak/<leg>/ and appends a one-line summary to
 # runs/soak/summary.txt. Single-tenant TPU: legs run strictly serially.
+# Epochs are env-overridable so a leg can be sized to the session budget
+# (E1..E4); a full-scale soak uses the defaults. After legs finish, run
+# `python scripts/soak_report.py` to freeze evidence into artifacts/soak.
+# NOTE: a timeout that fires mid-compile leaves the remote compile running
+# server-side and the single-tenant tunnel busy until it finishes
+# (CLAUDE.md) — prefer sizing epochs over relying on the timeout.
 set -u
+E1=${E1:-100} E2=${E2:-80} E3=${E3:-40} E4=${E4:-60}
 cd /root/repo
 mkdir -p runs/soak
 SUM=runs/soak/summary.txt
@@ -39,28 +46,28 @@ fliplr: 0.5
 EOF
 
 leg v4tiny_mosaic_ms 7200 python -m rtdm_tpu.cli.yolo_train \
-  --cfg "$CFG" --data "$DET" --epochs 100 --batch-size 16 \
-  --img-size 416 --multi-scale --ema --optimizer adam --lr0 0.002 \
+  --cfg "$CFG" --data "$DET" --epochs "$E1" --batch-size 16 \
+  --img-size 416 --multi-scale --cache-images --ema --optimizer adam --lr0 0.002 \
   --nominal-batch 64 --eval-every 5 --ckpt-every 10 --num-workers 2 \
   --output runs/soak/v4tiny_mosaic_ms
 
 leg v5s_mosaic_mixup 7200 python -m rtdm_tpu.cli.yolo_train \
-  --cfg "$V5YML" --data data/synth/det/data/synth.yaml --epochs 80 \
-  --batch-size 16 --img-size 416 --ema --optimizer adam --lr0 0.002 \
+  --cfg "$V5YML" --data data/synth/det/data/synth.yaml --epochs "$E2" \
+  --batch-size 16 --cache-images --img-size 416 --ema --optimizer adam --lr0 0.002 \
   --hyp runs/soak/hyp-v5-soak.yaml --nominal-batch 64 --eval-every 5 \
   --ckpt-every 10 --num-workers 2 --noautoanchor \
   --output runs/soak/v5s_mosaic_mixup
 
 leg v4tiny_rect 3600 python -m rtdm_tpu.cli.yolo_train \
-  --cfg "$CFG" --data "$DET" --epochs 40 --batch-size 16 \
-  --img-size 416 --rect --ema --optimizer adam --lr0 0.002 \
+  --cfg "$CFG" --data "$DET" --epochs "$E3" --batch-size 16 \
+  --img-size 416 --rect --cache-images --ema --optimizer adam --lr0 0.002 \
   --nominal-batch 64 --eval-every 5 --ckpt-every 10 --num-workers 2 \
   --output runs/soak/v4tiny_rect
 
 leg aider_cls 3600 python -m rtdm_tpu.cli.aider_train \
   --model squeeze-ernet --root-dir "$CLS" \
   --train-split "$CLS/synth_train.csv" --val-split "$CLS/synth_val.csv" \
-  --test-split "$CLS/synth_test.csv" --epochs 60 --batch-size 32 \
+  --test-split "$CLS/synth_test.csv" --epochs "$E4" --batch-size 32 \
   --precision bf16 --num-workers 2 --checkpoint-dir runs/soak/aider_cls \
   --log-dir runs/soak/aider_cls/logs
 
