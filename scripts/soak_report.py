@@ -27,7 +27,7 @@ import shutil
 import statistics
 
 EPOCH_RE = re.compile(
-    r"epoch (\d+)/(\d+)[: ].*?(\d+(?:\.\d+)?)s\s*$")
+    r"epoch (\d+)/(\d+)[: ].*?(\d+(?:\.\d+)?)s(?=\s*(?:\||$))")
 MAP_RE = re.compile(r"mAP@0\.5 ([0-9.]+)")
 ACC_RE = re.compile(r"val loss [0-9.]+ acc ([0-9.]+)")
 BUILD_RE = re.compile(r"building train step for size (\d+)( \[[^]]+\])?")
