@@ -292,6 +292,12 @@ class DetectionDataset:
         # bar — same steady-state, no startup stall.
         self._img_cache: List[Optional[np.ndarray]] = (
             [None] * len(self.image_paths) if cache_images else [])
+        # Scaled-tile cache: the reference caches the RESIZED image from
+        # load_image (datasets.py:393-404 stores the post-resize array in
+        # self.imgs), so mosaic re-reads pay zero resize per epoch. Keyed
+        # by (idx, long_side) — multi-scale resizes whole batches on
+        # device, so only img_size ever lands here in practice.
+        self._scaled_cache: Dict[Tuple[int, int], np.ndarray] = {}
         # Rectangular batches (datasets.py:285-316): images sorted by
         # aspect ratio; each batch letterboxed to one stride-multiple
         # (h, w) bucket instead of the full square. TPU-idiomatic spelling:
@@ -331,7 +337,14 @@ class DetectionDataset:
         writable = False
         lf = getattr(self, "_list_file", None)
         if isinstance(lf, (str, os.PathLike)) and str(lf).endswith(".txt"):
-            sp = str(lf).replace(".txt", ".shapes")
+            # resolve against base_dir exactly like collect_image_paths
+            # does for the list itself — a raw relative string (e.g.
+            # 'data/train.txt' from a .data file) must not drop a .shapes
+            # cache into the cwd where an unrelated dataset could adopt it
+            lfp = Path(str(lf))
+            if not lfp.is_absolute():
+                lfp = self.base_dir / lfp
+            sp = str(lfp).replace(".txt", ".shapes")
             protected = os.environ.get("RTDM_PROTECTED_DATA_ROOT",
                                        "/root/reference")
             writable = not (protected and os.path.abspath(sp).startswith(
@@ -525,6 +538,10 @@ class DetectionDataset:
         uses) by cropping the pad off the letterboxed square; cached or
         non-jpg frames fall back to load_raw + PIL."""
         path = self.image_paths[idx]
+        if self.cache_images:
+            hit = self._scaled_cache.get((idx, int(size)))
+            if hit is not None:
+                return hit
         if (not self.cache_images  # cached raw beats re-decoding natively
                 and path.lower().endswith((".jpg", ".jpeg"))):
             try:
@@ -548,12 +565,14 @@ class DetectionDataset:
         img = self.load_raw(idx)
         h0, w0 = img.shape[:2]
         gain = size / max(h0, w0)
-        if gain == 1:
-            return img
-        from PIL import Image
-        return np.asarray(Image.fromarray(img).resize(
-            (max(int(w0 * gain), 1), max(int(h0 * gain), 1)),
-            Image.BILINEAR), np.uint8)
+        if gain != 1:
+            from PIL import Image
+            img = np.asarray(Image.fromarray(img).resize(
+                (max(int(w0 * gain), 1), max(int(h0 * gain), 1)),
+                Image.BILINEAR), np.uint8)
+        if self.cache_images:
+            self._scaled_cache[(idx, int(size))] = img
+        return img
 
     def _load_eval(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.image_paths[idx]

@@ -15,6 +15,12 @@
 # (CLAUDE.md) — prefer sizing epochs over relying on the timeout.
 set -u
 E1=${E1:-100} E2=${E2:-80} E3=${E3:-40} E4=${E4:-60}
+# Timeouts scale with the epoch counts (45 s/epoch margin + 2400 s for
+# compiles/evals) and stay env-overridable (T1..T4) so a full-default run
+# can't hit a fixed timeout mid-compile (which would wedge the
+# single-tenant tunnel server-side — see header note).
+T1=${T1:-$((E1 * 45 + 2400))} T2=${T2:-$((E2 * 45 + 2400))}
+T3=${T3:-$((E3 * 45 + 2400))} T4=${T4:-$((E4 * 20 + 1800))}
 cd /root/repo
 mkdir -p runs/soak
 SUM=runs/soak/summary.txt
@@ -45,26 +51,26 @@ scale: 0.5
 fliplr: 0.5
 EOF
 
-leg v4tiny_mosaic_ms 7200 python -m rtdm_tpu.cli.yolo_train \
+leg v4tiny_mosaic_ms "$T1" python -m rtdm_tpu.cli.yolo_train \
   --cfg "$CFG" --data "$DET" --epochs "$E1" --batch-size 16 \
   --img-size 416 --multi-scale --cache-images --ema --optimizer adam --lr0 0.002 \
   --nominal-batch 64 --eval-every 5 --ckpt-every 10 --num-workers 2 \
   --output runs/soak/v4tiny_mosaic_ms
 
-leg v5s_mosaic_mixup 7200 python -m rtdm_tpu.cli.yolo_train \
+leg v5s_mosaic_mixup "$T2" python -m rtdm_tpu.cli.yolo_train \
   --cfg "$V5YML" --data data/synth/det/data/synth.yaml --epochs "$E2" \
   --batch-size 16 --cache-images --img-size 416 --ema --optimizer adam --lr0 0.002 \
   --hyp runs/soak/hyp-v5-soak.yaml --nominal-batch 64 --eval-every 5 \
   --ckpt-every 10 --num-workers 2 --noautoanchor \
   --output runs/soak/v5s_mosaic_mixup
 
-leg v4tiny_rect 3600 python -m rtdm_tpu.cli.yolo_train \
+leg v4tiny_rect "$T3" python -m rtdm_tpu.cli.yolo_train \
   --cfg "$CFG" --data "$DET" --epochs "$E3" --batch-size 16 \
   --img-size 416 --rect --cache-images --ema --optimizer adam --lr0 0.002 \
   --nominal-batch 64 --eval-every 5 --ckpt-every 10 --num-workers 2 \
   --output runs/soak/v4tiny_rect
 
-leg aider_cls 3600 python -m rtdm_tpu.cli.aider_train \
+leg aider_cls "$T4" python -m rtdm_tpu.cli.aider_train \
   --model squeeze-ernet --root-dir "$CLS" \
   --train-split "$CLS/synth_train.csv" --val-split "$CLS/synth_val.csv" \
   --test-split "$CLS/synth_test.csv" --epochs "$E4" --batch-size 32 \

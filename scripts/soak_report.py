@@ -26,45 +26,82 @@ import re
 import shutil
 import statistics
 
+TS_RE = re.compile(r"^(?:\w+:)?(\d{4}-\d\d-\d\d \d\d:\d\d:\d\d),\d+")
 EPOCH_RE = re.compile(
     r"epoch (\d+)/(\d+)[: ].*?(\d+(?:\.\d+)?)s(?=\s*(?:\||$))")
 MAP_RE = re.compile(r"mAP@0\.5 ([0-9.]+)")
 ACC_RE = re.compile(r"val loss [0-9.]+ acc ([0-9.]+)")
-BUILD_RE = re.compile(r"building train step for size (\d+)( \[[^]]+\])?")
+# train-step builds log square sizes ("416") OR rect bucket tuples
+# ("(256, 416)") — keep them as strings so both survive
+BUILD_RE = re.compile(
+    r"building train step for size (\(\d+, \d+\)|\d+)( \[[^]]+\])?")
+
+
+def _ts(line: str):
+    """Epoch-seconds of a log line's leading timestamp, or None."""
+    import datetime
+    m = TS_RE.match(line)
+    if not m:
+        return None
+    return datetime.datetime.strptime(
+        m.group(1), "%Y-%m-%d %H:%M:%S").timestamp()
 
 
 def parse_leg(leg_dir: str, log_path: str):
-    """Return a dict of soak stats for one leg, or None if it never ran."""
-    lines = []
-    res_path = os.path.join(leg_dir, "results.txt")
-    if os.path.exists(res_path):
-        lines = open(res_path).read().splitlines()
-    log_text = open(log_path).read() if os.path.exists(log_path) else ""
-    if not lines:  # classifier legs only log epoch lines
-        lines = [ln for ln in log_text.splitlines() if "epoch " in ln]
+    """Return a dict of soak stats for one leg, or None if it never ran.
 
-    epochs = []  # (idx, total, wall_s, map50|acc|None, had_eval)
-    for ln in lines:
+    steady_epoch_s = median wall over epochs that END after the last
+    'building train step' log line (so mid-run multi-scale/rect recompile
+    epochs are excluded), restricted to non-eval epochs when any exist.
+    Classifier legs log val metrics on every line, so their wall includes
+    per-epoch eval — flagged via eval_inclusive so imgs/s is labelled."""
+    log_text = open(log_path).read() if os.path.exists(log_path) else ""
+    log_lines = log_text.splitlines()
+
+    last_build_ts = None
+    for ln in log_lines:
+        if "building train step" in ln:
+            t = _ts(ln)
+            if t is not None:
+                last_build_ts = t
+
+    epochs = []  # (idx, total, wall_s, metric|None, after_last_build)
+    for ln in log_lines:
         m = EPOCH_RE.search(ln)
         if not m:
             continue
-        metric = None
         mm = MAP_RE.search(ln) or ACC_RE.search(ln)
-        if mm:
-            metric = float(mm.group(1))
+        metric = float(mm.group(1)) if mm else None
+        t = _ts(ln)
+        after = (t is not None and last_build_ts is not None
+                 and t > last_build_ts)
         epochs.append((int(m.group(1)), int(m.group(2)),
-                       float(m.group(3)), metric))
+                       float(m.group(3)), metric, after))
+    if not epochs:  # no log: fall back to results.txt (no timestamps)
+        res_path = os.path.join(leg_dir, "results.txt")
+        if os.path.exists(res_path):
+            for ln in open(res_path).read().splitlines():
+                m = EPOCH_RE.search(ln)
+                if not m:
+                    continue
+                mm = MAP_RE.search(ln) or ACC_RE.search(ln)
+                epochs.append((int(m.group(1)), int(m.group(2)),
+                               float(m.group(3)),
+                               float(mm.group(1)) if mm else None, False))
     if not epochs:
         return None
 
     builds = BUILD_RE.findall(log_text)
-    sizes = sorted({int(s) for s, _ in builds})
-    # epochs whose line has no eval metric = pure train wall
-    plain = [w for _, _, w, met in epochs[1:] if met is None]
-    steady = (statistics.median(plain) if plain
-              else statistics.median(w for _, _, w, _ in epochs[1:])
-              if len(epochs) > 1 else epochs[0][2])
-    metrics = [(i, met) for i, _, _, met in epochs if met is not None]
+    sizes = sorted({s for s, _ in builds})
+    post = [e for e in epochs if e[4]]
+    pool = post if post else epochs[1:] if len(epochs) > 1 else epochs
+    # prefer pure-train walls; classifier legs have none (every line
+    # carries the val metric), so fall back and flag it
+    plain = [w for _, _, w, met, _ in pool if met is None]
+    eval_inclusive = not plain
+    steady = statistics.median(
+        plain if plain else [w for _, _, w, _, _ in pool])
+    metrics = [(i, met) for i, _, _, met, _ in epochs if met is not None]
     return {
         "epochs_done": epochs[-1][0],
         "epochs_planned": epochs[0][1],
@@ -72,6 +109,7 @@ def parse_leg(leg_dir: str, log_path: str):
         "compile_sizes": sizes,
         "first_epoch_s": epochs[0][2],
         "steady_epoch_s": steady,
+        "eval_inclusive": eval_inclusive,
         "metric_first": metrics[0] if metrics else None,
         "metric_last": metrics[-1] if metrics else None,
     }
@@ -98,16 +136,17 @@ def main(argv=None):
         n_train = a.n_train_cls if "aider" in leg or "cls" in leg \
             else a.n_train
         ips = n_train / stats["steady_epoch_s"]
+        ips_s = f"{ips:.0f}" + ("†" if stats["eval_inclusive"] else "")
         met = stats["metric_last"]
         met_s = f"{met[1]:.3f} (ep{met[0]})" if met else "—"
         met0 = stats["metric_first"]
         met0_s = f"{met0[1]:.3f} (ep{met0[0]})" if met0 else "—"
-        sizes = ",".join(map(str, stats["compile_sizes"])) or "—"
+        sizes = ",".join(stats["compile_sizes"]) or "—"
         rows.append(
             f"| {leg} | {stats['epochs_done']}/{stats['epochs_planned']} "
             f"| {stats['compiles']} ({sizes}) "
             f"| {stats['first_epoch_s']:.0f} s "
-            f"| {stats['steady_epoch_s']:.1f} s | {ips:.0f} "
+            f"| {stats['steady_epoch_s']:.1f} s | {ips_s} "
             f"| {met0_s} → {met_s} |")
 
         # freeze the committable evidence
@@ -129,6 +168,8 @@ def main(argv=None):
     print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(r)
+    print("\n† epoch wall includes per-epoch val eval (classifier legs "
+          "log val metrics every epoch), so imgs/s is understated.")
 
 
 if __name__ == "__main__":
