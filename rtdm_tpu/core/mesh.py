@@ -22,11 +22,27 @@ def distributed_init(coordinator_address: Optional[str] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialise multi-host JAX (the `dist.init_process_group` analogue).
 
-    On a single host this is a no-op. On a multi-host TPU pod the standard
-    env vars (or explicit args) drive `jax.distributed.initialize`, after
-    which `jax.devices()` is global and a Mesh spans the slice (ICI) or
-    multiple slices (DCN).
+    On a single host this is a no-op. On a multi-host TPU pod the explicit
+    args, the JAX_COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID env
+    vars (resolved here so the env-driven path takes the same code path
+    as explicit args), or a recognised cluster env (SLURM/Cloud TPU —
+    auto-resolved by jax) drive `jax.distributed.initialize`, after which
+    `jax.devices()` is global and a Mesh spans the slice (ICI) or multiple
+    slices (DCN). Exercised by the two-process CPU test in
+    tests/test_parallel.py (Gloo collectives).
     """
+    import os
+
+    # env fallbacks mirror torchrun's MASTER_ADDR/WORLD_SIZE/RANK triple
+    # (the NCCL rendezvous this replaces, yolov3/train.py:159-168)
+    if coordinator_address is None:
+        coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                               or os.environ.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
+
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -34,17 +50,12 @@ def distributed_init(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
         return
-    import os
-    env_driven = (coordinator_address
-                  or os.environ.get("JAX_COORDINATOR_ADDRESS")
-                  or os.environ.get("COORDINATOR_ADDRESS")
-                  or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in
-                  ("", "1")
-                  or os.environ.get("NUM_PROCESSES", "1") not in ("", "1"))
-    if env_driven:
-        # cluster env detected: let jax auto-resolve (SLURM / Cloud TPU /
-        # explicit JAX_* vars) — silently skipping here would run N
-        # independent single-host jobs instead of one distributed job
+    if (coordinator_address
+            or os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1")):
+        # coordinator without an explicit process count, or a cluster env
+        # (SLURM plugin): let jax auto-resolve the rest — silently
+        # skipping here would run N independent single-host jobs instead
+        # of one distributed job
         jax.distributed.initialize(coordinator_address=coordinator_address)
 
 

@@ -290,3 +290,81 @@ num=3
             sorted(jax.tree_util.tree_leaves_with_path(s8), key=key)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6, err_msg=str(k1))
+
+
+# ---------------------------------------------------------------------------
+# distributed_init: real two-process rendezvous on CPU (Gloo collectives) —
+# the TPU-world analogue of the reference's NCCL TCP rendezvous
+# (yolov3/train.py:159-168). Each child runs ONE local CPU device; after
+# distributed_init, jax.device_count() must be global (2) and a psum must
+# cross the process boundary.
+# ---------------------------------------------------------------------------
+
+_DIST_CHILD = r"""
+import os, sys
+mode, pid, nproc, addr = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), \
+    sys.argv[4]
+if mode == "env":
+    os.environ["JAX_COORDINATOR_ADDRESS"] = addr
+    os.environ["NUM_PROCESSES"] = str(nproc)
+    os.environ["PROCESS_ID"] = str(pid)
+from rtdm_tpu.core.mesh import create_mesh, distributed_init
+if mode == "env":
+    distributed_init()
+else:
+    distributed_init(coordinator_address=addr, num_processes=nproc,
+                     process_id=pid)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.process_index() == pid, jax.process_index()
+assert jax.device_count() == nproc, jax.device_count()
+assert len(jax.local_devices()) == 1
+mesh = create_mesh()
+local = np.full((1,), float(pid + 1), np.float32)
+garr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local)
+f = jax.jit(jax.shard_map(lambda x: jax.lax.psum(x, "data"), mesh=mesh,
+                          in_specs=P("data"), out_specs=P()))
+out = np.asarray(jax.device_get(f(garr)))
+assert out[0] == sum(range(1, nproc + 1)), out
+print(f"DIST_OK {mode} {pid}", flush=True)
+"""
+
+
+@pytest.mark.parametrize("mode", ["args", "env"])
+def test_distributed_init_two_process(mode, tmp_path):
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+           "PALLAS_AXON_POOL_IPS": "",  # never touch the TPU tunnel
+           "PYTHONPATH": "/root/repo"}
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "NUM_PROCESSES", "PROCESS_ID"):
+        env.pop(k, None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _DIST_CHILD, mode, str(i), "2", addr],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd="/root/repo") for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"DIST_OK {mode} {i}" in out
