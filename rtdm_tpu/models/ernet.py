@@ -61,19 +61,23 @@ class SqueezeErNET(nn.Module):
     image_size: int = 140
     dropout_rate: float = 0.2
     num_classes: int = NUM_CLASSES
+    # elide the ACFF concat (models/acff.py::_SplitFusedConv1x1) — same
+    # params/math, fewer HBM bytes; off by default for bit-stable
+    # goldens, enabled by the bench/engine fast path when it wins
+    split_fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  apply_softmax: bool = True) -> jax.Array:
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
-        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff2")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff4")(x, train)
         return _ErnetHead(pool_padding=1, num_classes=self.num_classes,
                           name="head")(x, apply_softmax and not train)
 
@@ -84,6 +88,10 @@ class SqueezeRedConv(nn.Module):
     image_size: int = 140
     dropout_rate: float = 0.2
     num_classes: int = NUM_CLASSES
+    # elide the ACFF concat (models/acff.py::_SplitFusedConv1x1) — same
+    # params/math, fewer HBM bytes; off by default for bit-stable
+    # goldens, enabled by the bench/engine fast path when it wins
+    split_fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
@@ -91,15 +99,15 @@ class SqueezeRedConv(nn.Module):
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
         x = Conv(8, kernel_size=1, name="conv_red1")(x)
-        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff2")(x, train)
         x = Conv(48, kernel_size=1, name="conv_red2")(x)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
         x = Conv(64, kernel_size=1, name="conv_red3")(x)
-        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff4")(x, train)
         return _ErnetHead(pool_padding=1, num_classes=self.num_classes,
                           name="head")(x, apply_softmax and not train)
 
@@ -110,21 +118,25 @@ class ErNET(nn.Module):
     image_size: int = 240
     dropout_rate: float = 0.2
     num_classes: int = NUM_CLASSES
+    # elide the ACFF concat (models/acff.py::_SplitFusedConv1x1) — same
+    # params/math, fewer HBM bytes; off by default for bit-stable
+    # goldens, enabled by the bench/engine fast path when it wins
+    split_fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  apply_softmax: bool = True) -> jax.Array:
         ax = self.bn_axis
         x = Conv(16, 3, stride=2, use_bias=False, name="conv1")(x)
-        x = ACFF(64, self.dropout_rate, bn_axis=ax, name="acff1")(x, train)
+        x = ACFF(64, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff1")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(96, self.dropout_rate, bn_axis=ax, name="acff2")(x, train)
+        x = ACFF(96, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff2")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff3")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff3")(x, train)
         x = max_pool2d(x, 2, 2)
-        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff4")(x, train)
-        x = ACFF(128, self.dropout_rate, bn_axis=ax, name="acff5")(x, train)
-        x = ACFF(256, self.dropout_rate, bn_axis=ax, name="acff6")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff4")(x, train)
+        x = ACFF(128, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff5")(x, train)
+        x = ACFF(256, self.dropout_rate, bn_axis=ax, split_fuse=self.split_fuse, name="acff6")(x, train)
         return _ErnetHead(pool_padding=0, num_classes=self.num_classes,
                           name="head")(x, apply_softmax and not train)
 

@@ -78,3 +78,24 @@ def test_parity_vs_reference_weights(name, rng):
     np.testing.assert_allclose(np.asarray(got), expected,
                                rtol=1e-4, atol=1e-5)
     assert np.array_equal(np.argmax(got, axis=1), np.argmax(expected, axis=1))
+
+
+def test_split_fuse_matches_concat_path():
+    """split_fuse=True (concat-free ACFF 1x1, models/acff.py) must be
+    numerically equivalent to the concat path under the SAME params —
+    W @ concat(b1,b2,b3) == sum_i W_i @ b_i up to f32 accumulation order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtdm_tpu.models import create_model
+
+    base = create_model("squeeze-ernet")
+    split = create_model("squeeze-ernet", split_fuse=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 140, 140, 3)).astype(np.float32))
+    variables = base.init(jax.random.PRNGKey(0), x)
+    y0 = base.apply(variables, x)
+    y1 = split.apply(variables, x)  # identical param tree by construction
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
