@@ -202,9 +202,13 @@ def test_serve_load_concurrent_clients(classify_server):
 
     res = run_load(classify_server, "/v1/classify", clients=12,
                    requests_per_client=6, timeout=120.0)
+    print("serve_load:", json.dumps(res))  # calibration data in CI logs
     assert res["errors"] == 0, res.get("first_error")
     assert res["requests"] == 72
     assert res["server_mean_batch"] > 1.0, res  # coalescing happened
     assert res["p50_ms"] > 0 and res["p99_ms"] >= res["p50_ms"]
-    # generous CPU-CI bound; the TPU numbers land in docs/DESIGN.md
-    assert res["p99_ms"] < 30_000
+    # calibrated envelope: measured p99 on this 1-vCPU CI host is ~2.2 s
+    # (XLA CPU classifier, 12 concurrent clients, host under load); 10 s
+    # is a ~4-5x jitter envelope that still fails on a wedged batcher
+    # (the TPU-backed numbers live in docs/DESIGN.md "Serving under load")
+    assert res["p99_ms"] < 10_000
