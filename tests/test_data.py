@@ -298,3 +298,34 @@ def test_load_scaled_native_matches_pil_fallback():
         corr = np.corrcoef(a, b)[0, 1]
         assert corr > 0.95, corr
         assert np.abs(a - b).mean() < 20.0
+
+
+def test_scaled_tile_cache_matches_uncached(tmp_path):
+    """--cache-images memoizes the post-resize mosaic tile (the reference
+    caches load_image's resized array, datasets.py:393-404); the cached
+    result must be pixel-identical to the uncached PIL fallback path for
+    the same raw frame, and repeated loads must hit the memo."""
+    import numpy as np
+    from PIL import Image
+
+    from rtdm_tpu.data.odder import DetectionDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (90, 120, 3), dtype=np.uint8)
+                        ).save(img_dir / f"{i}.png")  # png: no native path
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(str(img_dir / f"{i}.png") for i in range(3)))
+
+    cached = DetectionDataset(str(lst), img_size=64, base_dir=str(tmp_path),
+                              cache_images=True)
+    uncached = DetectionDataset(str(lst), img_size=64,
+                                base_dir=str(tmp_path), cache_images=False)
+    for i in range(3):
+        a = cached.load_scaled(i, 64)
+        b = uncached.load_scaled(i, 64)
+        np.testing.assert_array_equal(a, b)
+        assert cached.load_scaled(i, 64) is a  # memo hit, not recompute
