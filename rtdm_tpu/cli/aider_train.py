@@ -313,12 +313,25 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
     for epoch in range(start_epoch, config.epochs):
         t0 = time.time()
         loss_m, acc_m = AverageMeter("loss"), AverageMeter("acc")
+        # one-step-lagged metric fetch: reading step N-1's scalars while
+        # step N is dispatched overlaps the device round-trip with compute
+        # (a same-step device_get serializes every step on the remote
+        # tunnel; same pipelining as cli/yolo_train.py's loss fetch)
+        pending = None
         for images, labels, _ in train_loader:
             x, y = put_batch(images, labels)
             state, m = train_step(state, x, y, base_rng)
-            m = jax.device_get(m)
-            loss_m.update(float(m["loss"]), len(labels))
-            acc_m.update(float(m["accuracy"]), len(labels))
+            if pending is not None:
+                pm, pn = pending
+                pm = jax.device_get(pm)
+                loss_m.update(float(pm["loss"]), pn)
+                acc_m.update(float(pm["accuracy"]), pn)
+            pending = (m, len(labels))
+        if pending is not None:
+            pm, pn = pending
+            pm = jax.device_get(pm)
+            loss_m.update(float(pm["loss"]), pn)
+            acc_m.update(float(pm["accuracy"]), pn)
 
         val = run_eval(val_loader)
         lr = current_lr(state.opt_state)

@@ -693,6 +693,7 @@ def train(args):
         t0 = time.time()
         ep_loss = np.zeros(3)
         nb = 0
+        pending_comps = None  # one-step-lagged loss fetch (see below)
         in_prebias = prebias_step is not None and epoch < args.prebias
         if in_prebias and prebias_opt_state is None:
             prebias_opt_state = prebias_tx.init(params)
@@ -721,17 +722,34 @@ def train(args):
                 params, batch_stats, opt_state, ema_vars, loss, comps = fn(
                     params, batch_stats, opt_state, ema_vars,
                     images, labels, nlab, step_rng, step_i)
-            comps_np = np.asarray(jax.device_get(comps))
-            if not np.isfinite(comps_np).all():
-                # non-finite loss abort (yolov3/train.py:284-286)
-                logger.error(
-                    "WARNING: non-finite loss %s at step %d — ending "
-                    "training", comps_np.tolist(), it)
-                aborted = True
-                break
-            ep_loss += comps_np
+            # Pipelined loss fetch: check step N-1's components while step
+            # N is already dispatched (jax dispatch is async). A same-step
+            # device_get would serialize every step on a full tunnel
+            # round-trip — measured ~25 s/epoch on the remote-compile
+            # backend vs ~10 s pipelined. The non-finite abort
+            # (yolov3/train.py:284-286) still fires, one step late.
+            if pending_comps is not None:
+                comps_np = np.asarray(jax.device_get(pending_comps))
+                if not np.isfinite(comps_np).all():
+                    logger.error(
+                        "WARNING: non-finite loss %s at step %d — ending "
+                        "training", comps_np.tolist(), it - 1)
+                    aborted = True
+                    break
+                ep_loss += comps_np
+            pending_comps = comps
             nb += 1
             it += 1
+        # drain the last step's lagged components
+        if pending_comps is not None and not aborted:
+            comps_np = np.asarray(jax.device_get(pending_comps))
+            if not np.isfinite(comps_np).all():
+                logger.error("WARNING: non-finite loss %s at final step %d",
+                             comps_np.tolist(), it - 1)
+                aborted = True
+            else:
+                ep_loss += comps_np
+            pending_comps = None
         if aborted:
             break
         ep_loss /= max(nb, 1)
