@@ -13,6 +13,7 @@ Run: python -m rtdm_tpu.cli.aider_train --model squeeze-ernet \
 from __future__ import annotations
 
 import argparse
+import math
 import dataclasses
 import logging
 import os
@@ -318,20 +319,27 @@ def train_model(config) -> Tuple[object, Dict[str, List[float]]]:
         # (a same-step device_get serializes every step on the remote
         # tunnel; same pipelining as cli/yolo_train.py's loss fetch)
         pending = None
+
+        def drain(p):
+            pm, pn = p
+            pm = jax.device_get(pm)
+            if not math.isfinite(float(pm["loss"])):
+                # non-finite loss abort — same sanitizer guard as the
+                # detector trainer (yolov3/train.py:284-286 analogue)
+                raise SystemExit(
+                    f"non-finite train loss {float(pm['loss'])} "
+                    f"(epoch {epoch + 1}) — aborting")
+            loss_m.update(float(pm["loss"]), pn)
+            acc_m.update(float(pm["accuracy"]), pn)
+
         for images, labels, _ in train_loader:
             x, y = put_batch(images, labels)
             state, m = train_step(state, x, y, base_rng)
             if pending is not None:
-                pm, pn = pending
-                pm = jax.device_get(pm)
-                loss_m.update(float(pm["loss"]), pn)
-                acc_m.update(float(pm["accuracy"]), pn)
+                drain(pending)
             pending = (m, len(labels))
         if pending is not None:
-            pm, pn = pending
-            pm = jax.device_get(pm)
-            loss_m.update(float(pm["loss"]), pn)
-            acc_m.update(float(pm["accuracy"]), pn)
+            drain(pending)
 
         val = run_eval(val_loader)
         lr = current_lr(state.opt_state)

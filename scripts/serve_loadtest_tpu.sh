@@ -1,0 +1,35 @@
+#!/bin/bash
+# TPU-backed serve load test (VERDICT r3 next #4): start the micro-batching
+# HTTP server over saved classifier + detector engines, hammer it at three
+# client counts, record p50/p99/RPS/mean-batch-fill.
+# Usage: serve_loadtest_tpu.sh <classifier-engine-dir> <detector-engine-dir>
+# Single-tenant TPU: run alone. Results -> runs/serve_loadtest/*.json.
+set -u
+cd /root/repo
+OUT=runs/serve_loadtest
+mkdir -p "$OUT"
+PORT=${PORT:-8123}
+
+run_one () {  # tag endpoint serve-args...
+  local tag=$1 ep=$2; shift 2
+  python -m rtdm_tpu.cli.serve --port "$PORT" "$@" \
+    > "$OUT/$tag.server.log" 2>&1 &
+  local SPID=$!
+  for _ in $(seq 1 180); do  # readiness: first TPU compile can take ~min
+    curl -s -o /dev/null "http://127.0.0.1:$PORT/stats" && break
+    sleep 1
+  done
+  for c in 4 16 48; do
+    echo "=== $tag clients=$c $(date -u +%H:%M:%S) ==="
+    timeout 300 python -m rtdm_tpu.cli.serve_loadtest \
+      --url "http://127.0.0.1:$PORT" --endpoint "$ep" \
+      --clients "$c" --requests 24 | tee "$OUT/${tag}_c${c}.json"
+  done
+  kill "$SPID" 2>/dev/null
+  wait "$SPID" 2>/dev/null
+}
+
+run_one cls /v1/classify --engine "$1"
+sleep 2
+run_one det /v1/detect --detector "$2" --names person,vehicle
+echo "done"
