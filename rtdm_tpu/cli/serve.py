@@ -150,6 +150,12 @@ def make_server(port: int, classify: Optional[_ClassifyService],
                 n = int(self.headers.get("Content-Length", "0"))
                 result = svc(self.rfile.read(n))
                 self._json(200, result)
+            except TimeoutError as e:
+                # batcher future timed out — the server is warming up
+                # (first dispatch pays the XLA compile) or overloaded;
+                # retryable, so 503 not 400
+                self._json(503, {"error": f"{type(e).__name__}: {e}",
+                                 "retryable": True})
             except Exception as e:  # noqa: BLE001 — surface to the client
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

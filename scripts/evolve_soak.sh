@@ -14,6 +14,6 @@ timeout "${TMO:-10800}" python -m rtdm_tpu.cli.yolo_train \
   --cfg "$CFG" --data "$DET" --epochs "$EPOCHS" --batch-size 16 \
   --img-size 320 --cache-images --ema --optimizer adam --lr0 0.002 \
   --nominal-batch 64 --eval-every 0 --num-workers 2 --evolve "$GENS" \
-  --train-list-override data/synth/det/data/valid.txt \
+  --train-list-override /root/repo/data/synth/det/data/valid.txt \
   --output "$OUT" > "$OUT.log" 2>&1
 echo "evolve rc=$? $(tail -2 "$OUT.log" | head -1)"

@@ -169,6 +169,33 @@ def test_http_bad_body_is_a_client_error(classify_server):
     assert raised
 
 
+def test_http_batcher_timeout_is_retryable_503():
+    """A batcher-future timeout (server still compiling its first dispatch,
+    or overloaded) must surface as retryable 503, not 400 — observed live:
+    the first requests of a TPU-backed load test time out against the
+    ~1-min first-dispatch XLA compile (serve.py:do_POST)."""
+    from rtdm_tpu.cli.serve import make_server
+
+    class _SlowService:
+        def __call__(self, body: bytes):
+            raise TimeoutError("future timed out")
+
+    server = make_server(0, _SlowService(), None)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/v1/classify"
+        req = urllib.request.Request(url, data=b"x", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 503
+        payload = json.load(ei.value)
+        assert payload["retryable"] is True
+        assert "TimeoutError" in payload["error"]
+    finally:
+        server.shutdown()
+
+
 def test_detections_to_json_unletterboxes_exactly():
     """Boxes in letterbox space map back to original pixels with the same
     gain/pad the letterbox applied (scale_coords semantics)."""
