@@ -171,7 +171,10 @@ class EvolveLog:
                              f"got {len(results)}")
         row = results + [float(hyp[k]) for k in self.keys]
         with open(self.path, "a") as f:
-            f.write(("%10.5g" * len(row)) % tuple(row) + "\n")
+            # explicit separator: a 10-char value (e.g. 2.7554e-07)
+            # fills the whole %10.5g field and would otherwise merge
+            # with its neighbour, breaking np.loadtxt
+            f.write(" ".join("%10.5g" % v for v in row) + "\n")
         x = np.unique(np.loadtxt(self.path, ndmin=2), axis=0)
         x = x[np.argsort(-fitness(x, self.w_fit))]
         np.savetxt(self.path, x, "%10.5g")

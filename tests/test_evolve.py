@@ -147,6 +147,22 @@ def test_evolve_log_sorted_unique_and_yaml(tmp_path):
     assert got == {"lr0": 0.02, "mosaic": 0.5}
 
 
+def test_evolve_log_full_width_values_stay_separated(tmp_path):
+    """A 10-char %10.5g value (e.g. 2.7554e-07) fills its whole field;
+    without an explicit separator it merges with the next column and
+    np.loadtxt dies with a changed-column-count ValueError — hit live at
+    evolve gen 1 when near-zero metrics landed in e-notation."""
+    meta = {"lr0": (1, 1e-5, 0.1), "mosaic": (1, 0.0, 1.0)}
+    log = EvolveLog(str(tmp_path / "evolve.txt"), meta)
+    tiny = [3.3113e-05, 0.0023148, 2.7554e-07, 6.5291e-05, 2.2, 8.2, 8.1]
+    log.append({"lr0": 8.4e-05, "mosaic": 1.0}, tiny)
+    log.append({"lr0": 0.01, "mosaic": 0.5}, [0.5, 0.6, 0.9, 0.8, 1, 2, 3])
+    rows = log.load()
+    assert rows.shape == (2, N_RESULT_COLS + 2)
+    np.testing.assert_allclose(
+        rows[np.argmin(rows[:, 2]), :4], tiny[:4], rtol=1e-4)
+
+
 def test_genomes_cover_trainer_surface():
     """Every v5 gene must be either a trainer flag or a consumed hyp-yaml
     key; genome order is stable (evolve.txt schema)."""
