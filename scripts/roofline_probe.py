@@ -165,13 +165,71 @@ def fps(batches=(8192,), iters=50):
     return out
 
 
+def packed(batch=8192, k=8, iters=50):
+    """Batch-in-channels packed engine (models/packed.py) vs the NHWC
+    concat baseline — the layout attack on the small-C lane-padding gap
+    (every stage's packed channel count is a multiple of 128 at k=8)."""
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _bytes_per_example, _timed_fps
+    from rtdm_tpu.core.precision import BF16_POLICY
+    from rtdm_tpu.data.aider import normalize_batch
+    from rtdm_tpu.models import create_model
+    from rtdm_tpu.models.packed import packed_forward
+    from rtdm_tpu.models.torch_import import load_classifier_checkpoint
+
+    variables = load_classifier_checkpoint(
+        "/root/reference/code/disaster_detection/weights/"
+        "squeeze-ernet-state_dict.pt")
+    cast = {"params": BF16_POLICY.cast_to_compute(variables["params"]),
+            "batch_stats": variables["batch_stats"]}
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(jnp.asarray(rng.integers(
+        0, 255, (batch, 140, 140, 3), dtype=np.uint8))) for _ in range(2)]
+    out = {}
+
+    model = create_model("squeeze-ernet")
+
+    def baseline(images_u8):
+        x = normalize_batch(images_u8).astype(BF16_POLICY.compute_dtype)
+        return model.apply(cast, x, train=False)
+
+    def packed_fn(images_u8):
+        return packed_forward(cast, images_u8, k=k,
+                              compute_dtype=BF16_POLICY.compute_dtype)
+
+    for key, fn in (("baseline_nhwc", baseline), (f"packed_k{k}", packed_fn)):
+        print(f"probe: {key} compile...", file=sys.stderr, flush=True)
+        compiled = jax.jit(fn).lower(bufs[0]).compile()
+        bpf = _bytes_per_example(compiled, batch)
+        f = _timed_fps(compiled, [(b,) for b in bufs], batch, iters)
+        out[key] = {"fps": round(f, 1),
+                    "bytes_per_frame": round(bpf) if bpf else None,
+                    "hbm_gbps": round(f * bpf / 1e9, 1) if bpf else None}
+        print(json.dumps({key: out[key]}), flush=True)
+    # numerics sanity on-chip: same argmax over one small batch
+    small = bufs[0][:64]
+    a = np.asarray(jax.jit(baseline)(small))
+    b = np.asarray(jax.jit(packed_fn)(small))
+    out["argmax_agree"] = float((a.argmax(-1) == b.argmax(-1)).mean())
+    out["max_prob_delta"] = float(np.abs(a - b).max())
+    if f"packed_k{k}" in out:
+        out["packed_speedup"] = round(
+            out[f"packed_k{k}"]["fps"] / out["baseline_nhwc"]["fps"], 4)
+    print(json.dumps({"packed_probe": out}))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ledger", action="store_true")
     p.add_argument("--stream", action="store_true")
     p.add_argument("--fps", action="store_true")
+    p.add_argument("--packed", action="store_true")
     a = p.parse_args(argv)
-    if not (a.ledger or a.stream or a.fps):
+    if not (a.ledger or a.stream or a.fps or a.packed):
         a.ledger = a.stream = a.fps = True
     if a.ledger:
         ledger()
@@ -179,6 +237,8 @@ def main(argv=None):
         stream()
     if a.fps:
         fps()
+    if a.packed:
+        packed()
 
 
 if __name__ == "__main__":
