@@ -55,6 +55,31 @@ def _tile_o(w: jax.Array, k: int) -> jax.Array:
     return jnp.tile(w, (1,) * (w.ndim - 1) + (k,))
 
 
+def _block_diag_kernel(w: jax.Array, k: int,
+                       in_order: str = "kc") -> jax.Array:
+    """Expand an HWIO kernel [kh,kw,I,O] to the dense packed kernel
+    [kh,kw,k*I,k*O] that applies W independently per image group.
+
+    The measured failure of the grouped-conv path (roofline probe: every
+    grouped 1x1 needs its input channels re-ordered to [image][feature],
+    and that interleave materializes ~2 MB/frame) motivates this variant:
+    keep the activations in whatever channel order falls out of the
+    previous op and absorb the permutation into a block-diagonal weight —
+    MACs go up k-fold, but at 5% MFU the MXU is idle and weights are read
+    once per batch, so FLOPs are the cheap currency.
+
+    in_order: 'kc' when input channels are ordered [image][feature] (the
+    pack layout), 'ck' when ordered [feature][image]."""
+    kh, kw, i, o = w.shape
+    eye = jnp.eye(k, dtype=w.dtype)
+    if in_order == "kc":
+        # out channel j*O+f reads in channel j*I+c
+        dense = jnp.einsum("hwio,jk->hwjiko", w, eye)
+    else:
+        dense = jnp.einsum("hwio,jk->hwijko", w, eye)
+    return dense.reshape(kh, kw, k * i, k * o)
+
+
 def pack_images(x: jax.Array, k: int) -> jax.Array:
     """[N,H,W,C] -> [N/k, H, W, k*C]; image j of block b -> channel group j."""
     n, h, w, c = x.shape
@@ -63,7 +88,8 @@ def pack_images(x: jax.Array, k: int) -> jax.Array:
     return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(n // k, h, w, k * c)
 
 
-def _packed_acff(x: jax.Array, p, s, k: int, eps: float = 1e-5) -> jax.Array:
+def _packed_acff(x: jax.Array, p, s, k: int, layout: str = "grouped",
+                 eps: float = 1e-5) -> jax.Array:
     """ACFF block (models/acff.py) on a [B,H,W,k*C] packed activation."""
     c = x.shape[-1] // k
     branches = []
@@ -74,13 +100,23 @@ def _packed_acff(x: jax.Array, p, s, k: int, eps: float = 1e-5) -> jax.Array:
                    jnp.tile(dw["bias"], k), stride=1, padding=dil - 1,
                    dilation=dil, groups=k * c)
         branches.append(y)
-    # concat per image: [kC]x3 -> [k,C]x3 -> [k,3C] -> [k*3C]
     b, h, w = branches[0].shape[:3]
-    cat = jnp.concatenate([y.reshape(b, h, w, k, c) for y in branches],
-                          axis=-1).reshape(b, h, w, k * 3 * c)
     fc = p["fused_conv"]
-    out = conv2d(cat, _tile_o(fc["kernel"].astype(x.dtype), k),
-                 jnp.tile(fc["bias"], k), groups=k)
+    if layout == "dense":
+        # plain branch-major concat [3][k][C] — no interleave; the image
+        # permutation lives in the block-diagonal kernel instead
+        cat = jnp.concatenate(branches, axis=-1)
+        w3 = fc["kernel"].astype(x.dtype).reshape(3, c, -1)
+        eye = jnp.eye(k, dtype=x.dtype)
+        dense = jnp.einsum("icf,jl->ijclf", w3, eye).reshape(
+            1, 1, 3 * k * c, k * w3.shape[-1])
+        out = conv2d(cat, dense, jnp.tile(fc["bias"], k))
+    else:
+        # concat per image: [kC]x3 -> [k,C]x3 -> [k,3C] -> [k*3C]
+        cat = jnp.concatenate([y.reshape(b, h, w, k, c) for y in branches],
+                              axis=-1).reshape(b, h, w, k * 3 * c)
+        out = conv2d(cat, _tile_o(fc["kernel"].astype(x.dtype), k),
+                     jnp.tile(fc["bias"], k), groups=k)
     out = jax.nn.leaky_relu(out, negative_slope=0.01)
     bn, bs = p["batch_norm"], s["batch_norm"]
     inv = jax.lax.rsqrt(bs["var"] + eps) * bn["scale"]
@@ -91,6 +127,7 @@ def _packed_acff(x: jax.Array, p, s, k: int, eps: float = 1e-5) -> jax.Array:
 
 def packed_forward(variables, images_u8: jax.Array, k: int = 8,
                    model: str = "squeeze-ernet",
+                   layout: str = "grouped",
                    compute_dtype=jnp.bfloat16) -> jax.Array:
     """Eval-mode forward, u8 NHWC -> class probabilities [N, num_classes].
 
@@ -98,27 +135,40 @@ def packed_forward(variables, images_u8: jax.Array, k: int = 8,
     train=False)`` image-for-image (tested in tests/test_packed.py); only
     the on-chip layout differs. ``k=8`` makes every stage's packed channel
     count a multiple of 128 on the ErNET family.
+
+    layout='grouped': pointwise convs as feature_group_count=k grouped
+    convs (needs a per-image channel interleave before each fuse conv).
+    layout='dense': pointwise convs as plain dense convs over
+    block-diagonal kernels (k-fold MACs, no interleave) — see
+    _block_diag_kernel for the measured rationale.
     """
     if model not in _PLANS:
         raise ValueError(f"packed_forward supports {sorted(_PLANS)}, "
                          f"not '{model}' (redconv has no 128-aligned plan)")
     stages, head_pad = _PLANS[model]
     params, stats = variables["params"], variables["batch_stats"]
+    dense = layout == "dense"
 
     x = normalize_batch(images_u8).astype(compute_dtype)
     x = pack_images(x, k)  # [B,140,140,k*3]
-    # conv1 3x3 s2: fgc=k, kernel [3,3,3,16] -> [3,3,3,k*16]
-    x = conv2d(x, _tile_o(params["conv1"]["kernel"].astype(x.dtype), k),
-               stride=2, groups=k)
+    k1 = params["conv1"]["kernel"].astype(x.dtype)
+    if dense:
+        x = conv2d(x, _block_diag_kernel(k1, k), stride=2)
+    else:
+        # conv1 3x3 s2: fgc=k, kernel [3,3,3,16] -> [3,3,3,k*16]
+        x = conv2d(x, _tile_o(k1, k), stride=2, groups=k)
     pools = _POOL_AFTER[model]
     for name in stages:
-        x = _packed_acff(x, params[name], stats[name], k)
+        x = _packed_acff(x, params[name], stats[name], k, layout)
         if name in pools:
             x = max_pool2d(x, 2, 2)
     # head: 1x1 conv (no bias) -> odd avg-pool -> NCHW flatten -> fc
     head = params["head"]
-    x = conv2d(x, _tile_o(head["conv2"]["kernel"].astype(x.dtype), k),
-               groups=k)
+    k2 = head["conv2"]["kernel"].astype(x.dtype)
+    if dense:
+        x = conv2d(x, _block_diag_kernel(k2, k))
+    else:
+        x = conv2d(x, _tile_o(k2, k), groups=k)
     x = avg_pool2d(x, 5, 1, head_pad, count_include_pad=True)
     b, h, w, kc = x.shape
     nc = kc // k
@@ -131,8 +181,8 @@ def packed_forward(variables, images_u8: jax.Array, k: int = 8,
 
 
 def packed_engine_fn(variables, k: int = 8, model: str = "squeeze-ernet",
-                     compute_dtype=jnp.bfloat16):
+                     layout: str = "grouped", compute_dtype=jnp.bfloat16):
     """Jit-ready closure over cast weights, mirroring export/engine.py's
     weights-as-constants style: ``fn(images_u8) -> probs``."""
     return partial(packed_forward, variables, k=k, model=model,
-                   compute_dtype=compute_dtype)
+                   layout=layout, compute_dtype=compute_dtype)

@@ -79,40 +79,79 @@ def ledger():
     return total
 
 
-def _timed_gbps(compiled, args, nbytes, iters=30):
-    import jax
-    out = compiled(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+PASSES = 32  # loop-carried passes per dispatch (see _timed_gbps)
+
+
+def _timed_gbps(compiled, x0, nbytes_per_pass, iters=10):
+    """Time a compiled fn whose body is a PASSES-deep lax.fori_loop over a
+    same-shape carry (each iteration materializes the carry: one read + one
+    write of the buffer per pass), syncing with a one-element fetch.
+
+    Two failure modes this dodges, both measured: materializing the full
+    output drags hundreds of MB over the dev tunnel and times the relay
+    (~2 GB/s 'bandwidth'); and single-pass dispatches are dominated by
+    per-dispatch tunnel RPC latency (~300 GB/s for a 0.65 ms kernel)."""
+    a = compiled(x0)
+    np.asarray(a[:1])  # warm + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = compiled(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        a = compiled(a)
+    np.asarray(a[:1])  # one element: syncs the chain, ~no D2H
     dt = time.perf_counter() - t0
-    return nbytes * iters / dt / 1e9
+    return nbytes_per_pass * PASSES * iters / dt / 1e9
 
 
 def stream():
-    """Achievable-bandwidth probes at the model's shapes."""
+    """Achievable-bandwidth probes at the model's shapes. Each dispatch is
+    PASSES loop-carried reverse-mix sweeps over the buffer: element i needs
+    element n-1-i from the previous pass, so the compiler cannot interchange
+    the loop with tiling and keep tiles resident in VMEM (a plain ``s*c``
+    body measured 3.2 TB/s — 4x nameplate — exactly that interchange).
+    Each pass is >= one full HBM read + write; the reported GB/s counts
+    exactly that, so it is a floor on traffic and honest as a ceiling."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
+
+    def roll_sweep(a):
+        # forward-streaming with a one-tile-crossing shift: element i needs
+        # i - 2^20 from the previous pass, so passes cannot collapse into
+        # per-tile VMEM loops, but access order stays sequential
+        c = jnp.asarray(0.5000001, a.dtype)
+        return lax.fori_loop(
+            0, PASSES, lambda i, s: (s + jnp.roll(s, 1 << 20, axis=0)) * c, a)
+
+    def transpose_sweep(a):
+        # square transpose each pass: tiled whole-buffer permutation, the
+        # classic bandwidth-bound-but-unfusable kernel
+        c = jnp.asarray(1.0000001, a.dtype)
+        return lax.fori_loop(
+            0, PASSES, lambda i, s: jnp.swapaxes(s, 0, 1) * c, a)
 
     res = {}
-    # flat f32 copy-scale: read N + write N
-    n = 64 * 1024 * 1024  # 256 MB f32
-    x = jax.device_put(jnp.ones((n,), jnp.float32))
-    f = jax.jit(lambda a: a * 1.0001).lower(x).compile()
-    res["flat_f32_copy_gbps"] = round(_timed_gbps(f, (x,), 2 * 4 * n), 1)
+    # flat roll-mix, f32 and bf16 (bytes counted 1 read + 1 write/pass —
+    # the rolled second read of the same buffer makes this a floor)
+    n = 64 * 1024 * 1024
+    for dt_, name in ((jnp.float32, "flat_f32"), (jnp.bfloat16, "flat_bf16")):
+        x = jax.device_put(jnp.ones((n,), dt_))
+        f = jax.jit(roll_sweep).lower(x).compile()
+        res[f"{name}_roll_gbps"] = round(
+            _timed_gbps(f, x, 2 * x.dtype.itemsize * n), 1)
 
-    # NHWC bf16 elementwise, C=16 vs C=128, same total bytes (~256 MB)
+    xt = jax.device_put(jnp.ones((8192, 8192), jnp.float32))  # 256 MB
+    f = jax.jit(transpose_sweep).lower(xt).compile()
+    res["transpose_f32_gbps"] = round(
+        _timed_gbps(f, xt, 2 * 4 * 8192 * 8192), 1)
+
+    # NHWC bf16 elementwise at the model's spatial shape, C=16 vs C=128,
+    # same total bytes — does a small minor dim pay tile padding on HBM?
     for c in (16, 128):
         b = 256 * 1024 * 1024 // (67 * 67 * c * BF16)
         xs = jax.device_put(jnp.ones((b, 67, 67, c), jnp.bfloat16))
-        f = jax.jit(lambda a: a * 1.5).lower(xs).compile()
-        nbytes = 2 * b * 67 * 67 * c * BF16
-        res[f"nhwc_bf16_c{c}_gbps"] = round(_timed_gbps(f, (xs,), nbytes), 1)
+        f = jax.jit(roll_sweep).lower(xs).compile()
+        res[f"nhwc_bf16_c{c}_gbps"] = round(
+            _timed_gbps(f, xs, 2 * b * 67 * 67 * c * BF16), 1)
 
-    # the headline's dominant stage as an isolated program: acff1's
-    # depthwise+1x1 at batch 2048 (bytes from its own cost analysis)
     print(json.dumps({"stream": res}))
     return res
 
@@ -165,7 +204,7 @@ def fps(batches=(8192,), iters=50):
     return out
 
 
-def packed(batch=8192, k=8, iters=50):
+def packed(batch=8192, ks=(4, 8), layouts=("dense",), iters=50):
     """Batch-in-channels packed engine (models/packed.py) vs the NHWC
     concat baseline — the layout attack on the small-C lane-padding gap
     (every stage's packed channel count is a multiple of 128 at k=8)."""
@@ -196,11 +235,16 @@ def packed(batch=8192, k=8, iters=50):
         x = normalize_batch(images_u8).astype(BF16_POLICY.compute_dtype)
         return model.apply(cast, x, train=False)
 
-    def packed_fn(images_u8):
-        return packed_forward(cast, images_u8, k=k,
-                              compute_dtype=BF16_POLICY.compute_dtype)
+    def packed_fn(k, layout="grouped"):
+        return lambda images_u8: packed_forward(
+            cast, images_u8, k=k, layout=layout,
+            compute_dtype=BF16_POLICY.compute_dtype)
 
-    for key, fn in (("baseline_nhwc", baseline), (f"packed_k{k}", packed_fn)):
+    legs = [("baseline_nhwc", baseline)]
+    for layout in layouts:
+        tag = "packed" if layout == "grouped" else f"packed_{layout}"
+        legs += [(f"{tag}_k{k}", packed_fn(k, layout)) for k in ks]
+    for key, fn in legs:
         print(f"probe: {key} compile...", file=sys.stderr, flush=True)
         compiled = jax.jit(fn).lower(bufs[0]).compile()
         bpf = _bytes_per_example(compiled, batch)
@@ -212,12 +256,12 @@ def packed(batch=8192, k=8, iters=50):
     # numerics sanity on-chip: same argmax over one small batch
     small = bufs[0][:64]
     a = np.asarray(jax.jit(baseline)(small))
-    b = np.asarray(jax.jit(packed_fn)(small))
+    b = np.asarray(jax.jit(packed_fn(ks[-1], layouts[-1]))(small))
     out["argmax_agree"] = float((a.argmax(-1) == b.argmax(-1)).mean())
     out["max_prob_delta"] = float(np.abs(a - b).max())
-    if f"packed_k{k}" in out:
-        out["packed_speedup"] = round(
-            out[f"packed_k{k}"]["fps"] / out["baseline_nhwc"]["fps"], 4)
+    out["best_packed_speedup"] = round(
+        max(v["fps"] for n, v in out.items() if n.startswith("packed"))
+        / out["baseline_nhwc"]["fps"], 4)
     print(json.dumps({"packed_probe": out}))
     return out
 

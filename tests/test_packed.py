@@ -26,13 +26,14 @@ def _init(name, size):
 @pytest.mark.parametrize("name,size", [("squeeze-ernet", 140),
                                        ("ernet", 240)])
 @pytest.mark.parametrize("k", [2, 8])
-def test_packed_matches_standard_f32(name, size, k):
+@pytest.mark.parametrize("layout", ["grouped", "dense"])
+def test_packed_matches_standard_f32(name, size, k, layout):
     model, variables = _init(name, size)
     rng = np.random.default_rng(3)
     imgs = jnp.asarray(rng.integers(0, 255, (8, size, size, 3),
                                     dtype=np.uint8))
     ref = model.apply(variables, normalize_batch(imgs), train=False)
-    got = packed_forward(variables, imgs, k=k, model=name,
+    got = packed_forward(variables, imgs, k=k, model=name, layout=layout,
                          compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-6, rtol=1e-5)
