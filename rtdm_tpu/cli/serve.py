@@ -32,10 +32,48 @@ from rtdm_tpu.models.ernet import CLASS_NAMES
 
 
 def _decode_image(body: bytes) -> np.ndarray:
-    """Image bytes -> RGB HWC uint8 (PIL; server-side decode is not the
-    hot path — the letterbox/resize for each engine happens below)."""
+    """Image bytes -> RGB HWC uint8 (PIL fallback path; the hot path is
+    the native decode below — serving this box is host-bound on exactly
+    this per-request work, measured in DESIGN.md's serve load test)."""
     from PIL import Image
     return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"), np.uint8)
+
+
+def _peek_dims(body: bytes):
+    """Image dims from the header only (PIL lazy open — no pixel decode)."""
+    from PIL import Image
+    try:
+        with Image.open(io.BytesIO(body)) as im:
+            return im.size  # (w, h)
+    except Exception:
+        return None
+
+
+def _native_classify_frame(body: bytes, size: int):
+    """JPEG bytes -> (size,size,3) u8 eval frame via the native libjpeg
+    DCT-prescale decoder (1.9-3.1x PIL, data/native_io.py), reproducing
+    aider_predict.preprocess geometry: resize shorter side to 1.14*size,
+    center crop. The aspect-exact rect letterbox degenerates to a plain
+    resize (<=1 px of pad at the borders, removed by the >=9 px crop
+    margin). Returns None for non-JPEG/odd inputs -> PIL fallback."""
+    from rtdm_tpu.data import native_io
+    if not native_io.available():
+        return None
+    wh = _peek_dims(body)
+    if wh is None:
+        return None
+    w, h = wh
+    target = int(size * 1.14)
+    if w <= h:
+        nw, nh = target, max(int(round(h * target / w)), target)
+    else:
+        nh, nw = target, max(int(round(w * target / h)), target)
+    res = native_io.decode_jpeg_letterbox_rect(body, nh, nw)
+    if res is None:
+        return None
+    frame = res[0]
+    left, top = (nw - size) // 2, (nh - size) // 2
+    return np.ascontiguousarray(frame[top:top + size, left:left + size])
 
 
 class _ClassifyService:
@@ -49,8 +87,10 @@ class _ClassifyService:
                                     max_wait_ms=max_wait_ms, depth=depth)
 
     def __call__(self, body: bytes) -> dict:
-        from rtdm_tpu.cli.aider_predict import preprocess
-        frame = preprocess(_decode_image(body), self.size)[0]
+        frame = _native_classify_frame(body, self.size)
+        if frame is None:
+            from rtdm_tpu.cli.aider_predict import preprocess
+            frame = preprocess(_decode_image(body), self.size)[0]
         probs = np.asarray(self.batcher(frame), np.float32)
         idx = int(np.argmax(probs))
         return {"label": CLASS_NAMES[idx] if idx < len(CLASS_NAMES)
@@ -84,12 +124,22 @@ class _DetectService:
                                     depth=depth)
 
     def __call__(self, body: bytes) -> dict:
-        from rtdm_tpu.data.odder import letterbox_image
-        img = _decode_image(body)
-        boxed, gain, pads = letterbox_image(img, self.size)
+        from rtdm_tpu.data import native_io
+        res = (native_io.decode_jpeg_letterbox(body, self.size)
+               if native_io.available() else None)
+        if res is not None:
+            # one native call: decode + letterbox (same geometry as
+            # letterbox_image — the eval loader already uses them
+            # interchangeably, data/odder.py:550)
+            boxed, gain, pads, orig_hw = res
+        else:
+            from rtdm_tpu.data.odder import letterbox_image
+            img = _decode_image(body)
+            boxed, gain, pads = letterbox_image(img, self.size)
+            orig_hw = img.shape[:2]
         det, count = self.batcher(boxed)
         return detections_to_json(np.asarray(det, np.float32), int(count),
-                                  gain, pads, img.shape[:2], self.names)
+                                  gain, pads, orig_hw, self.names)
 
 
 def detections_to_json(det: np.ndarray, count: int, gain: float,

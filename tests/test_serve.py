@@ -239,3 +239,38 @@ def test_serve_load_concurrent_clients(classify_server):
     # is a ~4-5x jitter envelope that still fails on a wedged batcher
     # (the TPU-backed numbers live in docs/DESIGN.md "Serving under load")
     assert res["p99_ms"] < 10_000
+
+
+def test_native_classify_frame_matches_pil_preprocess():
+    """The native decode fast path reproduces aider_predict.preprocess
+    geometry on a real aerial JPEG: same shape, content aligned to ~1 px
+    (resize kernels differ: libjpeg DCT-prescale + INTER_LINEAR vs PIL
+    antialiased BILINEAR)."""
+    import glob
+    from rtdm_tpu.cli.serve import _native_classify_frame
+    from rtdm_tpu.cli.aider_predict import preprocess
+    from rtdm_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO unavailable")
+    path = sorted(glob.glob(
+        "/root/reference/code/victim_localization/yolov3/data/custom/"
+        "test/images/*.jpg"))[0]
+    body = open(path, "rb").read()
+    got = _native_classify_frame(body, 140)
+    assert got is not None and got.shape == (140, 140, 3)
+    from rtdm_tpu.cli.serve import _decode_image
+    want = preprocess(_decode_image(body), 140)[0]
+    # interior crop dodges the <=1 px border alignment slack
+    d = (got[2:-2, 2:-2].astype(np.float32)
+         - want[2:-2, 2:-2].astype(np.float32))
+    assert np.abs(d).mean() < 8.0, np.abs(d).mean()
+
+
+def test_native_classify_frame_falls_back_on_non_jpeg(rng):
+    from rtdm_tpu.cli.serve import _native_classify_frame
+    buf = io.BytesIO()
+    from PIL import Image
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+                    ).save(buf, format="PNG")
+    assert _native_classify_frame(buf.getvalue(), 140) is None
