@@ -138,6 +138,13 @@ def main() -> None:
     # detection pipelines (fwd + decode + NMS, one XLA program each)
     row("yolov4_tiny_pipeline", lambda: _detector_fps(
         cfg_name="yolov4-tiny-aider-416.cfg"), 79.2, 6.77e9)
+    v4t_bytes = getattr(_detector_fps, "last_bytes_pf", None)
+    if v4t_bytes and "yolov4_tiny_pipeline_fps" in record:
+        record["yolov4_tiny_pipeline_hbm_bytes_per_frame"] = round(v4t_bytes)
+        record["yolov4_tiny_pipeline_hbm_gbps"] = round(
+            record["yolov4_tiny_pipeline_fps"] * v4t_bytes / 1e9, 1)
+        record["yolov4_tiny_pipeline_hbm_util_of_819gbps"] = round(
+            record["yolov4_tiny_pipeline_fps"] * v4t_bytes / 819e9, 4)
     row("yolov5s_pipeline", _yolov5s_fps, 70.49, 6.8e9)
     row("yolov3_pipeline", lambda: _detector_fps(
         cfg_name="yolov3-aider-416.cfg", batch=64), 31.62, 65.4e9)
@@ -479,6 +486,10 @@ def _detector_fps(batch: int = 256, iters: int = 20,
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
     compiled = jax.jit(full).lower(dev).compile()
     fps = _timed_fps(compiled, [(dev,)], batch, iters)
+    # stash measured HBM bytes/frame for the caller (same executable-side
+    # accounting as the classifier's roofline leg; replaces DESIGN.md's
+    # CPU-backend upper-bound estimate for the detector story)
+    _detector_fps.last_bytes_pf = _bytes_per_example(compiled, batch)
     return fps, _flops_per_example(compiled, batch)
 
 
