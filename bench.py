@@ -13,13 +13,17 @@ resident in HBM; the final output is materialised on host to force full
 completion (block_until_ready alone is not trustworthy over the dev tunnel).
 
 Coverage: every FPS row the reference publishes (BASELINE.md) has a
-measured counterpart here, each with {fps, vs_baseline, mfu} (MFU from the
-XLA cost analysis of the exact compiled program, falling back to the
-reference's own MAC counts when the backend can't report flops), plus the
-sealed int8 classifier engine, ErNET, the fused two-stage cascade, and a
-modelled energy-per-frame table mirroring model/Readme.md:25-29/:51-55
-(the TX2 INA3221 rows — this TPU exposes no power telemetry, so energy is
-the documented busy-time model: chip watts / measured FPS).
+measured counterpart here, each with {fps, vs_baseline, mfu, and an HBM
+ledger — bytes/frame, GB/s, util-of-nameplate — read from the compiled
+executable's own cost analysis}, plus the sealed int8 classifier engine,
+ErNET, the fused two-stage cascade, a modelled energy-per-frame table
+mirroring model/Readme.md:25-29/:51-55 (the TX2 INA3221 rows — this TPU
+exposes no power telemetry, so energy is the documented busy-time model:
+chip watts / measured FPS), and a batch-1/8/32 LATENCY table for the
+classifier engine, the v4-tiny pipeline, and the cascade (the reference's
+deployment surface is a per-frame loop with FPS readout,
+real-time-inference.py:179-208 / trt_yolo.py:130-162 — ms/frame at small
+batch is the product; large-batch throughput is the proxy).
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ import numpy as np
 
 _WEIGHTS = "/root/reference/code/disaster_detection/weights/"
 _CFGS = "/root/reference/code/victim_localization/yolov3/cfg/"
+_HBM_PEAK = 819e9  # v5e HBM nameplate bytes/s
 
 
 def _wait_for_device(max_wait_s: float = 1800.0,
@@ -77,7 +82,7 @@ def main() -> None:
         raise SystemExit("bench: no JAX device became reachable within the "
                          "wait budget (TPU tunnel down) — refusing to "
                          "benchmark a fallback platform")
-    best, weights_used, se_flops = _classifier_bracket(
+    best, weights_used, se_flops, se_bytes = _classifier_bracket(
         "squeeze-ernet", _WEIGHTS + "squeeze-ernet-state_dict.pt",
         # two batch points bracket the plateau (2048..8192 all land ~95k
         # FPS); the middle point only added ~500MB H2D over the dev tunnel
@@ -87,7 +92,6 @@ def main() -> None:
     # analytic fallback: 45.64 M MACs/frame @140^2 ·2
     # (model_summary/squeeze_ernet.txt) when cost analysis is unavailable
     se_flops = se_flops or 45.64e6 * 2
-    se_bytes = getattr(_classifier_bracket, "last_bytes_pf", None)
     record = {
         "metric": "squeeze_ernet_bf16_fps_per_chip",
         "value": round(best["fps"], 2),
@@ -98,23 +102,19 @@ def main() -> None:
         "weights": weights_used,
         "mfu": round(best["fps"] * se_flops / peak_flops, 4),
     }
-    if se_bytes:
-        # measured roofline leg (VERDICT r2 #8): bytes the compiled
-        # program actually moves, vs the v5e's ~819 GB/s HBM peak —
-        # replaces DESIGN.md's hand-computed 6.3 MB/frame perfect-fusion
-        # bound with the executable's own accounting
-        record["hbm_bytes_per_frame"] = round(se_bytes)
-        record["hbm_gbps"] = round(best["fps"] * se_bytes / 1e9, 1)
-        record["hbm_util_of_819gbps"] = round(
-            best["fps"] * se_bytes / 819e9, 4)
+    _hbm_rows(record, "", best["fps"], se_bytes)
 
     def row(prefix, fn, baseline_fps, fallback_flops, note=None, **kw):
-        """One BASELINE row: {fps, vs_baseline, mfu} or a visible failure —
-        a missing metric must be broken loudly, never quietly absent."""
+        """One BASELINE row: {fps, vs_baseline, mfu, hbm ledger} or a
+        visible failure — a missing metric must be broken loudly, never
+        quietly absent. `fn` returns (fps, flops_per_frame|None,
+        bytes_per_frame|None) — the flops/bytes come from the compiled
+        executable's own cost analysis (VERDICT r4 #1: every benched
+        program carries its roofline numerator, not just the headline)."""
         t0 = time.perf_counter()
         print(f"bench: {prefix} bracket...", file=_sys.stderr, flush=True)
         try:
-            fps, flops_pf = fn()
+            fps, flops_pf, bytes_pf = fn()
         except Exception as e:
             print(f"bench: {prefix} bracket failed ({e!r})",
                   file=_sys.stderr)
@@ -131,6 +131,7 @@ def main() -> None:
             record[f"{prefix}_vs_baseline"] = round(fps / baseline_fps, 2)
         record[f"{prefix}_mfu"] = round(
             fps * (flops_pf or fallback_flops) / peak_flops, 4)
+        _hbm_rows(record, f"{prefix}_", fps, bytes_pf)
         if note:
             record[f"{prefix}_note"] = note
         record.update(kw)
@@ -138,13 +139,6 @@ def main() -> None:
     # detection pipelines (fwd + decode + NMS, one XLA program each)
     row("yolov4_tiny_pipeline", lambda: _detector_fps(
         cfg_name="yolov4-tiny-aider-416.cfg"), 79.2, 6.77e9)
-    v4t_bytes = getattr(_detector_fps, "last_bytes_pf", None)
-    if v4t_bytes and "yolov4_tiny_pipeline_fps" in record:
-        record["yolov4_tiny_pipeline_hbm_bytes_per_frame"] = round(v4t_bytes)
-        record["yolov4_tiny_pipeline_hbm_gbps"] = round(
-            record["yolov4_tiny_pipeline_fps"] * v4t_bytes / 1e9, 1)
-        record["yolov4_tiny_pipeline_hbm_util_of_819gbps"] = round(
-            record["yolov4_tiny_pipeline_fps"] * v4t_bytes / 819e9, 4)
     row("yolov5s_pipeline", _yolov5s_fps, 70.49, 6.8e9)
     row("yolov3_pipeline", lambda: _detector_fps(
         cfg_name="yolov3-aider-416.cfg", batch=64), 31.62, 65.4e9)
@@ -180,6 +174,12 @@ def main() -> None:
     # stage: tiny-YOLOv4 at 79.2 FPS (yolov3/Readme.md:26) — the
     # classifier stage (3430 FPS) adds <3% to the two-engine frame time.
     row("cascade", _cascade_fps, 79.2, 6.77e9 + 45.64e6 * 2)
+
+    # ---- batch-1/8/32 latency table (VERDICT r4 #2) ----
+    try:
+        record["latency_ms"] = _latency_table()
+    except Exception as e:
+        print(f"bench: latency table failed ({e!r})", file=_sys.stderr)
 
     # ---- modelled energy/frame (model/Readme.md:25-29/:51-55 analogue).
     # No TPU power telemetry exists on this host; the model is the
@@ -217,6 +217,20 @@ def main() -> None:
     print(json.dumps(record))
 
 
+def _hbm_rows(record: dict, prefix: str, fps: float, bytes_pf) -> None:
+    """The measured roofline leg for one program: bytes the compiled
+    executable actually moves per frame, the implied GB/s at the measured
+    FPS, and the fraction of the v5e's 819 GB/s HBM nameplate. Emitted for
+    EVERY benched program (VERDICT r4 #1) so each row carries its own
+    close-or-bury evidence alongside MFU."""
+    if not bytes_pf:
+        return
+    record[f"{prefix}hbm_bytes_per_frame"] = round(bytes_pf)
+    record[f"{prefix}hbm_gbps"] = round(fps * bytes_pf / 1e9, 1)
+    record[f"{prefix}hbm_util_of_819gbps"] = round(
+        fps * bytes_pf / _HBM_PEAK, 4)
+
+
 def _chip_peak_bf16_flops() -> float:
     """Best-effort bf16 peak for the attached chip (v5e default)."""
     import jax
@@ -240,33 +254,29 @@ def _chip_watts() -> float:
                 DEFAULT_CHIP_WATTS["tpu-v5e"])
 
 
-def _flops_per_example(compiled, batch):
-    """Per-frame flops from the compiled program's own cost analysis —
-    the MFU numerator is then exactly what was measured, not an analytic
-    stand-in. None when the backend can't report (caller falls back)."""
+def _cost_per_example(compiled, batch, key):
+    """Per-frame figure from the compiled program's own cost analysis —
+    the roofline numerators are then exactly what was measured, not an
+    analytic stand-in. None when the backend can't report."""
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        f = float(cost.get("flops", 0.0))
+        f = float(cost.get(key, 0.0))
         return f / batch if f > 0 else None
     except Exception:
         return None
 
 
+def _flops_per_example(compiled, batch):
+    return _cost_per_example(compiled, batch, "flops")
+
+
 def _bytes_per_example(compiled, batch):
-    """Per-frame HBM traffic from the compiled program's cost analysis
-    ('bytes accessed' — what the compiled executable actually reads +
-    writes, the roofline numerator DESIGN.md's 6.3 MB/frame hand bound
-    approximates). None when the backend can't report."""
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        b = float(cost.get("bytes accessed", 0.0))
-        return b / batch if b > 0 else None
-    except Exception:
-        return None
+    """'bytes accessed' — what the compiled executable actually reads +
+    writes in HBM, the roofline numerator DESIGN.md's hand bounds
+    approximate."""
+    return _cost_per_example(compiled, batch, "bytes accessed")
 
 
 def _timed_fps(compiled, dev_args, batch: int, iters: int) -> float:
@@ -299,7 +309,7 @@ def _yolov5s_fps(batch: int = 128, iters: int = 20):
     yml = ("/root/reference/code/victim_localization/yolov5/models/"
            "yolov5s.yaml")
     if not os.path.exists(yml):
-        return 0.0, None
+        return 0.0, None, None
     model, variables, heads = load_detection_model(yml, None, 416,
                                                    num_classes=2)
     det = Detector(model, variables,
@@ -314,7 +324,8 @@ def _yolov5s_fps(batch: int = 128, iters: int = 20):
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
     compiled = det._fn  # already a compiled XLA executable (Detector)
     fps = _timed_fps(compiled, [(dev,)], batch, iters)
-    return fps, _flops_per_example(compiled, batch)
+    return (fps, _flops_per_example(compiled, batch),
+            _bytes_per_example(compiled, batch))
 
 
 def _cascade_fps(batch: int = 256, iters: int = 20):
@@ -331,7 +342,7 @@ def _cascade_fps(batch: int = 256, iters: int = 20):
     cfg = _CFGS + "yolov4-tiny-aider-416.cfg"
     cls_w = _WEIGHTS + "squeeze-ernet-state_dict.pt"
     if not (os.path.exists(cfg) and os.path.exists(cls_w)):
-        return 0.0, None
+        return 0.0, None, None
     fn = build_cascade(cfg, None, "squeeze-ernet", cls_w, 416,
                        conf=0.25, iou=0.45, batch=batch)
     rng = np.random.default_rng(0)
@@ -339,7 +350,8 @@ def _cascade_fps(batch: int = 256, iters: int = 20):
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
     # build_cascade already returns a compiled XLA executable
     fps = _timed_fps(fn, [(dev,)], batch, iters)
-    return fps, _flops_per_example(fn, batch)
+    return (fps, _flops_per_example(fn, batch),
+            _bytes_per_example(fn, batch))
 
 
 def _classifier_bracket(model_name: str, weights_src: str,
@@ -350,7 +362,8 @@ def _classifier_bracket(model_name: str, weights_src: str,
     reference benches the TRT ENGINE, not a weights-as-arguments module;
     XLA constant-folds them, measured ~+1-2%), and double-buffered
     device-resident inputs so buffer reuse never serializes dispatch.
-    Returns ({fps, batch, ms}, weights_used, flops_per_frame|None)."""
+    Returns ({fps, batch, ms}, weights_used, flops_per_frame|None,
+    bytes_per_frame|None)."""
     import jax
     import jax.numpy as jnp
 
@@ -380,6 +393,7 @@ def _classifier_bracket(model_name: str, weights_src: str,
     rng = np.random.default_rng(0)
     best = {"fps": 0.0, "batch": 0, "ms": 0.0}
     flops_pf = None
+    bytes_pf = None
     for batch in batches:
         print(f"bench: {model_name} b{batch} upload+compile...",
               file=_sys.stderr, flush=True)
@@ -388,15 +402,12 @@ def _classifier_bracket(model_name: str, weights_src: str,
             for _ in range(2)]
         compiled = jax.jit(forward).lower(bufs[0]).compile()
         flops_pf = flops_pf or _flops_per_example(compiled, batch)
-        # side channel: measured HBM traffic of the benched program (the
-        # roofline leg main() publishes for the headline classifier)
-        _classifier_bracket.last_bytes_pf = _bytes_per_example(compiled,
-                                                               batch)
+        bytes_pf = _bytes_per_example(compiled, batch) or bytes_pf
         fps = _timed_fps(compiled, [(b,) for b in bufs], batch, iters)
         if fps > best["fps"]:
             best = {"fps": fps, "batch": batch,
                     "ms": batch / fps * 1e3}
-    return best, weights_used, flops_pf
+    return best, weights_used, flops_pf, bytes_pf
 
 
 def _redconv_fps(batch: int = 2048, iters: int = 50):
@@ -404,21 +415,21 @@ def _redconv_fps(batch: int = 2048, iters: int = 50):
     disaster_detection/model/Readme.md:46); the same double-buffered
     bracket as the ErNET headline. Records which weights ran via the
     module-level side channel read by main()."""
-    best, weights_used, flops_pf = _classifier_bracket(
+    best, weights_used, flops_pf, bytes_pf = _classifier_bracket(
         "squeeze-redconv", _WEIGHTS + "squeeze-redconv-state_dict.pt",
         batches=(batch,), iters=iters)
     _redconv_fps.weights_used = weights_used
-    return best["fps"], flops_pf
+    return best["fps"], flops_pf, bytes_pf
 
 
 def _ernet_fps(batch: int = 2048, iters: int = 30):
     """ErNET (the EmergencyNet baseline, 276,118 params @240^2) bf16
     normalize+forward; completes the classifier family coverage."""
-    best, weights_used, flops_pf = _classifier_bracket(
+    best, weights_used, flops_pf, bytes_pf = _classifier_bracket(
         "ernet", _WEIGHTS + "ernet-state_dict.pt",
         batches=(batch,), iters=iters)
     _ernet_fps.weights_used = weights_used
-    return best["fps"], flops_pf
+    return best["fps"], flops_pf, bytes_pf
 
 
 def _int8_engine_fps(batch: int = 2048, iters: int = 50):
@@ -437,7 +448,7 @@ def _int8_engine_fps(batch: int = 2048, iters: int = 50):
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "artifacts", "engines", "squeeze-ernet_int8")
     if not os.path.isdir(art):
-        return 0.0, None
+        return 0.0, None, None
     variables = load_variables(os.path.join(art, "params.npz"))
     act_scales = dict(np.load(os.path.join(art, "act_scales.npz")))
     with open(os.path.join(art, "spec.json")) as f:
@@ -450,13 +461,31 @@ def _int8_engine_fps(batch: int = 2048, iters: int = 50):
         rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)))
         for _ in range(2)]
     fps = _timed_fps(eng._compiled, [(b,) for b in bufs], batch, iters)
-    return fps, _flops_per_example(eng._compiled, batch)
+    return (fps, _flops_per_example(eng._compiled, batch),
+            _bytes_per_example(eng._compiled, batch))
 
 
 def _detector_fps(batch: int = 256, iters: int = 20,
                   cfg_name: str = "yolov4-tiny-aider-416.cfg"):
     """Darknet-cfg 416 bf16 forward+decode+NMS on device (defaults to the
     v4-tiny headline, ref: 79.2 FPS)."""
+    compiled = _build_detector_program(cfg_name, batch)
+    if compiled is None:
+        return 0.0, None, None
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    dev = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
+    fps = _timed_fps(compiled, [(dev,)], batch, iters)
+    return (fps, _flops_per_example(compiled, batch),
+            _bytes_per_example(compiled, batch))
+
+
+def _build_detector_program(cfg_name: str, batch: int):
+    """Compile the full detection pipeline (normalize+fwd+decode+NMS) for
+    one darknet cfg at one batch size; shared by the FPS and latency
+    brackets so both measure the same executable shape."""
     import os
 
     import jax
@@ -468,7 +497,7 @@ def _detector_fps(batch: int = 256, iters: int = 20,
 
     cfg = _CFGS + cfg_name
     if not os.path.exists(cfg):
-        return 0.0, None
+        return None
     model, variables, heads = load_detection_model(cfg, None, 416)
     cast = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
@@ -481,16 +510,173 @@ def _detector_fps(batch: int = 256, iters: int = 20,
                           train=False)
         return batched_nms(decode_all(raw, heads, 416), 0.25, 0.45, 100, 256)
 
+    return (jax.jit(full)
+            .lower(jax.ShapeDtypeStruct((batch, 416, 416, 3), jnp.uint8))
+            .compile())
+
+
+# ---------------------------------------------------------------------------
+# Latency table (VERDICT r4 #2): ms/frame at batch 1/8/32, device-time and
+# end-to-end, for the deployment programs.
+# ---------------------------------------------------------------------------
+
+def _lat_sync_ms(compiled, dev_args, iters: int = 30) -> float:
+    """Median per-call wall time with inputs already in HBM and the output
+    materialized every call — what a per-frame real-time loop on this host
+    observes (includes one tunnel round trip, exactly as the reference's
+    per-frame FPS readouts include PCIe + python overhead,
+    real-time-inference.py:194-198 / trt_yolo.py:118-121)."""
+    import jax
+
+    def once():
+        out = compiled(*dev_args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+    once()  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        once()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def _lat_pipelined_ms(compiled, dev_args, iters: int = 50) -> float:
+    """Amortized per-call time with `iters` dispatches in flight and ONE
+    materialization at the end — the device-side program time once
+    dispatch overhead overlaps (the double-buffered deployment mode,
+    export/engine.py dispatch)."""
+    import jax
+
+    out = compiled(*dev_args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*dev_args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _lat_e2e_ms(compiled, host_batch: np.ndarray, iters: int = 30) -> float:
+    """Median per-call wall time INCLUDING the H2D upload of the uint8
+    frame batch — the do_inference_v2 bracket (memcpy_htod + execute +
+    memcpy_dtoh, yolo_with_plugins.py:247-263)."""
+    import jax
+    import jax.numpy as jnp
+
+    def once():
+        dev = jax.device_put(jnp.asarray(host_batch))
+        out = compiled(dev)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+    once()  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        once()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def _tunnel_rtt_ms(iters: int = 30) -> float:
+    """Dispatch+sync cost of a trivial compiled program (one scalar add):
+    the per-call relay/tunnel floor to subtract when reading the sync
+    latencies as device time."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros((1,), jnp.float32))
+    f = jax.jit(lambda v: v + 1).lower(x).compile()
+    return _lat_sync_ms(f, (x,), iters)
+
+
+def _latency_table() -> dict:
+    """ms/frame at batch 1, 8, 32 for the classifier engine, the v4-tiny
+    detector pipeline, and the fused cascade. Three brackets per cell:
+    sync (per-call, output materialized — real per-frame latency on this
+    host incl. one tunnel RTT), pipelined (dispatches overlapped — the
+    device program time), e2e (H2D upload included). `tunnel_rtt_ms` is
+    the trivial-program floor so readers can separate the relay honestly:
+    device-side latency ≈ sync − rtt."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtdm_tpu.cli.cascade_stream import build_cascade
+    from rtdm_tpu.core.precision import BF16_POLICY
+    from rtdm_tpu.data.aider import normalize_batch
+    from rtdm_tpu.models import create_model
+
+    out = {"batches": [1, 8, 32],
+           "tunnel_rtt_ms": round(_tunnel_rtt_ms(), 2)}
     rng = np.random.default_rng(0)
-    dev = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)))
-    compiled = jax.jit(full).lower(dev).compile()
-    fps = _timed_fps(compiled, [(dev,)], batch, iters)
-    # stash measured HBM bytes/frame for the caller (same executable-side
-    # accounting as the classifier's roofline leg; replaces DESIGN.md's
-    # CPU-backend upper-bound estimate for the detector story)
-    _detector_fps.last_bytes_pf = _bytes_per_example(compiled, batch)
-    return fps, _flops_per_example(compiled, batch)
+
+    def bracket(name, make_compiled, shape_of):
+        rows = {}
+        for b in out["batches"]:
+            print(f"bench: latency {name} b{b} compile...",
+                  file=_sys.stderr, flush=True)
+            try:
+                compiled = make_compiled(b)
+            except Exception as e:
+                print(f"bench: latency {name} b{b} failed ({e!r})",
+                      file=_sys.stderr)
+                continue
+            if compiled is None:
+                continue
+            host = rng.integers(0, 255, shape_of(b), dtype=np.uint8)
+            dev = jax.device_put(jnp.asarray(host))
+            sync = _lat_sync_ms(compiled, (dev,))
+            pipe = _lat_pipelined_ms(compiled, (dev,))
+            e2e = _lat_e2e_ms(compiled, host)
+            rows[f"b{b}"] = {
+                "sync_ms": round(sync, 2),
+                "sync_ms_per_frame": round(sync / b, 3),
+                "pipelined_ms": round(pipe, 2),
+                "pipelined_ms_per_frame": round(pipe / b, 3),
+                "e2e_ms": round(e2e, 2),
+                "e2e_ms_per_frame": round(e2e / b, 3),
+            }
+        if rows:
+            out[name] = rows
+
+    # classifier: the same bf16 normalize+forward program as the headline
+    # bracket, compiled at the small batch
+    model = create_model("squeeze-ernet")
+    size = model.image_size
+    try:
+        from rtdm_tpu.models.torch_import import load_classifier_checkpoint
+        variables = load_classifier_checkpoint(
+            _WEIGHTS + "squeeze-ernet-state_dict.pt")
+    except Exception:
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, size, size, 3), jnp.float32))
+    cast = {"params": BF16_POLICY.cast_to_compute(variables["params"]),
+            "batch_stats": variables["batch_stats"]}
+
+    def cls_forward(images_u8):
+        x = normalize_batch(images_u8).astype(BF16_POLICY.compute_dtype)
+        return model.apply(cast, x, train=False)
+
+    bracket("classifier",
+            lambda b: jax.jit(cls_forward).lower(
+                jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+            ).compile(),
+            lambda b: (b, size, size, 3))
+    bracket("yolov4_tiny",
+            lambda b: _build_detector_program("yolov4-tiny-aider-416.cfg",
+                                              b),
+            lambda b: (b, 416, 416, 3))
+
+    def make_cascade(b):
+        cfg = _CFGS + "yolov4-tiny-aider-416.cfg"
+        cls_w = _WEIGHTS + "squeeze-ernet-state_dict.pt"
+        if not (os.path.exists(cfg) and os.path.exists(cls_w)):
+            return None
+        return build_cascade(cfg, None, "squeeze-ernet", cls_w, 416,
+                             conf=0.25, iou=0.45, batch=b)
+
+    bracket("cascade", make_cascade, lambda b: (b, 416, 416, 3))
+    return out
 
 
 if __name__ == "__main__":

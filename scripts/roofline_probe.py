@@ -103,10 +103,15 @@ def _timed_gbps(compiled, x0, nbytes_per_pass, iters=10):
 
 def stream():
     """Achievable-bandwidth probes at the model's shapes. Each dispatch is
-    PASSES loop-carried reverse-mix sweeps over the buffer: element i needs
-    element n-1-i from the previous pass, so the compiler cannot interchange
-    the loop with tiling and keep tiles resident in VMEM (a plain ``s*c``
-    body measured 3.2 TB/s — 4x nameplate — exactly that interchange).
+    PASSES loop-carried sweeps over the buffer whose access pattern defeats
+    tile-residency: a 2^20-element roll (element i needs i - 2^20 from the
+    previous pass) and a square transpose. Either way the compiler cannot
+    interchange the pass loop with tiling and keep tiles resident in VMEM
+    (a plain ``s*c`` body measured 3.2 TB/s — 4x nameplate — exactly that
+    interchange; an earlier reversed-read variant, element i reading
+    n-1-i, measured 186-195 GB/s and was removed — its backward stride
+    defeats prefetch as well as residency, which under-reports what a
+    forward-streaming model can achieve).
     Each pass is >= one full HBM read + write; the reported GB/s counts
     exactly that, so it is a floor on traffic and honest as a ceiling."""
     import jax
