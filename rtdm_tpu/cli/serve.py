@@ -82,6 +82,13 @@ class _ClassifyService:
         from rtdm_tpu.serve.batcher import MicroBatcher
         self.engine = Engine.load(engine_dir)
         self.size = self.engine.spec.image_size
+        # Warm BEFORE serving: when the engine dir carries no exec.xla (or
+        # the backend can't deserialize it), the first dispatch pays the
+        # 20-60s XLA compile — measured landing inside request latency as
+        # a 57.4s server-side p99 outlier (artifacts/serve_loadtest/
+        # native_decode_cls_c64.json, round 4). A compile belongs in
+        # startup, never in a timed request.
+        self.engine(np.zeros((1, self.size, self.size, 3), np.uint8))
         self.batcher = MicroBatcher(self.engine.dispatch,
                                     self.engine.spec.batch_size,
                                     max_wait_ms=max_wait_ms, depth=depth)
@@ -110,6 +117,7 @@ class _DetectService:
         self.det = load_detector(engine_dir)
         self.size = self.det.spec.img_size
         self.names = names or ["person", "vehicle"]
+        self.det.warmup()  # compile at startup, never in a timed request
         b = self.det.batch_size
 
         def dispatch(frames: np.ndarray):

@@ -103,6 +103,120 @@ def run_load(url: str, endpoint: str = "/v1/classify", clients: int = 16,
     return out
 
 
+def run_direct(engine_dir: str = "", detector_dir: str = "",
+               clients: int = 16, requests_per_client: int = 32,
+               seed: int = 0) -> Dict[str, float]:
+    """Handler-direct capacity measurement (VERDICT r4 weak #4): load the
+    serve.py service IN-PROCESS and hammer it without HTTP or per-request
+    client work, from a pre-encoded JPEG corpus. Round 4's closed-loop
+    HTTP number (~74 RPS) was CLIENT-bound — 64 urllib threads sharing
+    the server's single vCPU — so it measured the box, not the server.
+
+    Three figures isolate the stack:
+      decode_ms        — per-request image decode+preprocess alone
+      handler_rps      — svc(body) closed-loop: decode + batcher + engine
+      core_rps         — pre-decoded frames fed straight to the batcher:
+                         the serving core (batching + device) with zero
+                         per-request host decode — the ceiling the HTTP
+                         front end can never exceed
+    """
+    from rtdm_tpu.cli.serve import _ClassifyService, _DetectService
+
+    if bool(engine_dir) == bool(detector_dir):
+        raise ValueError("exactly one of engine_dir/detector_dir")
+    svc = (_ClassifyService(engine_dir, max_wait_ms=2.0, depth=2)
+           if engine_dir else
+           _DetectService(detector_dir, max_wait_ms=2.0, depth=2))
+    size = svc.size
+    rng = np.random.default_rng(seed)
+    bodies = [_jpeg(np.random.default_rng(seed + i), h=240, w=320)
+              for i in range(8)]
+
+    # --- decode+preprocess breakdown (the handler's host-side work) ---
+    if engine_dir:
+        from rtdm_tpu.cli.serve import (_decode_image,
+                                        _native_classify_frame)
+
+        def decode(body):
+            frame = _native_classify_frame(body, size)
+            if frame is None:
+                from rtdm_tpu.cli.aider_predict import preprocess
+                frame = preprocess(_decode_image(body), size)[0]
+            return frame
+    else:
+        from rtdm_tpu.data import native_io
+
+        def decode(body):
+            res = (native_io.decode_jpeg_letterbox(body, size)
+                   if native_io.available() else None)
+            if res is not None:
+                return res[0]
+            from rtdm_tpu.cli.serve import _decode_image
+            from rtdm_tpu.data.odder import letterbox_image
+            return letterbox_image(_decode_image(body), size)[0]
+
+    decode(bodies[0])  # warm (lazy native lib load)
+    t0 = time.perf_counter()
+    reps = 16
+    for k in range(reps):
+        decode(bodies[k % len(bodies)])
+    decode_ms = (time.perf_counter() - t0) / reps * 1e3
+    frames = [decode(b) for b in bodies]
+
+    def hammer(call, items) -> Dict[str, float]:
+        lat: List[float] = []
+        errors: List[str] = []
+        lock = threading.Lock()
+        gate = threading.Event()
+
+        def worker(cid):
+            my = []
+            err = []
+            gate.wait()
+            for k in range(requests_per_client):
+                t0 = time.perf_counter()
+                try:
+                    call(items[(cid + k) % len(items)])
+                    my.append(time.perf_counter() - t0)
+                except Exception as e:  # noqa: BLE001
+                    err.append(f"{type(e).__name__}: {e}")
+            with lock:
+                lat.extend(my)
+                errors.extend(err)
+
+        ts = [threading.Thread(target=worker, args=(i,), daemon=True)
+              for i in range(clients)]
+        for t in ts:
+            t.start()
+        t_start = time.perf_counter()
+        gate.set()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t_start
+        out = {"rps": round(len(lat) / wall, 1) if wall > 0 else 0.0,
+               "errors": len(errors)}
+        if lat:
+            q = np.quantile(np.asarray(lat), [0.5, 0.99])
+            out["p50_ms"] = round(1e3 * q[0], 2)
+            out["p99_ms"] = round(1e3 * q[1], 2)
+        return out
+
+    # warm the full path once so no bracket ever times a first-dispatch
+    svc(bodies[0])
+    handler = hammer(svc, bodies)
+    core = hammer(svc.batcher, frames)
+    stats = svc.batcher.stats().as_dict()
+    svc.batcher.close()
+    return {"mode": "direct",
+            "service": "classify" if engine_dir else "detect",
+            "clients": clients,
+            "requests_per_client": requests_per_client,
+            "decode_ms": round(decode_ms, 2),
+            "handler": handler, "core": core,
+            "batcher_mean_batch": stats.get("mean_batch", 0.0),
+            "batcher_p99_ms": stats.get("p99_ms", 0.0)}
+
+
 def main(argv=None) -> Dict[str, float]:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--url", default="http://127.0.0.1:8000")
@@ -111,8 +225,18 @@ def main(argv=None) -> Dict[str, float]:
     ap.add_argument("--requests", type=int, default=32,
                     help="requests per client")
     ap.add_argument("--timeout", type=float, default=60.0)
+    ap.add_argument("--direct-engine", default="",
+                    help="handler-direct mode: classifier engine dir "
+                         "(no HTTP, no client threads on the server's "
+                         "CPU — isolates server capacity)")
+    ap.add_argument("--direct-detector", default="",
+                    help="handler-direct mode: detector engine dir")
     a = ap.parse_args(argv)
-    res = run_load(a.url, a.endpoint, a.clients, a.requests, a.timeout)
+    if a.direct_engine or a.direct_detector:
+        res = run_direct(a.direct_engine, a.direct_detector,
+                         a.clients, a.requests)
+    else:
+        res = run_load(a.url, a.endpoint, a.clients, a.requests, a.timeout)
     print(json.dumps(res))
     return res
 

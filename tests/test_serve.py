@@ -274,3 +274,51 @@ def test_native_classify_frame_falls_back_on_non_jpeg(rng):
     Image.fromarray(rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
                     ).save(buf, format="PNG")
     assert _native_classify_frame(buf.getvalue(), 140) is None
+
+
+def test_native_vs_pil_argmax_engine_parity_on_real_jpegs():
+    """Engine-level agreement check for the serve fast path (round-4
+    advisor finding): the native libjpeg DCT-prescale + INTER_LINEAR
+    preprocess must produce the SAME argmax as the eval-validated PIL
+    antialiased path through a TRAINED squeeze-ernet engine, on every
+    real aerial JPEG in the bundled mini-set — a pixel-diff bound alone
+    cannot rule out borderline prediction flips."""
+    import glob
+    from rtdm_tpu.cli.aider_predict import preprocess
+    from rtdm_tpu.cli.serve import _decode_image, _native_classify_frame
+    from rtdm_tpu.data import native_io
+    from rtdm_tpu.export.engine import Engine, EngineSpec
+
+    if not native_io.available():
+        pytest.skip("native IO unavailable")
+    paths = sorted(glob.glob(
+        "/root/reference/code/victim_localization/yolov3/data/custom/"
+        "test/images/*.jpg"))
+    if not paths:
+        pytest.skip("reference mini-set unavailable")
+    try:
+        from rtdm_tpu.models.torch_import import load_classifier_checkpoint
+        variables = load_classifier_checkpoint(
+            "/root/reference/code/disaster_detection/weights/"
+            "squeeze-ernet-state_dict.pt")
+    except Exception:
+        pytest.skip("reference checkpoint unavailable")
+    native, pil = [], []
+    for p in paths:
+        body = open(p, "rb").read()
+        f = _native_classify_frame(body, 140)
+        assert f is not None, p
+        native.append(f)
+        pil.append(preprocess(_decode_image(body), 140)[0])
+    eng = Engine(EngineSpec(model="squeeze-ernet", quant="fp32",
+                            batch_size=len(paths), image_size=140),
+                 variables)
+    probs_native = eng(np.stack(native))
+    probs_pil = eng(np.stack(pil))
+    agree = (probs_native.argmax(1) == probs_pil.argmax(1))
+    flips = [(paths[i], probs_native[i].round(3).tolist(),
+              probs_pil[i].round(3).tolist())
+             for i in np.where(~agree)[0]]
+    assert agree.all(), f"argmax flips on {flips}"
+    # confidence through the two paths stays close on real photos
+    assert np.abs(probs_native - probs_pil).max() < 0.08
