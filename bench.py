@@ -140,8 +140,12 @@ def main() -> None:
     row("yolov4_tiny_pipeline", lambda: _detector_fps(
         cfg_name="yolov4-tiny-aider-416.cfg"), 79.2, 6.77e9)
     row("yolov5s_pipeline", _yolov5s_fps, 70.49, 6.8e9)
+    # batch 128 is yolov3's measured knee: 1986 vs 1684 FPS at b64
+    # (+18%, runs/batch_probe_r5.txt); b256's compile ran past the probe
+    # budget on the remote compiler and was not pursued (CLAUDE.md: a
+    # killed client does NOT abort a server-side compile)
     row("yolov3_pipeline", lambda: _detector_fps(
-        cfg_name="yolov3-aider-416.cfg", batch=64), 31.62, 65.4e9)
+        cfg_name="yolov3-aider-416.cfg", batch=128), 31.62, 65.4e9)
     row("yolov3_tiny_pipeline", lambda: _detector_fps(
         cfg_name="yolov3-tiny-aider-416.cfg"), 94.0, 5.5e9)
     # classifiers beyond the headline
