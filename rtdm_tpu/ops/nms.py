@@ -30,6 +30,31 @@ def xywh_to_xyxy(b: jax.Array) -> jax.Array:
     return jnp.concatenate([xy - wh / 2.0, xy + wh / 2.0], axis=-1)
 
 
+def exact_topk(key: jax.Array, k: int, chunk: int = 4096):
+    """Exact top-k with chunked reduction for long candidate vectors.
+
+    Semantically identical to `jax.lax.top_k(key, k)` INCLUDING
+    tie-breaking (ties resolve to the lower index: within a chunk the
+    per-chunk top_k orders by index, and across chunks the merge sees
+    candidates in chunk-major = ascending-index order). Exactness: any
+    global top-k element ranks <= k inside its own chunk, so it survives
+    the per-chunk pass.
+
+    Motivation (round 5): yolov5s emits 10,647 candidate boxes/frame and
+    its score+top_k stage is the dominant NMS cost (32% of pipeline
+    time, runs/v5s_split_r5.txt); sorting short chunks then merging the
+    c*k winners is cheaper than one long-vector top_k when N >> k."""
+    n = key.shape[0]
+    if n <= chunk or n <= 2 * k:
+        return jax.lax.top_k(key, k)
+    c = -(-n // chunk)
+    keyp = jnp.pad(key, (0, c * chunk - n), constant_values=-jnp.inf)
+    v, i = jax.lax.top_k(keyp.reshape(c, chunk), min(k, chunk))
+    idx = (i + (jnp.arange(c) * chunk)[:, None]).reshape(-1)
+    vv, sel = jax.lax.top_k(v.reshape(-1), k)
+    return vv, idx[sel]
+
+
 def box_iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """IoU of (N,4) x (M,4) xyxy boxes -> (N,M)."""
     area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
@@ -167,7 +192,7 @@ def batched_nms(pred: jax.Array,
                 ok &= allowed[flat_cls]
             key = jnp.where(ok, flat, -1.0)
             k = min(top_k, key.shape[0])
-            top_scores, idx = jax.lax.top_k(key, k)
+            top_scores, idx = exact_topk(key, k)
             top_boxes = boxes[flat_box[idx]]
             top_cls = flat_cls[idx]
         else:
@@ -179,7 +204,7 @@ def batched_nms(pred: jax.Array,
                   else base_ok & allowed[best_cls])
             key = jnp.where(ok, score, -1.0)
             k = min(top_k, key.shape[0])
-            top_scores, idx = jax.lax.top_k(key, k)
+            top_scores, idx = exact_topk(key, k)
             top_boxes = boxes[idx]
             top_cls = best_cls[idx]
         valid = top_scores > -0.5  # -1.0 marks masked candidates

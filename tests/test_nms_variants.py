@@ -365,3 +365,31 @@ def test_and_nms_fuzz_matches_transcription(seed):
     want = _ref_and_nms(rows, 0.6)
     assert len(got) == len(want), (len(got), len(want))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_exact_topk_matches_lax_topk_including_ties():
+    """exact_topk (chunked reduction, round 5) must be indistinguishable
+    from jax.lax.top_k — values AND indices, including tie-breaking to
+    the lower index across chunk boundaries."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from rtdm_tpu.ops.nms import exact_topk
+
+    rng = np.random.default_rng(0)
+    for n, k, chunk in ((10647, 512, 4096), (21294, 512, 4096),
+                        (8192, 300, 2048), (5000, 512, 2048)):
+        key = rng.random(n).astype(np.float32)
+        # heavy ties: quantize to few levels so duplicates span chunks
+        key = np.round(key * 8) / 8.0
+        key[rng.integers(0, n, n // 3)] = -1.0  # masked-candidate marker
+        kj = jnp.asarray(key)
+        v_ref, i_ref = jax.lax.top_k(kj, k)
+        v_new, i_new = exact_topk(kj, k, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_new))
+    # short-vector passthrough
+    key = jnp.asarray(rng.random(256).astype(np.float32))
+    v_ref, i_ref = jax.lax.top_k(key, 64)
+    v_new, i_new = exact_topk(key, 64)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_new))
