@@ -102,9 +102,14 @@ def load_detection_model(model_path: str, weights: Optional[str],
     """Build (model, variables, heads) from a darknet .cfg or a v5 .yaml,
     optionally loading weights (.weights | torch .pt | .npz). `intersect`
     tolerates shape-mismatched v5 checkpoint tensors (partial pretrained
-    load, yolov5/train.py:82-92)."""
+    load, yolov5/train.py:82-92). Missing weight paths resolve through
+    `attempt_download` (the reference's auto-fetch convenience,
+    yolov3/models.py:553-572; offline hosts get a mirror-naming error)."""
     import jax
     import jax.numpy as jnp
+
+    from rtdm_tpu.utils.downloads import attempt_download
+    weights = attempt_download(weights)
 
     if model_path.endswith((".yaml", ".yml")):
         from rtdm_tpu.models.yolov5 import (create_yolov5,

@@ -211,3 +211,28 @@ def test_profile_model_cli_per_layer_table(tmp_path, capsys):
     assert all(r["flops"] > 0 for r in rows if r["module"] != "Detect")
     out = capsys.readouterr().out
     assert "total" in out and "GFLOPs" in out
+
+
+def test_attempt_download_resolves_and_gates(tmp_path, monkeypatch):
+    """Reference-parity weight resolution (yolov3/models.py:553-572):
+    existing paths pass through, basenames resolve against the search
+    dirs, and a KNOWN missing name raises an error naming the published
+    mirror instead of a bare FileNotFoundError (no egress here)."""
+    import pytest
+    from rtdm_tpu.utils import downloads
+    from rtdm_tpu.utils.downloads import attempt_download
+
+    f = tmp_path / "w.weights"
+    f.write_bytes(b"x")
+    assert attempt_download(str(f)) == str(f)
+    assert attempt_download(None) is None
+    # basename search-path resolution
+    monkeypatch.setattr(downloads, "SEARCH_PATHS", (str(tmp_path),))
+    assert attempt_download("elsewhere/w.weights") == str(f)
+    # known-but-absent name: offline error names the mirror
+    with pytest.raises(FileNotFoundError) as e:
+        attempt_download(str(tmp_path / "missing" / "yolov3-tiny.weights"))
+    assert "pjreddie.com" in str(e.value)
+    # unknown name: defer to the loader's own error
+    out = attempt_download("nope/unknown-model.weights")
+    assert out == "nope/unknown-model.weights"
