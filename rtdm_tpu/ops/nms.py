@@ -40,10 +40,15 @@ def exact_topk(key: jax.Array, k: int, chunk: int = 4096):
     global top-k element ranks <= k inside its own chunk, so it survives
     the per-chunk pass.
 
-    Motivation (round 5): yolov5s emits 10,647 candidate boxes/frame and
-    its score+top_k stage is the dominant NMS cost (32% of pipeline
-    time, runs/v5s_split_r5.txt); sorting short chunks then merging the
-    c*k winners is cheaper than one long-vector top_k when N >> k."""
+    MEASURED AND REJECTED as the default (round 5): yolov5s emits
+    10,647 candidate boxes/frame and its score+top_k stage is 32% of
+    pipeline time (runs/v5s_split_r5.txt), so chunking looked promising —
+    but the b128 pipeline measured 6,996 FPS chunked vs 7,104 with the
+    plain long-vector `lax.top_k` (the chunk pad/reshape + second top_k
+    costs what the shorter sorts save on this XLA lowering). Kept, with
+    the tie-exactness test, as the measured-and-rejected record; the
+    remaining NMS headroom note in DESIGN.md points at a fused Pallas
+    candidate-stream kernel instead."""
     n = key.shape[0]
     if n <= chunk or n <= 2 * k:
         return jax.lax.top_k(key, k)
@@ -192,7 +197,7 @@ def batched_nms(pred: jax.Array,
                 ok &= allowed[flat_cls]
             key = jnp.where(ok, flat, -1.0)
             k = min(top_k, key.shape[0])
-            top_scores, idx = exact_topk(key, k)
+            top_scores, idx = jax.lax.top_k(key, k)
             top_boxes = boxes[flat_box[idx]]
             top_cls = flat_cls[idx]
         else:
@@ -204,7 +209,7 @@ def batched_nms(pred: jax.Array,
                   else base_ok & allowed[best_cls])
             key = jnp.where(ok, score, -1.0)
             k = min(top_k, key.shape[0])
-            top_scores, idx = exact_topk(key, k)
+            top_scores, idx = jax.lax.top_k(key, k)
             top_boxes = boxes[idx]
             top_cls = best_cls[idx]
         valid = top_scores > -0.5  # -1.0 marks masked candidates
